@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+result marshaling to the driver beyond Spark's own accounting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family; grows as the registry grows.
+BENCH_QUERIES = [
+    "cooccurrence_topn",
+    "cooccurrence_pairs",
+    "adjacency_row_norm",
+    "event_weights_by_user",
+    "incidence_pairs",
+    "distinct_reach",
+    "order_frequency",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "customer_cf",
+    "similarity_jaccard_topk",
+    "recommend_batch",
+    "events_hourly",
+    "sessionization",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk_bruteforce",
+    "embedding_topk_lsh",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "pagerank_global",
+]
+
+
+def main() -> None:
+    from graph_database_spark.session import get_spark
+    from graph_database_spark.registry import QUERIES
+
+    spark = get_spark("gds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = None
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # warm the JVM + parquet footers once so per-query times measure compute
+    QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

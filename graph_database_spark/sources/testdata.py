@@ -1,0 +1,52 @@
+"""Typed loaders for the driver-generated parquet testdata (TESTDATA.md).
+
+Replaces the reference's full-table JDBC scans (SURVEY §2.1 S2,
+tp2/app/etl.py:198-206 — six `SELECT *` into driver-side pandas) with lazy
+columnar scans: `spark.read.parquet` keeps data distributed, and Catalyst
+prunes columns/pushes predicates into the scan, which the reference's
+pandas extract fundamentally could not do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read nanos as long and rebuild a microsecond timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so spark.sql() can address them
+    with the same names the DuckDB oracle uses."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
