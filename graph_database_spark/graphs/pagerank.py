@@ -1,0 +1,188 @@
+"""PageRank with the reference tp1's exact semantics (SURVEY §4.3).
+
+Source: tp1/knoledge_graphs/recommendation.py:150-188 —
+
+- init: rank(v) = 1/N (`:153`).
+- personalization normalized to sum 1; uniform 1/N if all-zero (`:181-188`).
+- per iteration (`:156-174`):
+    new(v) = (1-d)·p(v)
+           + d·Σ_{u→v} rank(u)·w(u,v)          (w row-normalized)
+           + d·(Σ_{s sink} rank(s)) / N        (UNIFORM redistribution —
+                                                not via p; differs from
+                                                GraphX/GDS, so this is our
+                                                own loop, not an import)
+- converge on L1 delta < tol (1e-6) or max_iter (50); d = 0.85 (`:33-39`).
+
+Spark-first execution: a driver-side loop over DataFrames. Each iteration
+is ONE shuffle — ranks ⋈ edges on src (both sides pre-partitioned on the
+join key once, partitioning reused across iterations) then a groupBy dst.
+Sink mass and the convergence delta ride along as 1-row broadcast
+DataFrames / scalars; `localCheckpoint` truncates lineage so plans don't
+grow with iteration count. This is the standard Pregel-on-DataFrames
+shape and survives 1000-executor scale: per-iteration cost is bounded by
+the edge shuffle, which AQE skew-splits for hot vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _prep_personalization(vertices: DataFrame,
+                          personalization: DataFrame | None,
+                          n: int) -> DataFrame:
+    """(id, p) summing to 1; uniform when absent or all-zero
+    (recommendation.py:181-188)."""
+    if personalization is None:
+        return vertices.select("id", F.lit(1.0 / n).alias("p"))
+    p = vertices.join(personalization, "id", "left").select(
+        "id", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+    total = p.agg(F.sum("p").alias("__t"))
+    return (
+        p.crossJoin(F.broadcast(total))
+        .select("id",
+                F.when(F.col("__t") > 0, F.col("p") / F.col("__t"))
+                 .otherwise(F.lit(1.0 / n)).alias("p"))
+    )
+
+
+def pagerank(vertices: DataFrame, edges: DataFrame,
+             personalization: DataFrame | None = None,
+             damping: float = 0.85, tol: float = 1e-6,
+             max_iter: int = 50,
+             num_partitions: int | None = None) -> DataFrame:
+    """vertices: (id); edges: (src, dst, weight) row-stochastic per src.
+
+    Returns (id, rank). Semantics identical to tp1 `_run_pagerank`.
+    """
+    n_parts = num_partitions or vertices.sparkSession.sparkContext.defaultParallelism
+    verts = vertices.select("id").distinct()
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+
+    p = _prep_personalization(verts, personalization, n) \
+        .repartition(n_parts, "id").localCheckpoint()
+    # pre-partition edges by src once; every iteration's join reuses it
+    edges = edges.select("src", "dst", "weight") \
+        .repartition(n_parts, "src").localCheckpoint()
+    sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
+                          "id", "left_anti").localCheckpoint()
+
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")) \
+        .repartition(n_parts, "id").localCheckpoint()
+
+    for _ in range(max_iter):
+        sink_mass = (
+            ranks.join(F.broadcast(sink_ids), "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__sink"))
+        )
+        contrib = (
+            ranks.join(edges, ranks["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
+        )
+        new_ranks = (
+            p.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(sink_mass))
+            .select(
+                "id",
+                ((1.0 - damping) * F.col("p")
+                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                 + damping * F.col("__sink") / n).alias("rank"),
+            )
+            .repartition(n_parts, "id")
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.withColumnRenamed("rank", "__new")
+            .join(ranks, "id")
+            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
+
+
+def pagerank_batch(vertices: DataFrame, edges: DataFrame,
+                   personalization: DataFrame,
+                   damping: float = 0.85, tol: float = 1e-6,
+                   max_iter: int = 50,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Personalized PageRank for MANY personalization vectors at once.
+
+    personalization: (key, id, p). Returns (key, id, rank). This is the
+    100 TB-idiomatic form of the reference's per-request personalized
+    PageRank (tp1 recommendation.py:135-142): one DataFrame keyed by
+    (key, id) runs every customer's PPR in the same shuffles instead of
+    one driver loop per customer. Convergence is tracked PER KEY — a key
+    whose L1 delta drops below tol is frozen (its ranks stop updating),
+    matching the reference's early termination per run.
+    """
+    n_parts = num_partitions or vertices.sparkSession.sparkContext.defaultParallelism
+    verts = vertices.select("id").distinct()
+    n = verts.count()
+    keys = personalization.select("key").distinct()
+
+    # normalize p per key: /sum, uniform if sum==0 (recommendation.py:181-188)
+    full = keys.crossJoin(verts).join(personalization, ["key", "id"], "left") \
+        .select("key", "id", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+    totals = full.groupBy("key").agg(F.sum("p").alias("__t"))
+    p = (
+        full.join(totals, "key")
+        .select("key", "id",
+                F.when(F.col("__t") > 0, F.col("p") / F.col("__t"))
+                 .otherwise(F.lit(1.0 / n)).alias("p"))
+        .repartition(n_parts, "key", "id").localCheckpoint()
+    )
+    edges = edges.select("src", "dst", "weight") \
+        .repartition(n_parts, "src").localCheckpoint()
+    sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
+                          "id", "left_anti").localCheckpoint()
+
+    active = p.select("key", "id", F.lit(1.0 / n).alias("rank")) \
+        .localCheckpoint()
+    frozen = None
+
+    for _ in range(max_iter):
+        sink_mass = (
+            active.join(F.broadcast(sink_ids), "id", "left_semi")
+            .groupBy("key").agg(F.sum("rank").alias("__sink"))
+        )
+        contrib = (
+            active.join(edges, active["id"] == edges["src"])
+            .groupBy("key", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
+        )
+        new_ranks = (
+            p.join(active.select("key").distinct(), "key", "left_semi")
+            .join(contrib, ["key", "id"], "left")
+            .join(sink_mass, "key", "left")
+            .select(
+                "key", "id",
+                ((1.0 - damping) * F.col("p")
+                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                 + damping * F.coalesce(F.col("__sink"), F.lit(0.0)) / n
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        deltas = (
+            new_ranks.withColumnRenamed("rank", "__new")
+            .join(active, ["key", "id"])
+            .groupBy("key")
+            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
+            .localCheckpoint()
+        )
+        done_keys = deltas.filter(F.col("d") < tol).select("key")
+        newly_frozen = new_ranks.join(done_keys, "key", "left_semi")
+        frozen = newly_frozen if frozen is None \
+            else frozen.unionByName(newly_frozen)
+        active = new_ranks.join(done_keys, "key", "left_anti") \
+            .localCheckpoint()
+        if active.isEmpty():
+            break
+    out = active if frozen is None else frozen.unionByName(active)
+    return out.localCheckpoint()

@@ -1,0 +1,116 @@
+"""Customer-overlap similarity (SURVEY §2.3 J3/J4/J5).
+
+Three reference strategies over the bipartite incidence pairs:
+
+- Jaccard product similarity (tp1 `_similarity_scores`,
+  tp1/knoledge_graphs/recommendation.py:114-133): for product pairs,
+  |customers(A) ∩ customers(B)| / |union|; zero-intersection pairs skipped.
+- User-based CF counting (tp2 Cypher, tp2/app/main.py:144-154): c1→p1,
+  c2→p1, c2→p2, c1<>c2, p1<>p2 → count(DISTINCT c2) per p2. Note the
+  reference does NOT exclude products c1 already touched (SURVEY §7.3).
+- Seed-expansion co-occurrence scores (tp1 `_co_occurrence_scores`,
+  recommendation.py:105-112): Σ co-occurrence counts from seed products to
+  neighbors, seeds excluded.
+
+Spark-first: set intersections become a self equi-join on customer_id with
+map-side pair aggregation — never collect_set into driver memory. The
+self-join key (customer_id) is the skew axis at 100 TB (power users);
+AQE skew-join splitting plus an optional per-customer product cap handle it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def product_customer_counts(incidence: DataFrame) -> DataFrame:
+    """|customers(p)| per product — the Jaccard denominator input."""
+    return incidence.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
+def jaccard_pairs(incidence: DataFrame) -> DataFrame:
+    """(src, dst, intersection, jaccard) for product pairs sharing ≥1 customer.
+
+    incidence must be DISTINCT (customer_id, product_id) — set semantics
+    (tp1 graph.py:25-26). Output has src < dst; mirror for the symmetric view.
+    """
+    a, b = incidence.alias("a"), incidence.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.customer_id") == F.col("b.customer_id"))
+               & (F.col("a.product_id") < F.col("b.product_id")))
+        .groupBy(F.col("a.product_id").alias("src"),
+                 F.col("b.product_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sizes = product_customer_counts(incidence)
+    return (
+        inter
+        .join(sizes.withColumnRenamed("product_id", "src")
+                   .withColumnRenamed("n_customers", "n_src"), "src")
+        .join(sizes.withColumnRenamed("product_id", "dst")
+                   .withColumnRenamed("n_customers", "n_dst"), "dst")
+        .select(
+            "src", "dst", "intersection",
+            (F.col("intersection")
+             / (F.col("n_src") + F.col("n_dst") - F.col("intersection"))
+             ).alias("jaccard"),
+        )
+    )
+
+
+def user_cf_scores(incidence: DataFrame, customer_id) -> DataFrame:
+    """tp2's 3-hop collaborative filter for one customer (main.py:144-154).
+
+    Cypher: MATCH (c1)-->(p1)<--(c2)-->(p2) WHERE c1<>c2 AND p1<>p2
+            RETURN p2, count(DISTINCT c2).
+
+    The `p1 <> p2` predicate is PER PATH: a (c2, p2) pair qualifies iff c2
+    shares at least one product p1 with c1 *other than p2 itself* — i.e.
+    |products(c1) ∩ products(c2) \\ {p2}| > 0. The reference does NOT
+    exclude products c1 already touched (SURVEY §7.3), so a global
+    anti-join against the seed set would be wrong.
+
+    Returns (product_id, cf_count) = count(DISTINCT c2) per p2.
+    """
+    seeds = incidence.filter(F.col("customer_id") == F.lit(customer_id)) \
+        .select(F.col("product_id").alias("p1"))
+    # |products(c1) ∩ products(c2)| per co-customer c2
+    shared = (
+        incidence.join(F.broadcast(seeds),
+                       incidence["product_id"] == seeds["p1"])
+        .filter(F.col("customer_id") != F.lit(customer_id))
+        .groupBy(F.col("customer_id").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # candidate (c2, p2) rows, flagging whether p2 is itself a seed: the
+    # path count supporting (c2, p2) is n_shared minus 1 if p2 ∈ seeds∩products(c2)
+    cands = (
+        incidence.withColumnRenamed("customer_id", "c2")
+        .withColumnRenamed("product_id", "p2")
+        .join(shared, "c2")
+        .join(F.broadcast(seeds.withColumn("__is_seed", F.lit(1))),
+              F.col("p2") == F.col("p1"), "left")
+        .filter(F.col("n_shared") > F.coalesce(F.col("__is_seed"), F.lit(0)))
+    )
+    return (
+        cands.groupBy(F.col("p2").alias("product_id"))
+        .agg(F.countDistinct("c2").alias("cf_count"))
+    )
+
+
+def seed_expansion_scores(cooc_sym: DataFrame, seeds: DataFrame) -> DataFrame:
+    """tp1 `_co_occurrence_scores` (recommendation.py:105-112).
+
+    cooc_sym: symmetric (src, dst, count); seeds: (product_id). Score each
+    non-seed neighbor by Σ counts from all seeds. seeds is small → broadcast.
+    """
+    return (
+        cooc_sym.join(F.broadcast(seeds),
+                      cooc_sym["src"] == seeds["product_id"])
+        .drop("product_id")
+        .join(F.broadcast(seeds),
+              cooc_sym["dst"] == seeds["product_id"], "left_anti")
+        .groupBy(F.col("dst").alias("product_id"))
+        .agg(F.sum("count").alias("score"))
+    )

@@ -41,7 +41,7 @@ def event_weight_col(event_type: Column,
     """Map event_type → weight as a codegen'd literal-map lookup."""
     weights = EVENT_WEIGHTS_REFERENCE if weights is None else weights
     mapping = F.create_map(*[F.lit(x) for x in chain.from_iterable(weights.items())])
-    return F.coalesce(mapping.getItem(event_type), F.lit(default))
+    return F.coalesce(F.element_at(mapping, event_type), F.lit(default))
 
 
 def event_weights(events: DataFrame,

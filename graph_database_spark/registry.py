@@ -31,6 +31,14 @@ from .operators.cooccurrence import (
 from .operators.incidence import incidence_pairs
 from .operators.popularity import distinct_reach, order_frequency
 from .operators.weights import EVENT_WEIGHTS_DRIVER, event_weights
+from .operators.similarity import (
+    jaccard_pairs, seed_expansion_scores, user_cf_scores,
+)
+from .operators.analytics import (
+    pricing_summary, revenue_by_nation, top_parts_by_revenue,
+)
+from .operators.sessions import events_hourly, session_stats
+from .operators.topk import top_k_per_group
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -187,3 +195,336 @@ FROM base GROUP BY product_id
 """)
 def q_order_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_frequency(_items(spark, sf_dir))
+
+
+# A fixed "focal customer" for the single-customer reference queries
+# (tp2 binds $customer_id at request time; batch form pins the smallest
+# customer key so the oracle is a closed expression).
+_SQL_FOCAL = "(SELECT MIN(o_custkey) FROM orders)"
+
+
+def _focal_customer(spark: SparkSession, sf_dir: str) -> int:
+    return (load_table(spark, sf_dir, "orders")
+            .agg(F.min("o_custkey")).first()[0])
+
+
+_SQL_INC = """
+SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: Jaccard product similarity (tp1 recommendation.py:114-133)
+# ---------------------------------------------------------------------------
+
+@register("similarity_jaccard_topk", f"""
+WITH inc AS ({_SQL_INC}),
+sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY product_id),
+inter AS (
+  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS i
+  FROM inc a JOIN inc b
+    ON a.customer_id = b.customer_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       CAST(ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.src = sa.product_id
+JOIN sizes sb ON inter.dst = sb.product_id
+ORDER BY CAST(i AS DOUBLE) / (sa.n + sb.n - i) DESC, src ASC, dst ASC
+LIMIT 500
+""")
+def q_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = jaccard_pairs(incidence_pairs(_order_customer_pairs(spark, sf_dir)))
+    return (
+        jac.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst")).limit(500)
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: user-based CF for the focal customer (tp2/app/main.py:144-154)
+# ---------------------------------------------------------------------------
+
+@register("customer_cf", f"""
+WITH inc AS ({_SQL_INC}),
+seeds AS (SELECT product_id AS p1 FROM inc WHERE customer_id = {_SQL_FOCAL}),
+shared AS (
+  SELECT inc.customer_id AS c2, COUNT(*) AS n_shared
+  FROM inc JOIN seeds ON inc.product_id = seeds.p1
+  WHERE inc.customer_id <> {_SQL_FOCAL}
+  GROUP BY inc.customer_id
+)
+SELECT inc.product_id AS product_id,
+       CAST(COUNT(DISTINCT inc.customer_id) AS BIGINT) AS cf_count
+FROM inc
+JOIN shared ON inc.customer_id = shared.c2
+WHERE shared.n_shared >
+      CASE WHEN inc.product_id IN (SELECT p1 FROM seeds) THEN 1 ELSE 0 END
+GROUP BY inc.product_id
+""")
+def q_customer_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    return user_cf_scores(inc, _focal_customer(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# J4: seed-expansion co-occurrence scores (tp1 recommendation.py:105-112)
+# ---------------------------------------------------------------------------
+
+@register("seed_expansion", f"""
+WITH base AS ({_SQL_ITEMS}),
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+inc AS ({_SQL_INC}),
+seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL})
+SELECT p.dst AS product_id, CAST(SUM(p.cnt) AS BIGINT) AS score
+FROM pairs p JOIN seeds s ON p.src = s.product_id
+WHERE p.dst NOT IN (SELECT product_id FROM seeds)
+GROUP BY p.dst
+""")
+def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cooc = cooccurrence_ordered(_items(spark, sf_dir))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    seeds = (inc.filter(F.col("customer_id")
+                        == F.lit(_focal_customer(spark, sf_dir)))
+             .select("product_id"))
+    return seed_expansion_scores(cooc, seeds)
+
+
+# ---------------------------------------------------------------------------
+# Batch recommendations: per-customer top-5 by seed-expansion score with
+# exclusion of already-seen products (SE4 + W1, the batch-idiomatic form of
+# tp1 recommend_for_customer — SURVEY §7.1 step 7).
+# ---------------------------------------------------------------------------
+
+@register("recommend_batch", f"""
+WITH base AS ({_SQL_ITEMS}),
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+inc AS ({_SQL_INC}),
+scored AS (
+  SELECT inc.customer_id, p.dst AS product_id, SUM(p.cnt) AS score
+  FROM inc JOIN pairs p ON inc.product_id = p.src
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inc seen
+    WHERE seen.customer_id = inc.customer_id AND seen.product_id = p.dst)
+  GROUP BY inc.customer_id, p.dst
+)
+SELECT customer_id, product_id, CAST(score AS BIGINT) AS score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
+                           ORDER BY score DESC, product_id ASC) <= 5
+""")
+def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cooc = cooccurrence_ordered(_items(spark, sf_dir))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
+    # (incidence × neighbors) expansion to distinct (customer, candidate)
+    # rows, so the anti-join shuffles orders-of-magnitude fewer rows.
+    scored = (
+        inc.join(cooc, inc["product_id"] == cooc["src"])
+        .groupBy("customer_id", F.col("dst").alias("product_id"))
+        .agg(F.sum("count").alias("score"))
+        .join(inc, ["customer_id", "product_id"], "left_anti")
+    )
+    return top_k_per_group(scored, 5, "customer_id", "score", "product_id")
+
+
+# ---------------------------------------------------------------------------
+# OLAP battery (SURVEY §2.4 'Absent' rows made first-class)
+# ---------------------------------------------------------------------------
+
+@register("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,8))), 2) AS DOUBLE) AS sum_charge,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("revenue_by_nation", """
+SELECT n.n_name,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("top_parts_by_revenue", """
+WITH r AS (
+  SELECT l_partkey AS product_id,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT product_id, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+FROM r
+ORDER BY rev DESC, product_id ASC
+LIMIT 100
+""")
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_parts_by_revenue(load_table(spark, sf_dir, "lineitem"), 100)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch twins of graph_database_spark.streaming)
+# ---------------------------------------------------------------------------
+
+@register("events_hourly", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register("sessionization", """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+              > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+per AS (SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(ROUND(AVG(n), 6) AS DOUBLE) AS avg_events_per_session
+FROM per GROUP BY user_id
+""")
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"), 30)
+
+
+# ---------------------------------------------------------------------------
+# Property graph (SURVEY §2.1 S4, §2.3 J6, Q6): vertices/edges over the
+# driver tables with p_brand as the category dimension (FIXTURES §4).
+# ---------------------------------------------------------------------------
+
+def _graph_inputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    part = load_table(spark, sf_dir, "part")
+    return {
+        "customers": load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+            F.lit(None).cast("date").alias("join_date")),
+        "categories": part.select(
+            F.col("p_brand").alias("id"), F.col("p_brand").alias("name"),
+        ).distinct(),
+        "products": part.select(
+            F.col("p_partkey").alias("id"), F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_brand").alias("category_id")),
+        "orders": load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("ts")),
+        "order_items": load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").cast("int").alias("quantity"),
+            F.col("l_linenumber").alias("recency")),
+    }
+
+
+@register("graph_vertices", """
+SELECT 'Category:' || p_brand AS id, 'Category' AS label,
+       p_brand AS name, CAST(NULL AS DOUBLE) AS price,
+       CAST(NULL AS DATE) AS join_date, CAST(NULL AS TIMESTAMP) AS ts
+FROM (SELECT DISTINCT p_brand FROM part)
+UNION ALL
+SELECT 'Product:' || CAST(p_partkey AS VARCHAR), 'Product', p_name,
+       p_retailprice, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
+FROM part
+UNION ALL
+SELECT 'Customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
+FROM customer
+UNION ALL
+SELECT 'Order:' || CAST(o_orderkey AS VARCHAR), 'Order', CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(o_orderdate AS TIMESTAMP)
+FROM orders
+""")
+def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.builder import build_vertices
+    t = _graph_inputs(spark, sf_dir)
+    return build_vertices(t["customers"], t["categories"], t["products"],
+                          t["orders"])
+
+
+@register("graph_edges", """
+SELECT 'Product:' || CAST(p.p_partkey AS VARCHAR) AS src,
+       'Category:' || p.p_brand AS dst,
+       'IN_CATEGORY' AS rel_type, CAST(NULL AS INT) AS quantity
+FROM part p
+UNION ALL
+SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR),
+       'Order:' || CAST(o.o_orderkey AS VARCHAR), 'PLACED', CAST(NULL AS INT)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+       'Product:' || CAST(l_partkey AS VARCHAR), 'CONTAINS',
+       CAST(CAST(l_quantity AS INT) AS INT)
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+                           ORDER BY l_linenumber DESC) = 1
+""")
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.builder import build_edges
+    t = _graph_inputs(spark, sf_dir)
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency")
+    return edges.select("src", "dst", "rel_type", "quantity")
+
+
+# ---------------------------------------------------------------------------
+# Q7: global PageRank over the part co-occurrence graph (tp1 semantics,
+# SURVEY §4.3). Iterative — not SQL-expressible as a fixed query; the
+# driver records the weaker rows-only check (no oracle entry).
+# ---------------------------------------------------------------------------
+
+@register("pagerank_global")
+def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.pagerank import pagerank
+    items = _items(spark, sf_dir)
+    pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
+    adj = row_normalized_adjacency(pairs)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    ranks = pagerank(vertices, adj)
+    return ranks.select(F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))

@@ -34,8 +34,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects; read nanos as long and rebuild a microsecond timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,75 @@
+"""Structured Streaming over the append-only events surface (SURVEY §2.9).
+
+The reference has no streaming; its `events` table is the natural stream
+(append-only interactions with ts, tp2/postgres/init/01_schema.sql:32-39;
+README frames ETL re-runs as "replaying" events, tp2/README.md:479-484).
+This module is the streaming twin of the batch event-weight pipeline
+(P6 + A2): readStream → watermark → tumbling-window weighted aggregation.
+
+Design notes for scale: the aggregation state is keyed by
+(window, user_id) — bounded by the watermark horizon; `update` output mode
+emits refinements, `append` waits for watermark closure. A parquet
+directory source here stands in for Kafka; the transformations are
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ..operators.weights import EVENT_WEIGHTS_DRIVER, event_weight_col
+
+# driver events.parquet schema with ts as raw nanos (see sources.testdata:
+# the parquet stores TIMESTAMP(NANOS); with nanosAsLong it reads as long)
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, events_dir: str,
+                      glob: str = "events.parquet") -> DataFrame:
+    """Streaming scan of an events parquet directory with a proper
+    timestamp column. `glob` selects the event files when the directory
+    holds other tables (the driver testdata layout)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("pathGlobFilter", glob)
+           .parquet(events_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_weights(events: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "10 minutes",
+                           weights: dict[str, float] | None = None) -> DataFrame:
+    """Tumbling-window Σ event-weight per user — streaming form of
+    tp1 graph.py:64-68 with late-data handling the reference lacks."""
+    w = event_weight_col(F.col("event_type"),
+                         weights or EVENT_WEIGHTS_DRIVER)
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "user_id")
+        .agg(F.sum(w).alias("weight"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "user_id", "weight")
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, query_name: str,
+                         output_mode: str = "update"):
+    """Drive a streaming aggregation to completion against a static
+    directory (test/smoke harness): memory sink + processAllAvailable."""
+    q = (agg.writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    return q
