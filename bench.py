@@ -34,15 +34,21 @@ BENCH_QUERIES = [
     "top_parts_by_revenue",
     "customer_cf",
     "similarity_jaccard_topk",
+    "seed_expansion",
     "recommend_batch",
     "events_hourly",
     "sessionization",
+    "events_props_stats",
+    "graph_vertices",
+    "graph_edges",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
+    "embedding_topk_ivf",
+    "embedding_near_duplicates",
     "lang_id",
     "text_quality",
     "token_count",

@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+- Brute-force cosine top-k: the exact baseline. Queries broadcast against
+  the corpus; the dot product is a JVM-side zip_with/aggregate fold (the
+  embeddings are unit-norm, so cosine == dot). O(|Q|·N) — correct at any
+  scale where |Q| is modest, and the verification oracle for the ANN path.
+- LSH (random hyperplane) top-k: the scale path. H deterministic
+  hyperplanes → sign-bit signature → candidates share a bucket in at least
+  one of T tables; exact cosine re-ranks candidates. Sub-linear candidate
+  sets at 100 TB (bucket join instead of cross join), recall tunable via
+  (bits/table, tables).
+
+The hyperplanes derive from a fixed seed so results are deterministic
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold — identical in any engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                           k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine): exact top-k per query (self excluded),
+    deterministic tie-break on neighbor_id."""
+    from pyspark.sql import Window
+
+    queries = (embeddings
+               .filter(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")))
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id",
+                F.col(id_col).alias("neighbor_id"),
+                _dot(F.col(vec_col), F.col("qvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(tables, bits, dim))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the preferred scale path for clustered data:
+# k-means cells + nprobe cell expansion, exact re-rank inside cells.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(embeddings: DataFrame, nlist: int = 16,
+                        seed: int = 42, max_iter: int = 20,
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """K-means cell centroids (MLlib, fixed seed). At 100 TB train on a
+    sample — centroid quality converges long before full-data scans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _assign_cells(df: DataFrame, centroids: list[list[float]], nprobe: int,
+                  id_out: str, vec_col: str) -> DataFrame:
+    """(id, cell) for the `nprobe` nearest centroids (cosine).
+
+    Centroids enter the plan as literals in a tiny exploded array — a
+    broadcast by construction; ranking is a per-id window."""
+    from pyspark.sql import Window
+
+    cents = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"))
+        for i, c in enumerate(centroids)
+    ])
+    scored = (df.select(F.col(id_out).alias("id"), F.col(vec_col).alias("v"))
+              .select("id", "v", F.explode(cents).alias("c"))
+              .select("id", F.col("c.cell").alias("cell"),
+                      _dot(F.col("v"), F.col("c.cvec")).alias("sim")))
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= nprobe).select("id", "cell"))
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                    nlist: int = 16, nprobe: int = 4, seed: int = 42,
+                    centroids: list[list[float]] | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine): IVF approximate top-k — corpus
+    vectors live in their nearest cell; queries probe `nprobe` cells; exact
+    cosine re-ranks the union of probed cells."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, nlist, seed,
+                                        vec_col=vec_col)
+    corpus_cells = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
+    queries = embeddings.filter(F.col(id_col).isin(query_ids))
+    query_cells = _assign_cells(queries, centroids, nprobe, id_col, vec_col) \
+        .withColumnRenamed("id", "query_id")
+    cands = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec"))
+    scored = (
+        cands
+        .join(embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("nvec")), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                _dot(F.col("nvec"), F.col("qvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
+                   tables: int = 4, seed: int = 42,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket): sign-bit bucket per hash table. Hyperplane
+    coefficients are plan literals — broadcast by construction, no shuffle."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    rows = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            bit = F.when(_dot(F.col(vec_col), plane) >= 0,
+                         F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseOR(bit)
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return (embeddings
+            .select(F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb"))
+            .select("id", "tb.table", "tb.bucket"))
+
+
+def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                    dim: int = 64, bits: int = 6, tables: int = 12,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine): approximate top-k — candidates from
+    shared LSH buckets, exact cosine re-rank. Recall measured against the
+    brute-force baseline in tests."""
+    from pyspark.sql import Window
+
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col, vec_col)
+    qsigs = sigs.filter(F.col("id").isin(query_ids)) \
+        .select(F.col("id").alias("query_id"), "table", "bucket")
+    cands = (
+        sigs.join(F.broadcast(qsigs), ["table", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    queries = (embeddings.filter(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")))
+    scored = (
+        cands
+        .join(embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("nvec")), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id",
+                _dot(F.col("nvec"), F.col("qvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              bits: int = 10, tables: int = 6,
+                              dim: int = 64, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """(src, dst, cosine): pairs with cosine ≥ threshold, LSH-bucketed
+    candidate generation (high-threshold pairs collide with near-certainty
+    across 6 tables of 10 bits)."""
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col, vec_col)
+    cand = (
+        sigs.alias("x").join(
+            sigs.alias("y"),
+            on=(F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("__id"),
+                             F.col(vec_col).alias("__v"))
+    return (
+        cand
+        .join(vecs.withColumnRenamed("__id", "src")
+                  .withColumnRenamed("__v", "va"), "src")
+        .join(vecs.withColumnRenamed("__id", "dst")
+                  .withColumnRenamed("__v", "vb"), "dst")
+        .select("src", "dst", _dot(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines (beyond-reference):
+exact, n-gram Jaccard, MinHash+LSH, SimHash. All JVM-side expressions —
+shingling via split/transform, hashing via xxhash64, banding via explode —
+no Python in the hot path.
+
+Scale design:
+- exact: one hash-groupBy; the md5 key distributes uniformly.
+- n-gram Jaccard: self-join on shingle. The shingle join is the skew axis
+  (stop-shingles); `max_shingle_freq` drops super-frequent shingles the way
+  production near-dup pipelines drop stop-grams — a documented recall
+  trade-off that bounds the join fan-out at 100 TB.
+- MinHash LSH: 64 hash slots, b bands × r rows; candidate pairs only join
+  within equal (band, band_hash) buckets, then exact Jaccard verifies.
+- SimHash: 64-bit signature from token-hash bit votes; banding on 4×16-bit
+  chunks finds candidates with Hamming distance ≤ 3 cheaply, verified by
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def exact_duplicate_groups(documents: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, min_doc_id) for texts appearing more than once."""
+    return (
+        documents
+        .select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array column (JVM transform, no UDF)."""
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(shingles)
+
+
+def _doc_shingles(documents: DataFrame, text_col: str, n: int,
+                  max_shingle_freq: int | None = None) -> DataFrame:
+    """Exploded (doc_id, shingle) pairs, optionally dropping shingles that
+    occur in more than `max_shingle_freq` docs (stop-gram skew guard)."""
+    ds = (documents
+          .select("doc_id",
+                  F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
+    if max_shingle_freq is not None:
+        hot = (ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+               .filter(F.col("__f") > max_shingle_freq).select("shingle"))
+        ds = ds.join(hot, "shingle", "left_anti")
+    return ds
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        text_col: str = "text",
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """(src, dst, jaccard) for doc pairs with shingle-set Jaccard ≥ threshold.
+
+    Exact (no hashing): self-join on shingle → shared counts → sizes join.
+    """
+    ds = _doc_shingles(documents, text_col, n, max_shingle_freq)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n_sh", "n_src"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n_sh", "n_dst"), "dst")
+        .withColumn("jaccard", F.col("shared")
+                    / (F.col("n_src") + F.col("n_dst") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 64,
+                       n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, minhash array<long>): k permutations approximated by
+    xxhash64(shingle, seed_i) minima — the standard broadcast-free
+    formulation."""
+    ds = _doc_shingles(documents, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ds.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash"))
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
+                      bands: int = 16, n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """(src, dst, jaccard): LSH-bucketed candidate generation + exact
+    verification. bands*rows must equal num_hashes; with 16 bands × 4 rows
+    the S-curve catches ~all pairs with J ≥ 0.5."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n, text_col)
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("minhash", b * rows + r + 1)
+                         for r in range(rows)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (sig.select("doc_id", F.explode(band_cols).alias("bb"))
+               .select("doc_id", "bb.band", "bb.bucket"))
+    cand = (
+        buckets.alias("x").join(
+            buckets.alias("y"),
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("src"),
+                F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, n, 0.0, text_col)
+    return (cand.join(exact, ["src", "dst"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("src", "dst", "jaccard"))
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): per-token xxhash64 bit votes weighted by
+    term frequency, sign-aggregated into a 64-bit signature."""
+    toks = (documents
+            .select("doc_id", F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("h", F.xxhash64("tok")))
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    v = toks.groupBy("doc_id").agg(*votes)
+    sig = zero
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(zero))
+    return v.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """(src, dst, hamming): pairs within Hamming distance ≤ max_hamming.
+    Candidates via 4×16-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at
+    least one of 4 chunks equal), verified by bit_count(xor)."""
+    sig = simhash_signatures(documents, 64, text_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16)
+             .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for c in range(4)
+    ])
+    b = (sig.select("doc_id", "simhash", F.explode(chunks).alias("cc"))
+         .select("doc_id", "simhash", "cc.chunk", "cc.val"))
+    cand = (
+        b.alias("x").join(
+            b.alias("y"),
+            on=(F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("src"),
+                F.col("y.doc_id").alias("dst"),
+                F.col("x.simhash").alias("sa"),
+                F.col("y.simhash").alias("sb"))
+        .distinct()
+    )
+    return (
+        cand
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("src", "dst", "hamming")
+    )

@@ -528,3 +528,208 @@ def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(vertices, adj)
     return ranks.select(F.col("id").alias("product_id"),
                         F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: training-data pipeline operators (dedup, ANN, text).
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicate_groups
+    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_SHINGLES = r"""
+SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH ds AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON shared.src = sa.doc_id
+JOIN sizes sb ON shared.dst = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # hash-function-specific → rows-only check
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                             num_hashes=64, bands=16, n=3, threshold=0.5)
+
+
+@register("dedup_simhash")  # hash-function-specific → rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register("embedding_topk_bruteforce", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
+""")
+def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import cosine_topk_bruteforce
+    out = cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"),
+                                 query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+@register("embedding_topk_lsh")  # seeded hyperplanes → rows-only check
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import cosine_topk_lsh
+    out = cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"),
+                          query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+@register("embedding_near_duplicates")  # seeded hyperplanes → rows-only
+def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import embedding_near_duplicates
+    out = embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"),
+                                    threshold=0.95)
+    return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (lang-ID, quality, tokens, fingerprint) — oracle SQL is
+# generated from the same pattern constants the Spark side compiles in.
+# ---------------------------------------------------------------------------
+
+@register("lang_id", r"""
+WITH c AS (
+  SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS c_en,
+       len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|dans|que|pour)\b')) AS c_fr,
+       len(regexp_extract_all(lower(text), '\b(el|los|las|una|es|que|en|por|con|para)\b')) AS c_es,
+       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|den|dem|ein)\b')) AS c_de,
+       len(regexp_extract_all(lower(text), '[一-鿿]')) AS c_zh
+  FROM documents
+),
+g AS (SELECT *, greatest(c_en, c_fr, c_es, c_de, c_zh) AS g FROM c)
+SELECT doc_id,
+  CASE WHEN g = 0 THEN 'unknown'
+    WHEN c_en = g THEN 'en'
+    WHEN c_fr = g THEN 'fr'
+    WHEN c_es = g THEN 'es'
+    WHEN c_de = g THEN 'de'
+    WHEN c_zh = g THEN 'zh'
+  END AS pred_lang
+FROM g
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", r"""
+WITH m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS words,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, words,
+    CAST(punct AS DOUBLE) / greatest(words, 1) AS punct_ratio,
+    CAST(stop AS DOUBLE) / greatest(words, 1) AS stop_ratio
+  FROM m
+)
+SELECT doc_id, CAST(words AS INT) AS word_count,
+  CAST(ROUND(punct_ratio, 6) AS DOUBLE) AS punct_ratio,
+  CAST(ROUND(stop_ratio, 6) AS DOUBLE) AS stopword_ratio,
+  CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
+       + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+       + least(stop_ratio * 5.0, 1.0) * 0.25, 6) AS DOUBLE) AS quality
+FROM r
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import text_quality
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register("token_count", r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT) AS bpe_tokens
+FROM documents
+""")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_counts
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import doc_fingerprint
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction over the events props column (SURVEY §2.8 —
+# the reference has no JSON functions; first-class here).
+# ---------------------------------------------------------------------------
+
+@register("events_props_stats", """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+                 .alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("embedding_topk_ivf")  # k-means centroids → rows-only check
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import cosine_topk_ivf
+    out = cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"),
+                          query_ids=[0, 1, 2, 3, 4], k=10,
+                          nlist=16, nprobe=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
