@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
     "top_parts_by_revenue",
+    "revenue_rollup",
+    "order_priority_pivot",
+    "customer_order_seq",
+    "events_asof_order",
+    "parts_intersect_nations",
+    "pk_violations",
     "customer_cf",
     "similarity_jaccard_topk",
     "seed_expansion",

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold — identical in any engine."""
@@ -90,7 +92,7 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], nprobe: int,
                  F.array(*[F.lit(float(x)) for x in c]).alias("cvec"))
         for i, c in enumerate(centroids)
     ])
-    scored = (df.select(F.col(id_out).alias("id"), F.col(vec_col).alias("v"))
+    scored = (spread(df).select(F.col(id_out).alias("id"), F.col(vec_col).alias("v"))
               .select("id", "v", F.explode(cents).alias("c"))
               .select("id", F.col("c.cell").alias("cell"),
                       _dot(F.col("v"), F.col("c.cvec")).alias("sim")))
@@ -154,7 +156,7 @@ def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
                          F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
             bucket = bucket.bitwiseOR(bit)
         rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return (embeddings
+    return (spread(embeddings)
             .select(F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb"))
             .select("id", "tb.table", "tb.bucket"))
 
@@ -168,7 +170,8 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     brute-force baseline in tests."""
     from pyspark.sql import Window
 
-    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col, vec_col)
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col,
+                          vec_col).localCheckpoint()  # reused on both join sides
     qsigs = sigs.filter(F.col("id").isin(query_ids)) \
         .select(F.col("id").alias("query_id"), "table", "bucket")
     cands = (
@@ -202,7 +205,8 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     """(src, dst, cosine): pairs with cosine ≥ threshold, LSH-bucketed
     candidate generation (high-threshold pairs collide with near-certainty
     across 6 tables of 10 bits)."""
-    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col, vec_col)
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col,
+                          vec_col).localCheckpoint()  # self-joined below
     cand = (
         sigs.alias("x").join(
             sigs.alias("y"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import spread
+
 
 def exact_duplicate_groups(documents: DataFrame,
                            text_col: str = "text") -> DataFrame:
@@ -50,7 +52,7 @@ def _doc_shingles(documents: DataFrame, text_col: str, n: int,
                   max_shingle_freq: int | None = None) -> DataFrame:
     """Exploded (doc_id, shingle) pairs, optionally dropping shingles that
     occur in more than `max_shingle_freq` docs (stop-gram skew guard)."""
-    ds = (documents
+    ds = (spread(documents)
           .select("doc_id",
                   F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
     if max_shingle_freq is not None:
@@ -146,7 +148,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long): per-token xxhash64 bit votes weighted by
     term frequency, sign-aggregated into a 64-bit signature."""
-    toks = (documents
+    toks = (spread(documents)
             .select("doc_id", F.explode(
                 F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
             .groupBy("doc_id", "tok")

@@ -311,10 +311,15 @@ pairs AS (
     ON a.order_id = b.order_id AND a.product_id <> b.product_id
   GROUP BY 1, 2
 ),
+top_pairs AS (
+  SELECT src, dst, cnt FROM pairs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                             ORDER BY cnt DESC, dst ASC) <= 30
+),
 inc AS ({_SQL_INC}),
 scored AS (
   SELECT inc.customer_id, p.dst AS product_id, SUM(p.cnt) AS score
-  FROM inc JOIN pairs p ON inc.product_id = p.src
+  FROM inc JOIN top_pairs p ON inc.product_id = p.src
   WHERE NOT EXISTS (
     SELECT 1 FROM inc seen
     WHERE seen.customer_id = inc.customer_id AND seen.product_id = p.dst)
@@ -326,13 +331,19 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
                            ORDER BY score DESC, product_id ASC) <= 5
 """)
 def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate generation truncates each seed's co-occurrence list to its
+    # top-30 neighbors (deterministic tie-break) — the standard bounded
+    # fan-out of production item-to-item recommenders: it caps the
+    # (incidence × neighbors) expansion at 30·|incidence| rows no matter
+    # how hot a product is, which is what keeps this plan viable at 100 TB.
+    # The oracle SQL applies the identical truncation.
     cooc = cooccurrence_ordered(_items(spark, sf_dir))
+    cooc_top = top_k_per_group(cooc, 30, "src", "count", "dst")
     inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
     # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
-    # (incidence × neighbors) expansion to distinct (customer, candidate)
-    # rows, so the anti-join shuffles orders-of-magnitude fewer rows.
+    # expansion to distinct (customer, candidate) rows first.
     scored = (
-        inc.join(cooc, inc["product_id"] == cooc["src"])
+        inc.join(cooc_top, inc["product_id"] == cooc_top["src"])
         .groupBy("customer_id", F.col("dst").alias("product_id"))
         .agg(F.sum("count").alias("score"))
         .join(inc, ["customer_id", "product_id"], "left_anti")
@@ -733,3 +744,195 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           nlist=16, nprobe=8)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage the reference lacks (SURVEY §2.4/§2.5/§2.7 'Absent'
+# rows made first-class): rollup, pivot, ranking windows, as-of join,
+# table-level set ops, uniqueness assertions.
+# ---------------------------------------------------------------------------
+
+@register("revenue_rollup", """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(27,8)")
+    joined = (
+        l.select("l_orderkey", rev.alias("rev"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+        .select(F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+                F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+                "revenue")
+    )
+
+
+@register("order_priority_pivot", """
+SELECT o_orderstatus,
+  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+  CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
+  CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS not_specified,
+  CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+""")
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderstatus")
+           .pivot("o_orderpriority",
+                  ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+           .count())
+    renames = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+               "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{k}`"), F.lit(0)).alias(v)
+          for k, v in renames.items()])
+
+
+@register("customer_order_seq", """
+SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+  CAST(CAST(epoch(o_orderdate) AS BIGINT)
+       - CAST(epoch(LAG(o_orderdate) OVER w) AS BIGINT) AS BIGINT) AS gap_seconds
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        (F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+         - F.lag(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+            .over(w)).alias("gap_seconds"),
+    )
+
+
+@register("events_asof_order", """
+WITH orders_d AS (
+  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, o.o_orderkey AS order_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF LEFT JOIN orders_d o
+  ON e.user_id = o.uid AND e.ts >= o.t
+""")
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — guide §'Common OLAP patterns'):
+    union-marker + last(ignorenulls) running value. One shuffle on the user
+    key, no row explosion — the scalable formulation; the oracle uses
+    DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    # dedupe equal-timestamp orders per user (max key) so the as-of pick is
+    # deterministic in both engines
+    wd = Window.partitionBy("o_custkey", "o_orderdate") \
+        .orderBy(F.desc("o_orderkey"))
+    orders_d = (o.withColumn("__rn", F.row_number().over(wd))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("o_custkey").alias("uid"),
+                        F.col("o_orderdate").alias("t"),
+                        F.col("o_orderkey").alias("ok")))
+    left = orders_d.select(
+        "uid", "t", "ok", F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"))
+    right = ev.select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("ok"), F.lit(1).alias("is_event"),
+        "event_id")
+    u = left.unionByName(right)
+    w = (Window.partitionBy("uid").orderBy("t", "is_event")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn("order_id", F.last("ok", ignorenulls=True).over(w))
+            .filter(F.col("is_event") == 1)
+            .select("event_id", "order_id"))
+
+
+@register("parts_intersect_nations", """
+SELECT DISTINCT l.l_partkey AS product_id
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 0
+INTERSECT
+SELECT DISTINCT l.l_partkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1
+""")
+def q_parts_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def nation_parts(nk: int) -> DataFrame:
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        return (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+                .join(F.broadcast(c.filter(F.col("c_nationkey") == nk)),
+                      o["o_custkey"] == c["c_custkey"])
+                .select(F.col("l_partkey").alias("product_id")).distinct())
+    return nation_parts(0).intersect(nation_parts(1))
+
+
+@register("pk_violations", """
+SELECT 'customer' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'part', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT p_partkey FROM part GROUP BY p_partkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+""")
+def q_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Neo4j-uniqueness-constraint replacement (queries.cypher:2-9) as a
+    data-quality report: duplicate natural keys per table."""
+    def viol(table: str, keys: list[str]) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        dupes = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > 1))
+        return dupes.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_violations"))
+    parts = [viol("customer", ["c_custkey"]), viol("orders", ["o_orderkey"]),
+             viol("part", ["p_partkey"]), viol("events", ["event_id"]),
+             viol("lineitem", ["l_orderkey", "l_linenumber"])]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
