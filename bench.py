@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "pagerank_global",
+    "connected_components",
+    "shortest_paths_landmark",
 ]
 
 

@@ -1,4 +1,6 @@
 from .pagerank import pagerank, pagerank_batch
-from .builder import build_vertices, build_edges
+from .builder import assert_unique, build_edges, build_vertices
+from .traversal import connected_components, shortest_paths
 
-__all__ = ["pagerank", "pagerank_batch", "build_vertices", "build_edges"]
+__all__ = ["pagerank", "pagerank_batch", "assert_unique", "build_edges",
+           "build_vertices", "connected_components", "shortest_paths"]

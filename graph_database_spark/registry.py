@@ -936,3 +936,28 @@ def q_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal over the part co-occurrence graph (capability the
+# reference's Neo4j backend supplies via Cypher paths — iterative, so the
+# driver records rows-only checks).
+# ---------------------------------------------------------------------------
+
+@register("connected_components")
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.traversal import connected_components
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    return connected_components(vertices, pairs.select("src", "dst"))
+
+
+@register("shortest_paths_landmark")
+def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.traversal import shortest_paths
+    from .operators.cooccurrence import symmetrize
+    pairs = symmetrize(cooccurrence_unordered(_items(spark, sf_dir)))
+    landmark = (load_table(spark, sf_dir, "part")
+                .agg(F.min("p_partkey").alias("id")))
+    return shortest_paths(pairs.select("src", "dst"), landmark, max_hops=8)
