@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_asof_order",
     "parts_intersect_nations",
     "pk_violations",
+    "quantity_quantiles",
     "customer_cf",
     "similarity_jaccard_topk",
     "seed_expansion",

@@ -48,7 +48,12 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # pin UTC (and AQE) however the caller configured its session —
+            # timestamp-typed outputs must not shift with the harness TZ
+            from .session import tune_session
+            return fn(tune_session(spark), sf_dir)
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -961,3 +966,71 @@ def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     landmark = (load_table(spark, sf_dir, "part")
                 .agg(F.min("p_partkey").alias("id")))
     return shortest_paths(pairs.select("src", "dst"), landmark, max_hops=8)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles (SURVEY §2.4 'Absent': no quantiles in the
+# reference; percentile_approx is the 100 TB drop-in, exact here because
+# the oracle compares values).
+# ---------------------------------------------------------------------------
+
+@register("quantity_quantiles", """
+SELECT l_returnflag,
+  CAST(ROUND(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS p50,
+  CAST(ROUND(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS p90,
+  CAST(ROUND(quantile_cont(l_quantity, 0.99), 6) AS DOUBLE) AS p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("l_quantity", F.lit(0.99)), 6).alias("p99")))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline: near-dup pairs → connected components →
+# canonical survivor per cluster (the actual training-data dedup shape:
+# cluster duplicates, keep one). Iterative CC → rows-only check.
+# ---------------------------------------------------------------------------
+
+@register("dedup_canonical_docs")
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.traversal import connected_components
+    from .operators.dedup import ngram_jaccard_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    vertices = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(vertices, pairs.select("src", "dst"),
+                                max_iter=20)
+    return (comp.groupBy(F.col("component").alias("canonical_doc_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .filter(F.col("cluster_size") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Batched personalized PageRank (SURVEY §4.3 / §7.1 step 7): every focal
+# customer's PPR computed in the SAME driver loop — the 100 TB-idiomatic
+# replacement for tp1's per-request iteration. Iterative → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("ppr_batch_focal")
+def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.pagerank import pagerank_batch
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    focal = (load_table(spark, sf_dir, "orders")
+             .select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(3))
+    pers = (inc.join(F.broadcast(focal),
+                     inc["customer_id"] == focal["o_custkey"])
+            .select(F.col("customer_id").alias("key"),
+                    F.col("product_id").alias("id"),
+                    F.lit(1.0).alias("p")))
+    ranks = pagerank_batch(vertices, adj, pers)
+    return ranks.select(F.col("key").alias("customer_id"), F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
