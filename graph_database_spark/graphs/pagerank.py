@@ -94,6 +94,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
             .repartition(n_parts, "id")
             .localCheckpoint()
         )
+        # NOTE: keep the delta as a separate join of the two checkpointed
+        # frames. The "obvious" fusion — carrying a __prev column through
+        # the checkpoint so delta is a join-free scan — adds a third
+        # same-iteration reference to `ranks` inside the checkpointed plan
+        # and (measured, Spark 4.1 local) degrades exponentially after
+        # ~13 iterations; this shape stays flat through 50+.
         delta = (
             new_ranks.withColumnRenamed("rank", "__new")
             .join(ranks, "id")
