@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "parts_intersect_nations",
     "pk_violations",
     "quantity_quantiles",
+    "local_supplier_volume",
+    "part_name_tokens",
+    "events_value_histogram",
+    "orders_monthly_revenue",
     "customer_cf",
     "similarity_jaccard_topk",
     "seed_expansion",

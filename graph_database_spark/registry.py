@@ -1034,3 +1034,96 @@ def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_batch(vertices, adj, pers)
     return ranks.select(F.col("key").alias("customer_id"), F.col("id").alias("product_id"),
                         F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Wider relational coverage: supplier dimension, string functions, numeric
+# binning, calendar rollups (SURVEY §2.8 'Absent' string/date functions).
+# ---------------------------------------------------------------------------
+
+@register("local_supplier_volume", """
+SELECT n.n_name,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""")
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from lineitems where the supplier and the
+    ordering customer share a nation (supplier/nation broadcast)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(27,8)")
+    return (
+        l.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register("part_name_tokens", """
+SELECT upper(substring(p_name, 1, 3)) AS prefix,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(ROUND(AVG(length(p_name)), 6) AS DOUBLE) AS avg_name_len,
+  CAST(SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+FROM part GROUP BY upper(substring(p_name, 1, 3))
+""")
+def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: substring/upper/length/LIKE."""
+    p = load_table(spark, sf_dir, "part")
+    prefix = F.upper(F.substring("p_name", 1, 3))
+    return (p.groupBy(prefix.alias("prefix"))
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+                 F.sum(F.when(F.col("p_name").like("%green%"), 1)
+                        .otherwise(0)).alias("n_green")))
+
+
+@register("events_value_histogram", """
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""")
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric binning: fixed-width histogram of event values."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 50.0).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("sum_value")))
+
+
+@register("orders_monthly_revenue", """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mon,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+""")
+def q_orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: year/month extraction over order timestamps."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mon"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("revenue")))
