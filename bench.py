@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "pagerank_global",
     "connected_components",
     "shortest_paths_landmark",
+    "motif_cooccurrence_topn",
 ]
 
 

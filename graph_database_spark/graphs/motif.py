@@ -1,0 +1,103 @@
+"""Motif finding: Cypher-shaped pattern matching compiled to DataFrame joins.
+
+The reference's tp2 expresses every query as a Cypher pattern
+(tp2/app/main.py:98-105,144-154); Neo4j compiles patterns to joins
+internally. This module restores that surface Spark-first: a minimal
+pattern language compiled to equi-joins over the (vertices, edges)
+DataFrames built by graphs.builder — so a reference user's pattern queries
+keep working, with Catalyst choosing the physical join strategy.
+
+Pattern grammar (GraphFrames-style):
+
+    "(a)-[r:CONTAINS]->(b); (c)-[s:CONTAINS]->(b)"
+
+- `(name)` — vertex variable; repeated names mean the same vertex.
+- `[name]` / `[name:REL_TYPE]` — edge variable, optional rel_type filter;
+  repeated edge names are rejected. `[:REL_TYPE]`/`[]` are anonymous.
+- `;` separates edge terms. Matches are NOT forced distinct on vertices
+  (Cypher semantics: different edge bindings may share vertices; add
+  `!=` filters on the result for isomorphism, as the reference's Cypher
+  does with `WHERE p1 <> p2`).
+
+Output: one row per match, a column per named variable — vertex columns
+hold ids, edge columns hold (src, dst, rel_type) structs.
+
+Execution shape: each term scans the (rel_type-partitioned) edge table
+with its filter pushed down, then terms chain via equi-joins on the
+shared vertex variables — exactly the plan a pattern of hash joins
+should be; AQE broadcasts small filtered terms.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+_TERM = re.compile(
+    r"^\(\s*(?P<src>\w*)\s*\)\s*-\s*\[\s*(?P<edge>\w*)"
+    r"(?::\s*(?P<rel>\w+))?\s*\]\s*->\s*\(\s*(?P<dst>\w*)\s*\)$")
+
+
+def _parse(pattern: str) -> list[dict]:
+    terms = []
+    for i, raw in enumerate(t.strip() for t in pattern.split(";")):
+        if not raw:
+            continue
+        m = _TERM.match(raw)
+        if not m:
+            raise ValueError(f"unparseable pattern term: {raw!r}")
+        d = m.groupdict()
+        d["src"] = d["src"] or f"__anon_src_{i}"
+        d["dst"] = d["dst"] or f"__anon_dst_{i}"
+        terms.append(d)
+    if not terms:
+        raise ValueError("empty pattern")
+    edge_names = [t["edge"] for t in terms if t["edge"]]
+    if len(edge_names) != len(set(edge_names)):
+        raise ValueError("edge variables must be unique")
+    return terms
+
+
+def find_motif(edges: DataFrame, pattern: str,
+               vertices: DataFrame | None = None) -> DataFrame:
+    """Match `pattern` against the edge DataFrame (src, dst, rel_type, …).
+
+    Returns a DataFrame with a column per named vertex variable (the
+    vertex id) and per named edge variable (struct of the edge row). When
+    `vertices` is given, vertex variables join against it so patterns
+    can't bind ids absent from the vertex table.
+    """
+    terms = _parse(pattern)
+    result: DataFrame | None = None
+    bound: set[str] = set()
+
+    for i, t in enumerate(terms):
+        e = edges
+        if t["rel"]:
+            e = e.filter(F.col("rel_type") == t["rel"])
+        cols = [F.col("src").alias(t["src"]), F.col("dst").alias(t["dst"])]
+        if t["edge"]:
+            cols.append(F.struct("src", "dst", "rel_type").alias(t["edge"]))
+        term_df = e.select(*cols)
+        if result is None:
+            result = term_df
+            bound |= {t["src"], t["dst"]}
+            continue
+        join_keys = [v for v in (t["src"], t["dst"]) if v in bound]
+        if join_keys:
+            result = result.join(term_df, join_keys)
+        else:
+            result = result.crossJoin(term_df)
+        bound |= {t["src"], t["dst"]}
+
+    assert result is not None
+    if vertices is not None:
+        v_ids = vertices.select(F.col("id"))
+        for v in sorted(bound):
+            if v.startswith("__anon"):
+                continue
+            result = result.join(
+                v_ids.withColumnRenamed("id", v), v, "left_semi")
+    keep = [c for c in result.columns if not c.startswith("__anon")]
+    return result.select(*keep)

@@ -1127,3 +1127,34 @@ def q_orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
                   .cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Motif surface: the tp2 Cypher co-occurrence pattern executed through the
+# pattern→join compiler over the property graph (tp2/app/main.py:98-105).
+# CONTAINS edges are LWW-deduped per (order, product), so counts equal the
+# distinct-items co-occurrence — the oracle states that directly.
+# ---------------------------------------------------------------------------
+
+@register("motif_cooccurrence_topn", f"""
+WITH base AS ({_SQL_ITEMS})
+SELECT 'Product:' || CAST(b.product_id AS VARCHAR) AS p2,
+       CAST(COUNT(*) AS BIGINT) AS co_count
+FROM base a JOIN base b
+  ON a.order_id = b.order_id AND a.product_id <> b.product_id
+GROUP BY b.product_id
+ORDER BY co_count DESC, p2 ASC
+LIMIT 25
+""")
+def q_motif_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.builder import build_edges
+    from .graphs.motif import find_motif
+    t = _graph_inputs(spark, sf_dir)
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency")
+    m = find_motif(edges, "(o)-[:CONTAINS]->(p1); (o)-[:CONTAINS]->(p2)")
+    return (m.filter(F.col("p1") != F.col("p2"))
+            .groupBy("p2").agg(F.count(F.lit(1)).alias("co_count"))
+            .orderBy(F.desc("co_count"), F.asc("p2"))
+            .limit(25))

@@ -1,0 +1,91 @@
+"""Motif finder: the reference's tp2 Cypher patterns re-expressed and
+checked against the operator implementations and FIXTURES goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_spark.graphs.builder import build_edges, build_vertices
+from graph_database_spark.graphs.motif import find_motif
+
+
+@pytest.fixture(scope="module")
+def graph(spark, toy):
+    v = build_vertices(toy["customers"], toy["categories"],
+                       toy["products"], toy["orders"])
+    e = build_edges(toy["products"], toy["categories"], toy["customers"],
+                    toy["orders"], toy["order_items"], toy["events"])
+    return v.cache(), e.cache()
+
+
+def test_cooccurrence_cypher_pattern(graph):
+    """tp2/app/main.py:98-105: (p1)<-[:CONTAINS]-(o)-[:CONTAINS]->(p2),
+    p1 <> p2 → count per p2 — via the motif surface."""
+    _, e = graph
+    m = find_motif(
+        e, "(o)-[:CONTAINS]->(p1); (o)-[:CONTAINS]->(p2)")
+    got = {(r["p2"], r["cnt"]) for r in
+           (m.filter(F.col("p1") != F.col("p2"))
+            .groupBy("p2").agg(F.count(F.lit(1)).alias("cnt"))).collect()}
+    # FIXTURES §3: P2:2, P1:1, P4:1
+    assert got == {("Product:P2", 2), ("Product:P1", 1), ("Product:P4", 1)}
+
+
+def test_placed_contains_chain(graph):
+    """(c)-[:PLACED]->(o)-[:CONTAINS]->(p): customer↔product via orders."""
+    _, e = graph
+    m = find_motif(e, "(c)-[:PLACED]->(o); (o)-[:CONTAINS]->(p)")
+    got = {(r["c"], r["p"]) for r in m.collect()}
+    assert got == {
+        ("Customer:C1", "Product:P1"), ("Customer:C1", "Product:P2"),
+        ("Customer:C2", "Product:P3"), ("Customer:C1", "Product:P4"),
+    }
+
+
+def test_edge_variable_and_rel_filter(graph):
+    _, e = graph
+    m = find_motif(e, "(c)-[ev:VIEWED]->(p)")
+    rows = m.collect()
+    assert all(r["ev"]["rel_type"] == "VIEWED" for r in rows)
+    # E3 C3→P1 view, E4 C2→P2 view (E1 C1→P3 view is LWW-merged with click
+    # on a different rel_type so it survives as VIEWED too)
+    assert {(r["c"], r["p"]) for r in rows} == {
+        ("Customer:C3", "Product:P1"), ("Customer:C2", "Product:P2"),
+        ("Customer:C1", "Product:P3"),
+    }
+
+
+def test_three_hop_cf_pattern(graph):
+    """tp2/app/main.py:144-154 shape: c1→p1←c2→p2 (via order chains)."""
+    _, e = graph
+    m = find_motif(e, """
+        (c1)-[:PLACED]->(o1); (o1)-[:CONTAINS]->(p1);
+        (c2)-[:PLACED]->(o2); (o2)-[:CONTAINS]->(p1);
+        (c2)-[:PLACED]->(o3); (o3)-[:CONTAINS]->(p2)
+    """)
+    got = (m.filter((F.col("c1") != F.col("c2"))
+                    & (F.col("p1") != F.col("p2")))
+           .select("c1", "p2").distinct().collect())
+    # C1 and C2 share no order-products in the toy seed; only P2 is shared
+    # via orders? C1 ordered {P1,P2,P4}, C2 ordered {P3} → no overlap → empty
+    assert got == []
+
+
+def test_vertex_validation(spark, graph):
+    v, e = graph
+    orphan_edges = e.unionByName(spark.createDataFrame(
+        [("Customer:GHOST", "Product:P1", "VIEWED", None, None, None)],
+        e.schema))
+    m = find_motif(orphan_edges, "(c)-[:VIEWED]->(p)", vertices=v)
+    assert all(r["c"] != "Customer:GHOST" for r in m.collect())
+
+
+def test_bad_patterns(graph):
+    _, e = graph
+    with pytest.raises(ValueError, match="unparseable"):
+        find_motif(e, "(a)-bad->(b)")
+    with pytest.raises(ValueError, match="unique"):
+        find_motif(e, "(a)-[r]->(b); (b)-[r]->(c)")
+    with pytest.raises(ValueError, match="empty"):
+        find_motif(e, " ; ")
