@@ -27,6 +27,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Partition sizing for the per-iteration frames: every superstep pays one
+# task per partition per stage, so a 2k-row rank frame on 32 partitions is
+# ~30 near-empty tasks × 3 stages × 50 iterations of pure overhead. Target
+# a healthy rows-per-partition and cap at the cluster's parallelism — on a
+# 1000-executor cluster with billions of edges the cap binds and behavior
+# is unchanged; pass num_partitions explicitly to override.
+_ROWS_PER_PARTITION = 50_000
+
+# Broadcast the per-iteration state frame (ranks / labels / frontier) into
+# the edge join when its measured row count is below this. Checkpointed
+# frames are LogicalRDDs with unknown stats, so Catalyst never broadcasts
+# them on its own — without this, every superstep shuffles the full edge
+# table to meet a few-thousand-row rank frame. Above the threshold we fall
+# back to the shuffle join against edges pre-partitioned on src (the only
+# viable shape when |V| itself is huge).
+_BROADCAST_STATE_ROWS = 5_000_000
+
+
+def _iter_partitions(spark_ctx, *row_counts: int) -> int:
+    biggest = max(row_counts) if row_counts else 0
+    return min(spark_ctx.defaultParallelism,
+               max(2, -(-biggest // _ROWS_PER_PARTITION)))
+
 
 def _prep_personalization(vertices: DataFrame,
                           personalization: DataFrame | None,
@@ -55,22 +78,31 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
 
     Returns (id, rank). Semantics identical to tp1 `_run_pagerank`.
     """
-    n_parts = num_partitions or vertices.sparkSession.sparkContext.defaultParallelism
     verts = vertices.select("id").distinct()
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
 
+    # materialize edges once at natural partitioning, then size the
+    # iteration partitioning from the measured counts (cheap post-checkpoint)
+    edges = edges.select("src", "dst", "weight").localCheckpoint()
+    n_parts = num_partitions or _iter_partitions(
+        vertices.sparkSession.sparkContext, n, edges.count())
+    bcast_state = n <= _BROADCAST_STATE_ROWS
+
     p = _prep_personalization(verts, personalization, n) \
         .repartition(n_parts, "id").localCheckpoint()
-    # pre-partition edges by src once; every iteration's join reuses it
-    edges = edges.select("src", "dst", "weight") \
-        .repartition(n_parts, "src").localCheckpoint()
+    if not bcast_state:
+        # pre-partition edges by src once; every iteration's join reuses it
+        edges = edges.repartition(n_parts, "src").localCheckpoint()
     sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
                           "id", "left_anti").localCheckpoint()
 
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank")) \
         .repartition(n_parts, "id").localCheckpoint()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
 
     for _ in range(max_iter):
         sink_mass = (
@@ -78,12 +110,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__sink"))
         )
         contrib = (
-            ranks.join(edges, ranks["id"] == edges["src"])
+            edges.join(_b(ranks), ranks["id"] == edges["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
         )
         new_ranks = (
-            p.join(contrib, "id", "left")
+            p.join(_b(contrib), "id", "left")
             .crossJoin(F.broadcast(sink_mass))
             .select(
                 "id",
@@ -102,7 +134,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         # ~13 iterations; this shape stays flat through 50+.
         delta = (
             new_ranks.withColumnRenamed("rank", "__new")
-            .join(ranks, "id")
+            .join(_b(ranks), "id")
             .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
             .first()["d"]
         )
@@ -127,10 +159,14 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     whose L1 delta drops below tol is frozen (its ranks stop updating),
     matching the reference's early termination per run.
     """
-    n_parts = num_partitions or vertices.sparkSession.sparkContext.defaultParallelism
     verts = vertices.select("id").distinct()
     n = verts.count()
     keys = personalization.select("key").distinct()
+    edges_mat = edges.select("src", "dst", "weight").localCheckpoint()
+    state_rows = n * max(1, keys.count())
+    n_parts = num_partitions or _iter_partitions(
+        vertices.sparkSession.sparkContext, state_rows, edges_mat.count())
+    bcast_state = state_rows <= _BROADCAST_STATE_ROWS
 
     # normalize p per key: /sum, uniform if sum==0 (recommendation.py:181-188)
     full = keys.crossJoin(verts).join(personalization, ["key", "id"], "left") \
@@ -143,8 +179,8 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
                  .otherwise(F.lit(1.0 / n)).alias("p"))
         .repartition(n_parts, "key", "id").localCheckpoint()
     )
-    edges = edges.select("src", "dst", "weight") \
-        .repartition(n_parts, "src").localCheckpoint()
+    edges = edges_mat if bcast_state \
+        else edges_mat.repartition(n_parts, "src").localCheckpoint()
     sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
                           "id", "left_anti").localCheckpoint()
 
@@ -152,19 +188,22 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         .localCheckpoint()
     frozen = None
 
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
+
     for _ in range(max_iter):
         sink_mass = (
             active.join(F.broadcast(sink_ids), "id", "left_semi")
             .groupBy("key").agg(F.sum("rank").alias("__sink"))
         )
         contrib = (
-            active.join(edges, active["id"] == edges["src"])
+            edges.join(_b(active), active["id"] == edges["src"])
             .groupBy("key", F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
         )
         new_ranks = (
             p.join(active.select("key").distinct(), "key", "left_semi")
-            .join(contrib, ["key", "id"], "left")
+            .join(_b(contrib), ["key", "id"], "left")
             .join(sink_mass, "key", "left")
             .select(
                 "key", "id",
@@ -177,7 +216,7 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         )
         deltas = (
             new_ranks.withColumnRenamed("rank", "__new")
-            .join(active, ["key", "id"])
+            .join(_b(active), ["key", "id"])
             .groupBy("key")
             .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
             .localCheckpoint()

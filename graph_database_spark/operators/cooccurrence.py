@@ -101,15 +101,27 @@ def cooccurrence_top_partners(items: DataFrame, n: int,
     )
 
 
-def row_normalized_adjacency(pairs: DataFrame) -> DataFrame:
+def row_normalized_adjacency(pairs: DataFrame,
+                             broadcast_row_sums: bool = False) -> DataFrame:
     """Row-stochastic adjacency: weight = count / sum(count) over src.
 
     Reference: tp1/knoledge_graphs/graph.py:70-77 (SURVEY §2.4 A6). Input is
     the *symmetric* pair-count edge list; output (src, dst, weight) with
-    weights per src summing to 1. A single window partitioned by src — one
-    shuffle, reused for the subsequent PageRank join when partitioned the
-    same way.
+    weights per src summing to 1.
+
+    Default shape: a single window partitioned by src — one shuffle of the
+    full edge list. With `broadcast_row_sums=True` (caller declares the src
+    dimension small, e.g. a product catalog vs. its quadratic pair table)
+    the per-src sums are aggregated map-side to |src| rows and broadcast
+    back — the edge list is never shuffled.
     """
+    if broadcast_row_sums:
+        sums = pairs.groupBy("src").agg(F.sum("count").alias("__row_sum"))
+        return (
+            pairs.join(F.broadcast(sums), "src")
+            .select("src", "dst",
+                    (F.col("count") / F.col("__row_sum")).alias("weight"))
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("src")

@@ -114,3 +114,41 @@ def seed_expansion_scores(cooc_sym: DataFrame, seeds: DataFrame) -> DataFrame:
         .groupBy(F.col("dst").alias("product_id"))
         .agg(F.sum("count").alias("score"))
     )
+
+
+def seed_expansion_scores_from_items(items: DataFrame, seeds: DataFrame,
+                                     order_col: str = "order_id",
+                                     product_col: str = "product_id"
+                                     ) -> DataFrame:
+    """Seed expansion with the seed predicate pushed BELOW the pair build.
+
+    Equivalent to `seed_expansion_scores(cooccurrence_ordered(items), seeds)`
+    but never materializes the full co-occurrence table: since
+    score(dst) = Σ_{src∈seeds} |orders containing src and dst|, the seed
+    filter commutes with the pair aggregation, so the LEFT side of the
+    order self-join is semi-joined to seeds first. Catalyst cannot derive
+    this itself (seeds is a runtime relation behind an aggregation), so
+    the operator encodes it structurally.
+
+    Plan shape at scale: items⋉seeds is |seeds| · avg-orders-per-product
+    rows — small enough to BROADCAST against the full items table, so the
+    100 TB side is scanned once with no shuffle; the only shuffle left is
+    the final groupBy over ≤|products| keys.
+    """
+    seeds1 = seeds.select(F.col(seeds.columns[0]).alias(product_col))
+    # PK(order, product) invariant, as in cooccurrence._item_pairs: a
+    # product appearing on several lines of one order counts once.
+    base = items.select(order_col, product_col).distinct()
+    seed_items = (
+        base.join(F.broadcast(seeds1), product_col)
+        .select(F.col(order_col).alias("__o"),
+                F.col(product_col).alias("__src"))
+    )
+    return (
+        base.join(F.broadcast(seed_items),
+                  (F.col(order_col) == F.col("__o"))
+                  & (F.col(product_col) != F.col("__src")))
+        .join(F.broadcast(seeds1), product_col, "left_anti")
+        .groupBy(F.col(product_col).alias("product_id"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )

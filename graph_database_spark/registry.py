@@ -32,7 +32,8 @@ from .operators.incidence import incidence_pairs
 from .operators.popularity import distinct_reach, order_frequency
 from .operators.weights import EVENT_WEIGHTS_DRIVER, event_weights
 from .operators.similarity import (
-    jaccard_pairs, seed_expansion_scores, user_cf_scores,
+    jaccard_pairs, seed_expansion_scores,
+    seed_expansion_scores_from_items, user_cf_scores,
 )
 from .operators.analytics import (
     pricing_summary, revenue_by_nation, top_parts_by_revenue,
@@ -294,12 +295,13 @@ WHERE p.dst NOT IN (SELECT product_id FROM seeds)
 GROUP BY p.dst
 """)
 def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cooc = cooccurrence_ordered(_items(spark, sf_dir))
+    # seed predicate pushed below the pair build: the full co-occurrence
+    # table is never materialized (see seed_expansion_scores_from_items).
     inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
     seeds = (inc.filter(F.col("customer_id")
                         == F.lit(_focal_customer(spark, sf_dir)))
              .select("product_id"))
-    return seed_expansion_scores(cooc, seeds)
+    return seed_expansion_scores_from_items(_items(spark, sf_dir), seeds)
 
 
 # ---------------------------------------------------------------------------
@@ -343,8 +345,14 @@ def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # how hot a product is, which is what keeps this plan viable at 100 TB.
     # The oracle SQL applies the identical truncation.
     cooc = cooccurrence_ordered(_items(spark, sf_dir))
-    cooc_top = top_k_per_group(cooc, 30, "src", "count", "dst")
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    # the truncated neighbor lists are ≤30·|products| rows — broadcast them
+    # so the incidence side never shuffles for the expansion join.
+    cooc_top = F.broadcast(top_k_per_group(cooc, 30, "src", "count", "dst"))
+    # incidence feeds both the expansion and the exclusion anti-join;
+    # localCheckpoint (not persist/cache — that would register the fragment
+    # with the global cache manager and rewrite OTHER queries' plans) so the
+    # lineitem⨝orders+distinct subtree runs once, not twice.
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
     # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
     # expansion to distinct (customer, candidate) rows first.
     scored = (
@@ -538,7 +546,8 @@ def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.pagerank import pagerank
     items = _items(spark, sf_dir)
     pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
-    adj = row_normalized_adjacency(pairs)
+    # product catalog << pair table: broadcast the row sums (no edge shuffle)
+    adj = row_normalized_adjacency(pairs, broadcast_row_sums=True)
     vertices = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"))
     ranks = pagerank(vertices, adj)
@@ -1019,7 +1028,8 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.pagerank import pagerank_batch
     items = _items(spark, sf_dir)
-    adj = row_normalized_adjacency(cooccurrence_ordered(items))
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
     vertices = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"))
     inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
