@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "connected_components",
     "shortest_paths_landmark",
     "motif_cooccurrence_topn",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "multimodal_features",
 ]
 
 

@@ -137,11 +137,38 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
         .select(F.col("x.doc_id").alias("src"),
                 F.col("y.doc_id").alias("dst"))
         .distinct()
+        .localCheckpoint()  # reused: doc restriction + final pair join
     )
-    exact = ngram_jaccard_pairs(documents, n, 0.0, text_col)
-    return (cand.join(exact, ["src", "dst"])
-            .filter(F.col("jaccard") >= threshold)
-            .select("src", "dst", "jaccard"))
+    # exact verification restricted to CANDIDATE docs: semi-join the
+    # shingle table down before the quadratic shingle self-join — the whole
+    # point of LSH is that this set is a sliver of the corpus, so the
+    # verify stage must not redo all-pairs work.
+    cand_docs = (cand.select(F.col("src").alias("doc_id"))
+                 .unionByName(cand.select(F.col("dst").alias("doc_id")))
+                 .distinct())
+    ds = _doc_shingles(documents, text_col, n) \
+        .join(cand_docs, "doc_id", "left_semi")
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(cand, ["src", "dst"], "left_semi")
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n_sh", "n_src"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n_sh", "n_dst"), "dst")
+        .withColumn("jaccard", F.col("shared")
+                    / (F.col("n_src") + F.col("n_dst") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash_signatures(documents: DataFrame, bits: int = 64,

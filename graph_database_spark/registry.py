@@ -1168,3 +1168,105 @@ def q_motif_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p2").agg(F.count(F.lit(1)).alias("co_count"))
             .orderBy(F.desc("co_count"), F.asc("p2"))
             .limit(25))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (beyond-reference, build brief): media table derived
+# deterministically from `documents` — text bytes as the opaque binary
+# payload, typed metadata from doc_id arithmetic — driven through the
+# operators/multimodal mapInPandas + metadata-plan operators. The metadata
+# plans (resize targets, frame sampling) are pure arithmetic, so they get
+# full-value DuckDB oracles; the Arrow feature extraction is checked on
+# (media_id, media_type, dim) — the feature VALUES are the sha256-seeded
+# fake codec, not SQL-expressible by design.
+# ---------------------------------------------------------------------------
+
+_SQL_MEDIA = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(64 + (doc_id % 10) * 40 AS INT) END AS width,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(64 + (doc_id % 7) * 50 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(1000 + (doc_id % 9) * 1500 AS INT) END AS duration_ms
+FROM documents
+"""
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import MEDIA_SCHEMA  # noqa: F401 (schema doc)
+    docs = load_table(spark, sf_dir, "documents")
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    mt = (F.when(mod3 == 0, "image").when(mod3 == 1, "audio")
+           .otherwise("video"))
+    visual = mod3 != 1
+    timed = mod3 != 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.when(visual, (64 + (F.col("doc_id") % 10) * 40).cast("int"))
+             .alias("width"),
+            F.when(visual, (64 + (F.col("doc_id") % 7) * 50).cast("int"))
+             .alias("height"),
+            F.when(~visual, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(timed, (1000 + (F.col("doc_id") % 9) * 1500).cast("int"))
+             .alias("duration_ms"),
+            F.when(mod3 == 0, "png").when(mod3 == 1, "wav").otherwise("mp4")
+             .alias("format"),
+        ).alias("meta"),
+    )
+
+
+@register("multimodal_resize_plan", f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT media_id, media_type,
+       CAST(ROUND(width * LEAST(224.0 / width, 224.0 / height, 1.0))
+            AS INT) AS target_width,
+       CAST(ROUND(height * LEAST(224.0 / width, 224.0 / height, 1.0))
+            AS INT) AS target_height
+FROM media WHERE width IS NOT NULL AND height IS NOT NULL
+""")
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_plan
+    return resize_plan(_media_from_documents(spark, sf_dir), max_side=224)
+
+
+@register("multimodal_frame_sample", f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT media_id,
+       CAST(UNNEST(GENERATE_SERIES(0, duration_ms // 1000)) AS INT)
+         AS frame_index,
+       CAST(UNNEST(GENERATE_SERIES(0, duration_ms // 1000)) * 1000 AS INT)
+         AS ts_ms
+FROM media WHERE media_type = 'video'
+""")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample
+    return frame_sample(_media_from_documents(spark, sf_dir), every_ms=1000)
+
+
+@register("multimodal_features", f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT media_id, media_type, CAST(16 AS INT) AS dim,
+       CAST(1.0 AS DOUBLE) AS feature_norm
+FROM media
+""")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode+featurize really runs (mapInPandas over the
+    binary column); the oracle pins the plumbing invariants — one feature
+    row per media row, declared dim, unit L2 norm."""
+    from .operators.multimodal import extract_features
+    feats = extract_features(_media_from_documents(spark, sf_dir), dim=16)
+    norm = F.sqrt(F.aggregate(
+        F.transform("feature", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, b: a + b))
+    return feats.select(
+        "media_id", "media_type",
+        F.size("feature").alias("dim"),
+        # float32 unit vectors carry ~1e-7 norm error; 4dp is safely 1.0
+        F.round(norm, 4).alias("feature_norm"))
