@@ -48,3 +48,48 @@ def test_focal_filter_pushed_to_scan(spark):
     pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
     assert any("o_custkey" in l and (
         "EqualTo" in l or "IsNotNull" in l) for l in pushed)
+
+
+def test_seed_expansion_broadcasts_not_full_pairs(spark):
+    """The seed pushdown must hold: no shuffle join of the full item table
+    against itself — the seed side broadcasts (see
+    seed_expansion_scores_from_items)."""
+    plan = _formatted_plan(spark, "seed_expansion")
+    assert "BroadcastHashJoin" in plan
+    # the pair build would appear as a sort-merge self-join on order_id
+    assert "SortMergeJoin" not in plan
+
+
+def test_recommend_batch_broadcasts_neighbor_lists(spark):
+    plan = _formatted_plan(spark, "recommend_batch")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """S3 bucketing end-to-end: two tables bucketed on the join key join
+    without an Exchange on either side — the co-located join the reference
+    delegated to Postgres indexes."""
+    from graph_database_spark.sources.connectors import save_as_table
+    from graph_database_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey")
+        items = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        save_as_table(orders, "b_orders", bucket_by=(4, "o_orderkey"))
+        save_as_table(items, "b_items", bucket_by=(4, "l_orderkey"))
+        j = (spark.table("b_items")
+             .join(spark.table("b_orders"),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
