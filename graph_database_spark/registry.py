@@ -40,6 +40,7 @@ from .operators.analytics import (
 )
 from .operators.sessions import events_hourly, session_stats
 from .operators.topk import top_k_per_group
+from .graphs.pagerank import _BROADCAST_STATE_ROWS
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -353,13 +354,21 @@ def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the global cache manager and rewrite OTHER queries' plans) so the
     # lineitem⨝orders+distinct subtree runs once, not twice.
     inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
+    # the checkpointed frame has no Catalyst stats, so AQE can never pick a
+    # broadcast anti-join here on its own; make the call from the measured
+    # count (materialized by the checkpoint, so this is cheap) with the same
+    # threshold the Pregel loop uses for its state frames. Above it — when
+    # |customers|×|catalog| incidence is genuinely fact-sized — fall back to
+    # the shuffle anti-join.
+    inc_small = inc.count() <= _BROADCAST_STATE_ROWS
+    excl = F.broadcast(inc) if inc_small else inc
     # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
     # expansion to distinct (customer, candidate) rows first.
     scored = (
         inc.join(cooc_top, inc["product_id"] == cooc_top["src"])
         .groupBy("customer_id", F.col("dst").alias("product_id"))
         .agg(F.sum("count").alias("score"))
-        .join(inc, ["customer_id", "product_id"], "left_anti")
+        .join(excl, ["customer_id", "product_id"], "left_anti")
     )
     return top_k_per_group(scored, 5, "customer_id", "score", "product_id")
 
