@@ -29,11 +29,17 @@ def product_customer_counts(incidence: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"))
 
 
-def jaccard_pairs(incidence: DataFrame) -> DataFrame:
+def jaccard_pairs(incidence: DataFrame,
+                  broadcast_sizes: bool = False) -> DataFrame:
     """(src, dst, intersection, jaccard) for product pairs sharing ≥1 customer.
 
     incidence must be DISTINCT (customer_id, product_id) — set semantics
     (tp1 graph.py:25-26). Output has src < dst; mirror for the symmetric view.
+
+    Pass broadcast_sizes=True when |products| is known-small and the
+    incidence frame is checkpointed (no Catalyst stats): the two
+    denominator joins then broadcast the per-product counts instead of
+    shuffling the pair table twice.
     """
     a, b = incidence.alias("a"), incidence.alias("b")
     inter = (
@@ -44,6 +50,8 @@ def jaccard_pairs(incidence: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("intersection"))
     )
     sizes = product_customer_counts(incidence)
+    if broadcast_sizes:
+        sizes = F.broadcast(sizes)
     return (
         inter
         .join(sizes.withColumnRenamed("product_id", "src")

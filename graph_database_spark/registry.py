@@ -243,7 +243,13 @@ ORDER BY CAST(i AS DOUBLE) / (sa.n + sb.n - i) DESC, src ASC, dst ASC
 LIMIT 500
 """)
 def q_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    jac = jaccard_pairs(incidence_pairs(_order_customer_pairs(spark, sf_dir)))
+    # incidence feeds both self-join sides AND the denominator sizes —
+    # checkpoint so the lineitem⨝orders+distinct subtree runs once, and
+    # make the broadcast call Catalyst can't (post-checkpoint, no stats)
+    # from the materialized count, as in recommend_batch.
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
+    jac = jaccard_pairs(inc, broadcast_sizes=inc.count()
+                        <= _BROADCAST_STATE_ROWS)
     return (
         jac.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst")).limit(500)
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
