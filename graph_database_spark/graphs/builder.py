@@ -38,10 +38,17 @@ EVENT_REL_TYPES = {
 }
 
 
-def _lww(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+def _lww(df: DataFrame, keys: list[str], order_col: str,
+         tiebreak: list[str] | None = None) -> DataFrame:
     """Last-write-wins dedupe: keep the latest row per natural key —
-    MERGE ... SET semantics (tp2/app/etl.py:295-296)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    MERGE ... SET semantics (tp2/app/etl.py:295-296).
+
+    `tiebreak` makes the winner deterministic when `order_col` ties
+    (dirty data can repeat the recency key); without it, row_number
+    picks an engine-dependent row and results aren't reproducible.
+    """
+    order = [F.desc(order_col)] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
 
@@ -112,7 +119,8 @@ def build_edges(products: DataFrame, categories: DataFrame,
     )
     items = order_items
     if item_recency_col is not None:
-        items = _lww(items, ["order_id", "product_id"], item_recency_col)
+        items = _lww(items, ["order_id", "product_id"], item_recency_col,
+                     tiebreak=["quantity"])
     contains = (
         items
         .join(orders.select(F.col("id").alias("__o")),

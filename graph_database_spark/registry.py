@@ -539,7 +539,7 @@ SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
        CAST(CAST(l_quantity AS INT) AS INT)
 FROM lineitem
 QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
-                           ORDER BY l_linenumber DESC) = 1
+                           ORDER BY l_linenumber DESC, l_quantity DESC) = 1
 """)
 def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.builder import build_edges
