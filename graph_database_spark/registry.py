@@ -969,11 +969,34 @@ def q_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Graph traversal over the part co-occurrence graph (capability the
-# reference's Neo4j backend supplies via Cypher paths — iterative, so the
-# driver records rows-only checks).
+# reference's Neo4j backend supplies via Cypher paths). Iterative on the
+# Spark side (Pregel-on-DataFrames), but both fixed points ARE
+# SQL-expressible as recursive CTEs — DuckDB's UNION-distinct recursion
+# with an aggregate in the recursive term bounds each step at |V| rows, so
+# the oracle converges in O(diameter) rounds exactly like the Spark loop.
 # ---------------------------------------------------------------------------
 
-@register("connected_components")
+_SQL_COOC_EDGES = f"""
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM ({_SQL_ITEMS}) a JOIN ({_SQL_ITEMS}) b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)
+"""
+
+
+@register("connected_components", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lbl(id, comp) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst
+)
+SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
+""")
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.traversal import connected_components
     pairs = cooccurrence_unordered(_items(spark, sf_dir))
@@ -982,7 +1005,19 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(vertices, pairs.select("src", "dst"))
 
 
-@register("shortest_paths_landmark")
+@register("shortest_paths_landmark", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lm AS (SELECT MIN(p_partkey) AS id FROM part),
+sp(id, dist) AS (
+  SELECT id, 0 FROM lm
+  UNION
+  SELECT e.dst, MIN(s.dist) + 1 FROM sp s JOIN edges e ON e.src = s.id
+  WHERE s.dist < 8 GROUP BY e.dst
+)
+SELECT sp.id, (SELECT id FROM lm) AS landmark,
+       CAST(MIN(dist) AS INT) AS dist
+FROM sp GROUP BY sp.id
+""")
 def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.traversal import shortest_paths
     from .operators.cooccurrence import symmetrize
@@ -1016,10 +1051,35 @@ def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # End-to-end dedup pipeline: near-dup pairs → connected components →
 # canonical survivor per cluster (the actual training-data dedup shape:
-# cluster duplicates, keep one). Iterative CC → rows-only check.
+# cluster duplicates, keep one). The CC fixed point is a recursive CTE in
+# the oracle (same min-label semantics as graphs.traversal).
 # ---------------------------------------------------------------------------
 
-@register("dedup_canonical_docs")
+@register("dedup_canonical_docs", f"""
+WITH RECURSIVE ds AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src, dst FROM shared
+  JOIN sizes sa ON shared.src = sa.doc_id
+  JOIN sizes sb ON shared.dst = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+lbl(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst
+),
+cc AS (SELECT id, MIN(comp) AS component FROM lbl GROUP BY id)
+SELECT component AS canonical_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM cc GROUP BY component HAVING COUNT(*) > 1
+""")
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphs.traversal import connected_components
     from .operators.dedup import ngram_jaccard_pairs
