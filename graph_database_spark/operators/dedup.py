@@ -1,7 +1,14 @@
 """Deduplication operators for training-data pipelines (beyond-reference):
 exact, n-gram Jaccard, MinHash+LSH, SimHash. All JVM-side expressions —
-shingling via split/transform, hashing via xxhash64, banding via explode —
-no Python in the hot path.
+shingling via split/transform, banding via explode — no Python in the hot
+path.
+
+Hashing is engine-portable by construction: ONE md5 per shingle/token
+truncated to 60 bits (`md5_long`), then the k MinHash permutations come
+from universal rehashing (aᵢ·h + bᵢ) mod p with p = 2³¹−1 — cheaper than
+k independent string hashes (one digest per shingle instead of k) and
+reproducible in any engine with md5, which is what lets the DuckDB
+correctness oracle replay the exact pipeline (xxhash64 is Spark-private).
 
 Scale design:
 - exact: one hash-groupBy; the md5 key distributes uniformly.
@@ -11,16 +18,53 @@ Scale design:
   trade-off that bounds the join fan-out at 100 TB.
 - MinHash LSH: 64 hash slots, b bands × r rows; candidate pairs only join
   within equal (band, band_hash) buckets, then exact Jaccard verifies.
-- SimHash: 64-bit signature from token-hash bit votes; banding on 4×16-bit
-  chunks finds candidates with Hamming distance ≤ 3 cheaply, verified by
+- SimHash: 60-bit signature from token-hash bit votes; banding on 4×15-bit
+  chunks finds candidates with Hamming distance ≤ 3 cheaply (pigeonhole:
+  ≤3 flipped bits leave ≥1 of 4 chunks intact), verified by
   bit_count(xor).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .util import spread
+
+# Mersenne prime 2³¹−1: (a·h + b) mod P stays under 2⁶² for h, a < P, so
+# the arithmetic never overflows a signed 64-bit int in ANY engine (DuckDB
+# raises on bigint overflow where the JVM would silently wrap).
+HASH_P = 2_147_483_647
+
+_rng = np.random.RandomState(1729)
+#: Universal-hash coefficients for the 64 MinHash slots, fixed seed —
+#: shared with the DuckDB oracle SQL (registry embeds them as literals).
+MINHASH_A: list[int] = [int(x) for x in _rng.randint(1, HASH_P, size=64)]
+MINHASH_B: list[int] = [int(x) for x in _rng.randint(0, HASH_P, size=64)]
+del _rng
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit non-negative hash: first 15 hex chars of md5.
+
+    Engine-portable twin: DuckDB `CAST(('0x' || substr(md5(x), 1, 15)) AS
+    BIGINT)` produces the identical value."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _rehash(base: Column, i: int) -> Column:
+    """i-th universal hash of a 60-bit base hash, in [0, 2³¹−1)."""
+    return (F.lit(MINHASH_A[i]) * base + F.lit(MINHASH_B[i])) % F.lit(HASH_P)
+
+
+def _bucket_fold(cols: list[Column]) -> Column:
+    """Order-dependent polynomial combine of per-row hash values into one
+    bucket id — (…(h₀·31 + h₁) mod P …) — the mod at each step keeps every
+    intermediate below 2³⁶ (overflow-safe in engines that raise)."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * F.lit(31) + c) % F.lit(HASH_P)
+    return acc
 
 
 def exact_duplicate_groups(documents: DataFrame,
@@ -96,11 +140,13 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 def minhash_signatures(documents: DataFrame, num_hashes: int = 64,
                        n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, minhash array<long>): k permutations approximated by
-    xxhash64(shingle, seed_i) minima — the standard broadcast-free
-    formulation."""
-    ds = _doc_shingles(documents, text_col, n)
+    minima of universal rehashes of ONE md5 digest per shingle — the
+    standard broadcast-free formulation, one string hash instead of k."""
+    assert num_hashes <= len(MINHASH_A)
+    ds = _doc_shingles(documents, text_col, n) \
+        .withColumn("__h", md5_long(F.col("shingle")) % F.lit(HASH_P))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_rehash(F.col("__h"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = ds.groupBy("doc_id").agg(*mins)
@@ -121,8 +167,8 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("minhash", b * rows + r + 1)
-                         for r in range(rows)]).alias("bucket"),
+            _bucket_fold([F.element_at("minhash", b * rows + r + 1)
+                          for r in range(rows)]).alias("bucket"),
         )
         for b in range(bands)
     ])
@@ -171,16 +217,17 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
     )
 
 
-def simhash_signatures(documents: DataFrame, bits: int = 64,
+def simhash_signatures(documents: DataFrame, bits: int = 60,
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): per-token xxhash64 bit votes weighted by
-    term frequency, sign-aggregated into a 64-bit signature."""
+    """(doc_id, simhash long): per-token md5_long bit votes weighted by
+    term frequency, sign-aggregated into a `bits`-wide signature (60 by
+    default: the full md5_long width, sign-bit-free in a 64-bit long)."""
     toks = (spread(documents)
             .select("doc_id", F.explode(
                 F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn("h", F.xxhash64("tok")))
+            .withColumn("h", md5_long(F.col("tok"))))
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
     votes = [
@@ -199,14 +246,14 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
                   text_col: str = "text") -> DataFrame:
     """(src, dst, hamming): pairs within Hamming distance ≤ max_hamming.
-    Candidates via 4×16-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at
+    Candidates via 4×15-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 chunks equal), verified by bit_count(xor)."""
-    sig = simhash_signatures(documents, 64, text_col)
+    sig = simhash_signatures(documents, 60, text_col)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16)
-             .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            F.shiftrightunsigned(F.col("simhash"), c * 15)
+             .bitwiseAND(F.lit(0x7FFF)).alias("val"))
         for c in range(4)
     ])
     b = (sig.select("doc_id", "simhash", F.explode(chunks).alias("cc"))

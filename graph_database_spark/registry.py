@@ -614,14 +614,107 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # hash-function-specific → rows-only check
+# MinHash/SimHash hashing is engine-portable (operators/dedup.py: one md5
+# per shingle/token + universal rehash mod 2³¹−1), so the oracle replays
+# the exact LSH pipeline — same candidates, same signatures, not just the
+# same verified output.
+
+def _sql_minhash_oracle() -> str:
+    from .operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+    a = ", ".join(str(x) for x in MINHASH_A)
+    b = ", ".join(str(x) for x in MINHASH_B)
+    return f"""
+WITH ds AS ({_SQL_SHINGLES}),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P} AS base
+  FROM ds
+),
+coeff AS (
+  SELECT unnest(range(0, 64)) AS i,
+         unnest([{a}]) AS a, unnest([{b}]) AS b
+),
+sig AS (
+  SELECT doc_id, i, MIN((a * base + b) % {HASH_P}) AS mh
+  FROM hs CROSS JOIN coeff GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
+  FROM sig GROUP BY doc_id, i // 4
+),
+bk AS (
+  SELECT doc_id, band,
+         ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
+          + l[4]) % {HASH_P} AS bucket
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT shared.src, shared.dst,
+       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6)
+            AS DOUBLE) AS jaccard
+FROM shared
+JOIN cand ON shared.src = cand.src AND shared.dst = cand.dst
+JOIN sizes sa ON shared.src = sa.doc_id
+JOIN sizes sb ON shared.dst = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _sql_minhash_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
                              num_hashes=64, bands=16, n=3, threshold=0.5)
 
 
-@register("dedup_simhash")  # hash-function-specific → rows-only check
+@register("dedup_simhash", r"""
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+th AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst,
+         x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT src, dst, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
