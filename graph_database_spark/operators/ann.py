@@ -58,8 +58,18 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
 
 
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    """Seeded hyperplanes ROUNDED to 6 decimals: the rounded values are the
+    ground truth, exactly representable as SQL literals, so an external
+    engine (the DuckDB oracle) replays bucket assignment bit-for-bit."""
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(tables, bits, dim))
+    return np.round(rng.normal(size=(tables, bits, dim)), 6)
+
+
+def hyperplane_rows(dim: int, bits: int, tables: int,
+                    seed: int = 42) -> np.ndarray:
+    """(tables·bits, dim) plane matrix in UDF row order (table-major) —
+    row t·bits+b is bit b of table t. SQL oracles embed these as literals."""
+    return _hyperplanes(dim, bits, tables, seed).reshape(tables * bits, dim)
 
 
 # ---------------------------------------------------------------------------

@@ -743,7 +743,56 @@ def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"))
 
 
-@register("embedding_topk_lsh")  # seeded hyperplanes → rows-only check
+# The LSH hyperplanes are seeded AND rounded to 6 decimals
+# (operators/ann.hyperplane_rows), so the oracle replays the exact bucket
+# assignment from plane literals — candidates and re-rank both verified.
+
+def _sql_lsh_sigs(bits: int, tables: int, queries: str) -> str:
+    from .operators.ann import hyperplane_rows
+    rows = hyperplane_rows(64, bits, tables)
+
+    def bucket(t: int) -> str:
+        parts = []
+        for b in range(bits):
+            lit = "[" + ",".join(repr(float(x)) for x in rows[t * bits + b]) + "]"
+            parts.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                         f"THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    buckets = ", ".join(bucket(t) for t in range(tables))
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, unnest(range(0, {tables})) AS tbl,
+         unnest([{buckets}]) AS bucket
+  FROM e
+),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id IN ({queries}))
+"""
+
+
+def _sql_lsh_topk_oracle() -> str:
+    return f"""
+WITH {_sql_lsh_sigs(6, 12, "0, 1, 2, 3, 4")},
+qs AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM sigs s JOIN qs q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, list_dot_product(e.v, q.qvec) AS cosine
+  FROM cand c JOIN e ON e.vec_id = c.neighbor_id JOIN qv q USING (query_id)
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
+"""
+
+
+@register("embedding_topk_lsh", _sql_lsh_topk_oracle())
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import cosine_topk_lsh
     out = cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"),
@@ -752,11 +801,30 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"))
 
 
-@register("embedding_near_duplicates")  # seeded hyperplanes → rows-only
+def _sql_near_dup_oracle() -> str:
+    return f"""
+WITH {_sql_lsh_sigs(4, 8, "-1")},
+cand AS (
+  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  FROM sigs x JOIN sigs y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.src, c.dst,
+       CAST(ROUND(list_dot_product(a.v, b.v), 6) AS DOUBLE) AS cosine
+FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+WHERE list_dot_product(a.v, b.v) >= 0.45
+"""
+
+
+@register("embedding_near_duplicates", _sql_near_dup_oracle())
 def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.45 with 8 tables × 4 bits: the synthetic embeddings are
+    # near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a "near
+    # duplicate" threshold that exercises non-empty output sits below the
+    # usual 0.95 — the operator itself defaults to the production setting.
     from .operators.ann import embedding_near_duplicates
     out = embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"),
-                                    threshold=0.95)
+                                    threshold=0.45, bits=4, tables=8)
     return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
 
 
@@ -858,12 +926,57 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
-@register("embedding_topk_ivf")  # k-means centroids → rows-only check
+_SQL_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn <= 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 8
+),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM corpus_cells s JOIN query_cells q ON s.cell = q.cell
+  WHERE s.vec_id <> q.query_id
+),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, list_dot_product(e.v, q.qvec) AS cosine
+  FROM cand c JOIN e ON e.vec_id = c.neighbor_id JOIN qv q USING (query_id)
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
+"""
+
+
+@register("embedding_topk_ivf", _SQL_IVF_ORACLE)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Centroids supplied offline (fixed corpus vectors) — the production
+    # IVF pattern at 100 TB is exactly this: train cells once on a sample
+    # (train_ivf_centroids covers that path, tested separately), then run
+    # assignment + probe + re-rank as a pure deterministic dataflow. That
+    # determinism is what lets the oracle replay cell assignment.
     from .operators.ann import cosine_topk_ivf
-    out = cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"),
-                          query_ids=[0, 1, 2, 3, 4], k=10,
-                          nlist=16, nprobe=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    out = cosine_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10,
+                          nlist=16, nprobe=8, centroids=cents)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"))
 
