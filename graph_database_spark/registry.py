@@ -570,6 +570,57 @@ def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("rank", 6).alias("rank"))
 
 
+# Fixed-iteration twin of pagerank_global: 20 damped power-iteration steps,
+# no early stop. Same per-step semantics as tp1 (uniform dangling
+# redistribution), but with the iteration count pinned the whole fixed
+# point IS SQL-expressible — the oracle replays it as a recursive CTE,
+# giving the iterative-graph path a value-level correctness check that the
+# tolerance-converged variant can't have. Float parity notes: the SQL
+# spells (1.0 - 0.85) rather than 0.15 and keeps Spark's exact operation
+# order, so both engines execute identical IEEE sequences per step.
+@register("pagerank_fixed20", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+adj AS (
+  SELECT a.product_id AS src, b.product_id AS dst,
+         CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+verts AS (SELECT p_partkey AS id FROM part),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+pr(iter, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         (1.0 - 0.85) * (1.0 / n.n)
+         + 0.85 * COALESCE(c.inc, 0.0)
+         + 0.85 * sm.m / n.n
+  FROM pr p
+  CROSS JOIN nn n
+  CROSS JOIN (SELECT COALESCE(SUM(rank), 0.0) AS m FROM pr
+              WHERE id NOT IN (SELECT DISTINCT src FROM adj)) sm
+  LEFT JOIN (SELECT a.dst, SUM(p2.rank * a.weight) AS inc
+             FROM pr p2 JOIN adj a ON a.src = p2.id GROUP BY a.dst) c
+    ON c.dst = p.id
+  WHERE p.iter < 20
+)
+SELECT id AS product_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank
+FROM pr WHERE iter = 20
+""")
+def q_pagerank_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.pagerank import pagerank
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    ranks = pagerank(vertices, adj, tol=-1.0, max_iter=20)
+    return ranks.select(F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: training-data pipeline operators (dedup, ANN, text).
 # ---------------------------------------------------------------------------
