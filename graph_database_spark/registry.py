@@ -1378,6 +1378,85 @@ def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("rank", 6).alias("rank"))
 
 
+# Fixed-iteration twin of ppr_batch_focal (same rationale as
+# pagerank_fixed20): 3 focal customers' personalized PageRank, 20 pinned
+# power-iteration steps, replayed by the oracle as a (key, id)-state
+# recursive CTE. Verifies the BATCHED multi-key iteration path — per-key
+# personalization normalization, per-key sink mass — at the value level.
+@register("ppr_fixed20_batch", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+adj AS (
+  SELECT a.product_id AS src, b.product_id AS dst,
+         CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+verts AS (SELECT p_partkey AS id FROM part),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+focal AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3),
+pers AS (
+  SELECT DISTINCT o.o_custkey AS key, l.l_partkey AS id, 1.0 AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IN (SELECT o_custkey FROM focal)
+),
+totals AS (SELECT key, SUM(p) AS t FROM pers GROUP BY key),
+pnorm AS (
+  SELECT f.o_custkey AS key, v.id,
+         CASE WHEN t.t > 0 THEN COALESCE(pe.p, 0.0) / t.t
+              ELSE 1.0 / (SELECT n FROM nn) END AS p
+  FROM focal f CROSS JOIN verts v
+  LEFT JOIN pers pe ON pe.key = f.o_custkey AND pe.id = v.id
+  JOIN totals t ON t.key = f.o_custkey
+),
+ppr(iter, key, id, rank) AS (
+  SELECT 0, f.o_custkey, v.id, 1.0 / (SELECT n FROM nn)
+  FROM focal f CROSS JOIN verts v
+  UNION ALL
+  SELECT s.iter + 1, s.key, s.id,
+         (1.0 - 0.85) * pn.p
+         + 0.85 * COALESCE(c.inc, 0.0)
+         + 0.85 * COALESCE(sm.m, 0.0) / n.n
+  FROM ppr s
+  CROSS JOIN nn n
+  JOIN pnorm pn ON pn.key = s.key AND pn.id = s.id
+  LEFT JOIN (SELECT p2.key, a.dst, SUM(p2.rank * a.weight) AS inc
+             FROM ppr p2 JOIN adj a ON a.src = p2.id
+             GROUP BY p2.key, a.dst) c
+    ON c.key = s.key AND c.dst = s.id
+  LEFT JOIN (SELECT key, SUM(rank) AS m FROM ppr
+             WHERE id NOT IN (SELECT DISTINCT src FROM adj)
+             GROUP BY key) sm
+    ON sm.key = s.key
+  WHERE s.iter < 20
+)
+SELECT key AS customer_id, id AS product_id,
+       CAST(ROUND(rank, 6) AS DOUBLE) AS rank
+FROM ppr WHERE iter = 20
+""")
+def q_ppr_fixed20_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphs.pagerank import pagerank_batch
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    focal = (load_table(spark, sf_dir, "orders")
+             .select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(3))
+    pers = (inc.join(F.broadcast(focal),
+                     inc["customer_id"] == focal["o_custkey"])
+            .select(F.col("customer_id").alias("key"),
+                    F.col("product_id").alias("id"),
+                    F.lit(1.0).alias("p")))
+    ranks = pagerank_batch(vertices, adj, pers, tol=-1.0, max_iter=20)
+    return ranks.select(F.col("key").alias("customer_id"),
+                        F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Wider relational coverage: supplier dimension, string functions, numeric
 # binning, calendar rollups (SURVEY §2.8 'Absent' string/date functions).
