@@ -43,6 +43,15 @@ BENCH_QUERIES = [
     "part_name_tokens",
     "events_value_histogram",
     "orders_monthly_revenue",
+    "events_followup_purchase",
+    "orders_rolling_revenue",
+    "revenue_grouping_sets",
+    "events_type_counts_salted",
+    "events_sliding_counts",
+    "supplier_balance_stats",
+    "nation_revenue_share",
+    "customers_inactive_since",
+    "events_dow_hour",
     "customer_cf",
     "similarity_jaccard_topk",
     "seed_expansion",

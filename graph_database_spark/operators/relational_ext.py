@@ -1,0 +1,267 @@
+"""Relational coverage extensions (SURVEY §2 'Absent' rows made first-class).
+
+The reference's query surface stops at equi-joins, plain aggregates, and
+top-N (SURVEY §2.3/§2.4/§2.5 'Absent' rows). These operators add the
+standard relational shapes a production engine is expected to have —
+interval (band) joins, rolling window frames, non-hierarchical grouping
+sets, skew-salted two-phase aggregation, sliding event windows,
+moment-based statistics with exact decimal arithmetic, ratio-to-parent
+shares, and predicated anti-joins — each expressed as the Spark plan
+you'd want at 100 TB and each with an exact DuckDB oracle twin in the
+registry.
+
+Scale notes per operator are inline; the common themes:
+- dimension sides broadcast (nation/region always; derived aggs when
+  provably small);
+- double-typed money is summed as DECIMAL so results are order-exact
+  under any partitioning/AQE reshuffle;
+- band joins carry an equi prefix (user_id) so the range predicate only
+  filters within hash-partition-local groups instead of forcing a
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DEC = "decimal(18,4)"
+_DEC_SQ = "decimal(38,8)"
+
+
+def interval_followups(events: DataFrame,
+                       trigger_type: str = "signup",
+                       response_type: str = "purchase",
+                       horizon_hours: int = 24) -> DataFrame:
+    """Per trigger event, count response events by the same user inside
+    (ts, ts + horizon] — an interval (band) join.
+
+    Spark shape: equi-join on user_id with the time band as a join-level
+    range predicate. Because the equi key rides the join, this is a plain
+    hash/sort-merge join whose range condition evaluates inside each
+    user's partition — no cross product, skew bounded by the hottest
+    user's event count. At 100 TB the drop-in upgrade is bucketing both
+    sides by (user_id, time_bucket) so the band join is partition-local.
+    """
+    trig = (events.filter(F.col("event_type") == trigger_type)
+            .select("event_id", "user_id", "ts"))
+    resp = (events.filter(F.col("event_type") == response_type)
+            .select(F.col("user_id").alias("r_user"),
+                    F.col("ts").alias("r_ts")))
+    joined = trig.join(
+        resp,
+        (trig["user_id"] == resp["r_user"])
+        & (resp["r_ts"] > trig["ts"])
+        & (resp["r_ts"] <= trig["ts"]
+           + F.expr(f"INTERVAL {horizon_hours} HOURS")),
+        "left",
+    )
+    return (joined.groupBy("event_id", "user_id")
+            .agg(F.count("r_ts").alias("n_followups")))
+
+
+def rolling_monthly_revenue(orders: DataFrame, customer: DataFrame,
+                            nation: DataFrame,
+                            window_months: int = 3) -> DataFrame:
+    """Monthly revenue per nation with a trailing window_months-row rolling
+    sum (W-frame: rowsBetween). The rolling sum is computed over DECIMAL
+    monthly totals, so it is exact and order-independent; the (nation,
+    yr, mon) ordering key is unique post-aggregation, making the frame
+    deterministic.
+
+    Scale: the window partitions by nation (25 keys) over ~#months rows
+    per nation — the post-agg frame is tiny regardless of input scale;
+    all heavy lifting happens in the pre-aggregation, which is a plain
+    shuffled groupBy with map-side partials.
+    """
+    monthly = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mon"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("__rev"))
+    )
+    w = (Window.partitionBy("n_name").orderBy("yr", "mon")
+         .rowsBetween(-(window_months - 1), 0))
+    return monthly.select(
+        "n_name", "yr", "mon",
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("__rev").over(w), 2).cast("double").alias("rolling_rev"),
+    )
+
+
+def revenue_grouping_sets(spark, orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Order revenue under GROUPING SETS ((region), (nation), ()) — the
+    non-hierarchical grouping shape that rollup/cube can't express
+    (revenue_rollup covers the hierarchical one).
+
+    Catalyst expands grouping sets into a single Expand + one hash
+    aggregate — the input is scanned once, not once per set. r_name and
+    n_name are never NULL in the data, so the CASE tag distinguishes the
+    grouping rows portably (no engine-specific grouping_id needed in the
+    oracle).
+    """
+    joined = (
+        orders.select("o_totalprice", "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name",
+                F.col("o_totalprice").cast(_DEC).alias("__price"))
+    )
+    joined.createOrReplaceTempView("__gsets_rev")
+    return spark.sql("""
+        SELECT r_name, n_name,
+               CASE WHEN r_name IS NOT NULL THEN 'region'
+                    WHEN n_name IS NOT NULL THEN 'nation'
+                    ELSE 'total' END AS grp,
+               CAST(ROUND(SUM(__price), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM __gsets_rev
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """)
+
+
+def salted_type_counts(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Event counts per type via two-phase salted aggregation.
+
+    The skew-mitigation shape for hot grouping keys: phase 1 aggregates
+    on (key, salt) — spreading one hot key over n_salts reducers — and
+    phase 2 collapses the salts. Results are exactly the plain groupBy
+    (counts are associative), which is what the oracle states. On this
+    5-key event_type column every key is 'hot'; at 100 TB the same plan
+    holds for billions of rows per key where a plain groupBy would put
+    one key on one reducer. (Spark's own partial aggregation gives much
+    of this for free; explicit salting is the portable form that also
+    survives agg modes where partials can't combine, e.g. exact
+    count-distinct per key.)
+    """
+    phase1 = (
+        events.groupBy("event_type",
+                       F.pmod(F.col("event_id"), F.lit(n_salts)).alias("__salt"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (phase1.groupBy("event_type")
+            .agg(F.sum("__c").cast("long").alias("n_events")))
+
+
+def sliding_window_counts(events: DataFrame,
+                          window: str = "1 hour",
+                          slide: str = "30 minutes") -> DataFrame:
+    """Event counts per (sliding window, type): window/slide = 1h/30m means
+    every event lands in exactly 2 overlapping windows.
+
+    Spark's window() generates the overlapping assignments inline (an
+    Expand of window/slide rows per input row) and the aggregation stays
+    a single shuffled groupBy — the identical plan Structured Streaming
+    uses for the streaming twin (streaming/events.py), which is the
+    point: batch and stream share semantics.
+    """
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+
+
+def balance_stats_by_nation(supplier: DataFrame,
+                            nation: DataFrame) -> DataFrame:
+    """Per-nation supplier account-balance moments — count, mean, sample
+    variance — computed from DECIMAL power sums.
+
+    Built-in var_samp over doubles is order-dependent (float summation),
+    so its value hash would flap under AQE re-partitioning; the
+    sum/sum-of-squares formulation over DECIMAL is exact and associative,
+    i.e. safe under any partitioning — the property that matters when
+    1000 executors combine partials in nondeterministic order.
+    """
+    dec = F.col("s_acctbal").cast(_DEC)
+    agg = (supplier
+           .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 supplier["s_nationkey"] == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                F.sum(dec).alias("__s"),
+                F.sum((dec * dec).cast(_DEC_SQ)).alias("__ss")))
+    # divisions happen in DOUBLE on both engines: decimal division scale
+    # rules differ between Spark and DuckDB, but double IEEE ops are
+    # bit-identical — the sums stay exact DECIMAL up to the cast.
+    n = F.col("n_suppliers").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        "n_name", "n_suppliers",
+        F.round(s / n, 6).alias("avg_bal"),
+        # sample variance is undefined for a single row; the CASE guard
+        # also keeps ANSI mode from evaluating the 0-divisor branch
+        F.when(F.col("n_suppliers") > 1, F.round(var, 6)).alias("var_bal"),
+    )
+
+
+def nation_revenue_share(orders: DataFrame, customer: DataFrame,
+                         nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Each nation's share of its region's order revenue — the
+    ratio-to-parent window shape (un-frame-d partition aggregate over a
+    pre-aggregated frame).
+
+    The window runs over the 25-row nation aggregate, not the fact
+    table: aggregate first, window the aggregate. The share divides two
+    exact DECIMAL sums, so the 6-dp rounding is stable.
+    """
+    per_nation = (
+        orders.select("o_totalprice", "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("__rev"))
+    )
+    w = Window.partitionBy("r_name")
+    # share divides two exact DECIMAL sums AFTER casting to double (see
+    # balance_stats_by_nation on cross-engine decimal-division scales)
+    return per_nation.select(
+        "r_name", "n_name",
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("__rev").cast("double")
+                / F.sum("__rev").over(w).cast("double"), 6)
+         .alias("region_share"),
+    )
+
+
+def customers_inactive_since(customer: DataFrame, orders: DataFrame,
+                             cutoff: str) -> DataFrame:
+    """Customers with NO orders on/after `cutoff` — a predicated anti-join
+    (NOT EXISTS with a correlated filter).
+
+    The filter lands on the build side BEFORE the anti-join, so the
+    hash table only holds recently-active customer keys; with a
+    selective cutoff that side shrinks enough to broadcast even when
+    orders itself is fact-sized.
+    """
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(cutoff)) \
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (customer.join(recent, "c_custkey", "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def events_dow_hour(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour activity heatmap counts (ISO dow: 1=Monday).
+
+    Spark's weekday() is 0=Monday; +1 matches DuckDB's isodow so the
+    oracle needs no per-engine day mapping.
+    """
+    return (events.groupBy((F.weekday("ts") + 1).alias("isodow"),
+                           F.hour("ts").alias("hr"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast(_DEC)), 2)
+                  .cast("double").alias("sum_value")))

@@ -1681,3 +1681,173 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").alias("dim"),
         # float32 unit vectors carry ~1e-7 norm error; 4dp is safely 1.0
         F.round(norm, 4).alias("feature_norm"))
+
+
+# ---------------------------------------------------------------------------
+# Relational extensions (operators/relational_ext.py): interval join,
+# rolling frames, grouping sets, salted agg, sliding windows, exact
+# moments, ratio-to-parent, predicated anti-join, calendar heatmap.
+# ---------------------------------------------------------------------------
+
+@register("events_followup_purchase", """
+SELECT s.event_id, s.user_id, CAST(COUNT(p.r_ts) AS BIGINT) AS n_followups
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT user_id AS r_user, ts AS r_ts FROM events
+           WHERE event_type = 'purchase') p
+  ON s.user_id = p.r_user AND p.r_ts > s.ts
+     AND p.r_ts <= s.ts + INTERVAL 24 HOURS
+GROUP BY s.event_id, s.user_id
+""")
+def q_events_followup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import interval_followups
+    return interval_followups(load_table(spark, sf_dir, "events"))
+
+
+@register("orders_rolling_revenue", """
+WITH monthly AS (
+  SELECT n.n_name, year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mon,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT n_name, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(rev) OVER (PARTITION BY n_name ORDER BY yr, mon
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+       AS DOUBLE) AS rolling_rev
+FROM monthly
+""")
+def q_orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import rolling_monthly_revenue
+    return rolling_monthly_revenue(load_table(spark, sf_dir, "orders"),
+                                   load_table(spark, sf_dir, "customer"),
+                                   load_table(spark, sf_dir, "nation"))
+
+
+@register("revenue_grouping_sets", """
+WITH j AS (
+  SELECT r.r_name, n.n_name,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name, n_name,
+  CASE WHEN r_name IS NOT NULL THEN 'region'
+       WHEN n_name IS NOT NULL THEN 'nation'
+       ELSE 'total' END AS grp,
+  CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM j GROUP BY GROUPING SETS ((r_name), (n_name), ())
+""")
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import revenue_grouping_sets
+    return revenue_grouping_sets(spark,
+                                 load_table(spark, sf_dir, "orders"),
+                                 load_table(spark, sf_dir, "customer"),
+                                 load_table(spark, sf_dir, "nation"),
+                                 load_table(spark, sf_dir, "region"))
+
+
+@register("events_type_counts_salted", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""")
+def q_events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import salted_type_counts
+    return salted_type_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sliding_counts", """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                 time_bucket(INTERVAL 30 MINUTES, ts)
+                 - INTERVAL 30 MINUTES]) AS window_start,
+         event_type
+  FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned GROUP BY 1, 2
+""")
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import sliding_window_counts
+    return sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("supplier_balance_stats", """
+WITH a AS (
+  SELECT n.n_name, COUNT(*) AS n_suppliers,
+         SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS s,
+         SUM(CAST(CAST(s.s_acctbal AS DECIMAL(18,4))
+                  * CAST(s.s_acctbal AS DECIMAL(18,4))
+                  AS DECIMAL(38,8))) AS ss
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  CAST(ROUND(CAST(s AS DOUBLE) / CAST(n_suppliers AS DOUBLE), 6) AS DOUBLE)
+    AS avg_bal,
+  CASE WHEN n_suppliers > 1 THEN
+    CAST(ROUND((CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n_suppliers AS DOUBLE))
+               / (CAST(n_suppliers AS DOUBLE) - 1.0), 6) AS DOUBLE)
+  END AS var_bal
+FROM a
+""")
+def q_supplier_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import balance_stats_by_nation
+    return balance_stats_by_nation(load_table(spark, sf_dir, "supplier"),
+                                   load_table(spark, sf_dir, "nation"))
+
+
+@register("nation_revenue_share", """
+WITH pn AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+       AS DOUBLE) AS region_share
+FROM pn
+""")
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import nation_revenue_share
+    return nation_revenue_share(load_table(spark, sf_dir, "orders"),
+                                load_table(spark, sf_dir, "customer"),
+                                load_table(spark, sf_dir, "nation"),
+                                load_table(spark, sf_dir, "region"))
+
+
+@register("customers_inactive_since", """
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+""")
+def q_customers_inactive_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import customers_inactive_since
+    return customers_inactive_since(load_table(spark, sf_dir, "customer"),
+                                    load_table(spark, sf_dir, "orders"),
+                                    "2000-01-01")
+
+
+@register("events_dow_hour", """
+SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hr,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import events_dow_hour
+    return events_dow_hour(load_table(spark, sf_dir, "events"))

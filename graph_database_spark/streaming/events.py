@@ -65,6 +65,26 @@ def windowed_event_weights(events: DataFrame,
     )
 
 
+def sliding_window_counts_stream(events: DataFrame,
+                                 window: str = "1 hour",
+                                 slide: str = "30 minutes",
+                                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of operators/relational_ext.sliding_window_counts:
+    overlapping (window, slide) count per event type. Same window()
+    semantics as the batch form — each event lands in window/slide
+    overlapping panes — so batch and stream results are comparable
+    row-for-row once the watermark closes a pane. State is keyed by
+    (window, event_type), bounded by the watermark horizon."""
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n")
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str,
                          output_mode: str = "update"):
     """Drive a streaming aggregation to completion against a static

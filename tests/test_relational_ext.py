@@ -1,0 +1,82 @@
+"""Relational-extension operators: semantic invariants beyond the oracle
+parity test (which covers value-level equality per registry entry), plus
+the batch↔stream agreement for the sliding-window twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.sources.testdata import load_table
+from graph_database_spark.operators.relational_ext import (
+    interval_followups, rolling_monthly_revenue, salted_type_counts,
+    sliding_window_counts, nation_revenue_share,
+)
+from graph_database_spark.streaming.events import (
+    read_event_stream, run_stream_to_memory, sliding_window_counts_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_interval_followups_covers_every_trigger(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = interval_followups(ev).collect()
+    n_signups = ev.filter("event_type = 'signup'").count()
+    # left join: one row per trigger, including zero-followup ones
+    assert len(out) == n_signups
+    assert any(r["n_followups"] > 0 for r in out)
+
+
+def test_rolling_revenue_frame_matches_manual_sum(spark):
+    rows = rolling_monthly_revenue(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation")).collect()
+    by_nation = {}
+    for r in sorted(rows, key=lambda r: (r["n_name"], r["yr"], r["mon"])):
+        hist = by_nation.setdefault(r["n_name"], [])
+        hist.append(r["revenue"])
+        expect = round(sum(hist[-3:]), 2)
+        assert abs(r["rolling_rev"] - expect) < 0.02, (r, expect)
+
+
+def test_salted_counts_equal_plain_groupby(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    salted = {r["event_type"]: r["n_events"]
+              for r in salted_type_counts(ev).collect()}
+    plain = {r["event_type"]: r["count"]
+             for r in ev.groupBy("event_type").count().collect()}
+    assert salted == plain
+
+
+def test_sliding_windows_double_count(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = sliding_window_counts(ev)
+    # window=2×slide ⇒ every event is in exactly 2 panes
+    assert (out.agg(F.sum("n")).first()[0] == 2 * ev.count())
+
+
+def test_nation_share_sums_to_one_per_region(spark):
+    out = nation_revenue_share(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"))
+    per_region = (out.groupBy("r_name").agg(F.sum("region_share").alias("s"))
+                  .collect())
+    assert per_region and all(abs(r["s"] - 1.0) < 1e-4 for r in per_region)
+
+
+def test_sliding_stream_matches_batch(spark):
+    stream = read_event_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        sliding_window_counts_stream(stream), "slidew", output_mode="update")
+    try:
+        got = spark.sql(
+            "SELECT window_start, event_type, n FROM slidew").collect()
+    finally:
+        q.stop()
+    batch = sliding_window_counts(
+        load_table(spark, SF_DIR, "events")).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert {key(r): r["n"] for r in got} == {key(r): r["n"] for r in batch}
