@@ -265,3 +265,55 @@ def events_dow_hour(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("value").cast(_DEC)), 2)
                   .cast("double").alias("sum_value")))
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """Classic RFM segmentation inputs per customer: recency (days since
+    last order, measured from the corpus max date), frequency (order
+    count), monetary (exact DECIMAL revenue).
+
+    The global max date is a 1-row aggregate crossJoin-broadcast into the
+    per-customer aggregate — the scalar-subquery shape that never
+    shuffles the fact side twice.
+    """
+    mx = orders.agg(F.max("o_orderdate").alias("__mx"))
+    return (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.max("o_orderdate").alias("__last"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+              .cast("double").alias("monetary"))
+        .crossJoin(F.broadcast(mx))
+        .select("customer_id",
+                F.datediff(F.to_date("__mx"), F.to_date("__last"))
+                 .alias("recency_days"),
+                "frequency", "monetary")
+    )
+
+
+def fk_orphan_report(pairs: list[tuple[str, DataFrame, str, DataFrame, str]]
+                     ) -> DataFrame:
+    """Referential-integrity audit: one row per FK relationship with the
+    count of child rows whose key has no parent (the rows Cypher MATCH
+    would drop silently — tp2/app/etl.py:240-242,274 inner-join
+    semantics; this report is the engine's replacement for the missing
+    constraint system, SURVEY §4 'uniqueness becomes an assertion').
+
+    pairs: (label, child_df, child_key, parent_df, parent_key[,
+    broadcast]). Each check is an anti-join; pass broadcast=True only
+    for dimension-sized parents — a fact-sized parent (orders under
+    lineitem) must shuffle, never broadcast.
+    """
+    out = None
+    for label, child, ck, parent, pk, *rest in pairs:
+        bcast = rest[0] if rest else True
+        pkeys = parent.select(F.col(pk).alias("__k"))
+        orphans = (
+            child.select(F.col(ck).alias("__k"))
+            .join(F.broadcast(pkeys) if bcast else pkeys,
+                  "__k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out

@@ -1851,3 +1851,72 @@ FROM events GROUP BY 1, 2
 def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational_ext import events_dow_hour
     return events_dow_hour(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_degree_histogram", f"""
+WITH base AS ({_SQL_ITEMS}),
+deg AS (
+  SELECT a.product_id AS src,
+         COUNT(DISTINCT b.product_id) AS degree
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1
+""")
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph — the first thing a
+    graph engine reports about a dataset, and the skew diagnostic that
+    decides salting/AQE strategy for every other graph operator here
+    (a heavy tail ⇒ hot-vertex handling). Two aggregations over the
+    symmetric pair store; no joins beyond the pair build."""
+    pairs = cooccurrence_ordered(_items(spark, sf_dir))
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices")))
+
+
+@register("customer_rfm", """
+WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders)
+SELECT o_custkey AS customer_id,
+  CAST(date_diff('day', MAX(o_orderdate), (SELECT m FROM mx)) AS INT)
+    AS recency_days,
+  CAST(COUNT(*) AS BIGINT) AS frequency,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS monetary
+FROM orders GROUP BY 1
+""")
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import customer_rfm
+    return customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+@register("fk_orphans", """
+SELECT 'lineitem.l_partkey' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey', CAST(COUNT(*) AS BIGINT) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+""")
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational_ext import fk_orphan_report
+    li = load_table(spark, sf_dir, "lineitem")
+    return fk_orphan_report([
+        ("lineitem.l_partkey", li, "l_partkey",
+         load_table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_orderkey", li, "l_orderkey",
+         load_table(spark, sf_dir, "orders"), "o_orderkey", False),
+        ("orders.o_custkey", load_table(spark, sf_dir, "orders"), "o_custkey",
+         load_table(spark, sf_dir, "customer"), "c_custkey"),
+        ("customer.c_nationkey", load_table(spark, sf_dir, "customer"),
+         "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey"),
+    ])
