@@ -216,6 +216,9 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         else edges_mat.repartition(n_parts, "src").localCheckpoint()
     sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
                           "id", "left_anti").localCheckpoint()
+    # sinkless graphs drop the per-iteration per-key sink aggregate + join
+    # from the plan entirely (mass is identically 0 — see pagerank()).
+    has_sinks = not sink_ids.isEmpty()
 
     active = p.select("key", "id", F.lit(1.0 / n).alias("rank")) \
         .localCheckpoint()
@@ -224,29 +227,42 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
 
+    # tol < 0 = fixed-iteration mode (the oracle-replayable path): no key
+    # ever converges, so the per-key delta aggregate, freeze bookkeeping,
+    # and the emptiness probe are dead weight — skip them wholesale.
+    check_delta = tol >= 0
     for _ in range(max_iter):
-        sink_mass = (
-            active.join(F.broadcast(sink_ids), "id", "left_semi")
-            .groupBy("key").agg(F.sum("rank").alias("__sink"))
-        )
         contrib = (
             edges.join(_b(active), active["id"] == edges["src"])
             .groupBy("key", F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
         )
-        new_ranks = (
+        stepped = (
             p.join(active.select("key").distinct(), "key", "left_semi")
             .join(_b(contrib), ["key", "id"], "left")
-            .join(sink_mass, "key", "left")
-            .select(
+        )
+        if has_sinks:
+            sink_mass = (
+                active.join(F.broadcast(sink_ids), "id", "left_semi")
+                .groupBy("key").agg(F.sum("rank").alias("__sink"))
+            )
+            stepped = stepped.join(sink_mass, "key", "left")
+            sink_term = (damping
+                         * F.coalesce(F.col("__sink"), F.lit(0.0)) / n)
+        else:
+            sink_term = F.lit(0.0)
+        new_ranks = (
+            stepped.select(
                 "key", "id",
                 ((1.0 - damping) * F.col("p")
                  + damping * F.coalesce(F.col("__in"), F.lit(0.0))
-                 + damping * F.coalesce(F.col("__sink"), F.lit(0.0)) / n
-                 ).alias("rank"),
+                 + sink_term).alias("rank"),
             )
             .localCheckpoint()
         )
+        if not check_delta:
+            active = new_ranks
+            continue
         deltas = (
             new_ranks.withColumnRenamed("rank", "__new")
             .join(_b(active), ["key", "id"])

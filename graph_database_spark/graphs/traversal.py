@@ -88,6 +88,21 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
 
+    # Labels only ever DECREASE under min-propagation, so for NUMERIC ids
+    # "any label changed this superstep" ⟺ "the label sum changed" — one
+    # narrow aggregate over the new frame instead of a join of old vs
+    # new. DECIMAL(38,0) keeps the sum exact for any |V|·max(id) (a
+    # bigint sum would overflow-error under ANSI at 10⁹ vertices).
+    # Non-numeric ids (min is lexicographic) fall back to the join probe.
+    numeric_ids = labels.schema["component"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "decimal")
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(_b(labels), labels["id"] == sym["src"])
@@ -103,13 +118,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .repartition(n_parts, "id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "new_c")
-            .join(_b(labels), "id")
-            .filter(F.col("new_c") != F.col("component"))
-            .isEmpty()
-        )
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            unchanged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            unchanged = (
+                new_labels.withColumnRenamed("component", "new_c")
+                .join(_b(labels), "id")
+                .filter(F.col("new_c") != F.col("component"))
+                .isEmpty()
+            )
         labels = new_labels
-        if changed:
+        if unchanged:
             break
     return labels
