@@ -7,14 +7,17 @@ pattern language compiled to equi-joins over the (vertices, edges)
 DataFrames built by graphs.builder — so a reference user's pattern queries
 keep working, with Catalyst choosing the physical join strategy.
 
-Pattern grammar (GraphFrames-style):
+Pattern grammar (GraphFrames-style, plus Cypher chains/back-arrows):
 
     "(a)-[r:CONTAINS]->(b); (c)-[s:CONTAINS]->(b)"
+    "(p1)<-[:CONTAINS]-(o)-[:CONTAINS]->(p2)"       # chain form
 
 - `(name)` — vertex variable; repeated names mean the same vertex.
 - `[name]` / `[name:REL_TYPE]` — edge variable, optional rel_type filter;
   repeated edge names are rejected. `[:REL_TYPE]`/`[]` are anonymous.
-- `;` separates edge terms. Matches are NOT forced distinct on vertices
+- nodes chain left-to-right; `<-[...]-` flips edge direction, so the
+  reference's Cypher patterns paste in unchanged (tp2/app/main.py:100).
+- `;` separates chains. Matches are NOT forced distinct on vertices
   (Cypher semantics: different edge bindings may share vertices; add
   `!=` filters on the result for isomorphism, as the reference's Cypher
   does with `WHERE p1 <> p2`).
@@ -34,23 +37,48 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-_TERM = re.compile(
-    r"^\(\s*(?P<src>\w*)\s*\)\s*-\s*\[\s*(?P<edge>\w*)"
-    r"(?::\s*(?P<rel>\w+))?\s*\]\s*->\s*\(\s*(?P<dst>\w*)\s*\)$")
+_NODE = re.compile(r"\(\s*(?P<name>\w*)\s*\)")
+# forward `-[e:REL]->` or backward `<-[e:REL]-` connector between nodes
+_CONN = re.compile(
+    r"(?P<back><)?-\s*\[\s*(?P<edge>\w*)(?::\s*(?P<rel>\w+))?\s*\]\s*-"
+    r"(?P<fwd>>)?")
 
 
 def _parse(pattern: str) -> list[dict]:
+    """Cypher-shaped chains, `;`-separated: each chain is
+    (a)-[e:REL]->(b)<-[:REL2]-(c)…; a backward arrow flips src/dst."""
     terms = []
-    for i, raw in enumerate(t.strip() for t in pattern.split(";")):
+    anon = 0
+    for raw in (t.strip() for t in pattern.split(";")):
         if not raw:
             continue
-        m = _TERM.match(raw)
+        pos = 0
+        m = _NODE.match(raw, pos)
         if not m:
             raise ValueError(f"unparseable pattern term: {raw!r}")
-        d = m.groupdict()
-        d["src"] = d["src"] or f"__anon_src_{i}"
-        d["dst"] = d["dst"] or f"__anon_dst_{i}"
-        terms.append(d)
+        prev = m.group("name")
+        if not prev:
+            prev, anon = f"__anon_{anon}", anon + 1
+        pos = m.end()
+        while pos < len(raw):
+            c = _CONN.match(raw, pos)
+            if not c:
+                raise ValueError(f"unparseable connector at: {raw[pos:]!r}")
+            if bool(c.group("back")) == bool(c.group("fwd")):
+                raise ValueError(
+                    f"connector needs exactly one arrowhead: {raw[pos:]!r}")
+            pos = c.end()
+            m = _NODE.match(raw, pos)
+            if not m:
+                raise ValueError(f"expected node at: {raw[pos:]!r}")
+            nxt = m.group("name")
+            if not nxt:
+                nxt, anon = f"__anon_{anon}", anon + 1
+            pos = m.end()
+            src, dst = (nxt, prev) if c.group("back") else (prev, nxt)
+            terms.append({"src": src, "dst": dst,
+                          "edge": c.group("edge"), "rel": c.group("rel")})
+            prev = nxt
     if not terms:
         raise ValueError("empty pattern")
     edge_names = [t["edge"] for t in terms if t["edge"]]

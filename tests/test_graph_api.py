@@ -1,0 +1,83 @@
+"""PropertyGraph facade: the one-handle graph surface over the toy seed
+(reference dataset, sources/toy.py) — construction, degrees, motifs,
+algorithms, subgraphs, save/load round-trip, integrity checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_spark.graphs.api import PropertyGraph
+from graph_database_spark.sources.toy import toy_dataset
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    t = toy_dataset(spark)
+    return PropertyGraph.from_tables(
+        t["customers"], t["categories"], t["products"], t["orders"],
+        t["order_items"], events=t["events"])
+
+
+def test_degrees_cover_all_vertices(graph):
+    deg = graph.degrees(direction="both").collect()
+    assert len(deg) == graph.vertices.count()
+    assert all(r["degree"] >= 0 for r in deg)
+    # every order placed exactly once → in-degree of Order nodes is ≥ 1
+    order_in = {r["id"]: r["degree"]
+                for r in graph.degrees(direction="in").collect()
+                if r["id"].startswith("Order:")}
+    assert order_in and all(d >= 1 for d in order_in.values())
+
+
+def test_motif_matches_cypher_pattern(graph):
+    # tp2's co-occurrence pattern (tp2/app/main.py:98-105)
+    m = graph.find("(p1)<-[:CONTAINS]-(o)-[:CONTAINS]->(p2)") \
+        .filter(F.col("p1") != F.col("p2"))
+    assert m.count() > 0
+    # symmetric: each unordered pair appears in both orientations
+    a = {(r["p1"], r["p2"]) for r in m.select("p1", "p2").collect()}
+    assert all((b, x) in a for x, b in a)
+
+
+def test_pagerank_on_contains_projection(graph):
+    pr = graph.page_rank(rel_type="CONTAINS", max_iter=30)
+    rows = pr.collect()
+    assert len(rows) == graph.vertices.count()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_connected_components_product_category(graph):
+    cc = graph.connected_components(rel_type="IN_CATEGORY").collect()
+    comp = {r["id"]: r["component"] for r in cc}
+    # products of the same category share a component
+    by_cat = graph.edges.filter("rel_type = 'IN_CATEGORY'") \
+        .select("src", "dst").collect()
+    cats = {}
+    for r in by_cat:
+        cats.setdefault(r["dst"], set()).add(r["src"])
+    for cat, prods in cats.items():
+        labels = {comp[p] for p in prods} | {comp[cat]}
+        assert len(labels) == 1
+
+
+def test_filter_vertices_induces_subgraph(graph):
+    sub = graph.filter_vertices(F.col("label").isin("Order", "Product"))
+    assert set(r["rel_type"] for r in
+               sub.edges.select("rel_type").distinct().collect()) \
+        == {"CONTAINS"}
+
+
+def test_save_load_roundtrip(graph, spark, tmp_path):
+    path = str(tmp_path / "pg")
+    graph.save(path)
+    back = PropertyGraph.load(spark, path)
+    assert back.vertices.count() == graph.vertices.count()
+    assert back.edges.count() == graph.edges.count()
+    assert sorted(back.edges.columns) == sorted(graph.edges.columns)
+
+
+def test_integrity_report_clean(graph):
+    rep = {r["check"]: r["n_bad"] for r in graph.integrity_report().collect()}
+    assert rep == {"duplicate_vertex_ids": 0,
+                   "dangling_src": 0, "dangling_dst": 0}
