@@ -24,11 +24,20 @@ from .pagerank import _BROADCAST_STATE_ROWS, _iter_partitions
 
 def shortest_paths(edges: DataFrame, landmarks: DataFrame,
                    max_hops: int = 20,
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   dedupe: bool = True) -> DataFrame:
     """(id, landmark, dist): unweighted BFS distance from every reachable
     vertex to each landmark. edges: (src, dst) directed — pass a
-    symmetric edge list for undirected semantics. landmarks: (id)."""
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    symmetric edge list for undirected semantics. landmarks: (id).
+
+    dedupe=False skips the defensive distinct (a full edge shuffle) when
+    the caller guarantees unique (src, dst) rows — e.g. a symmetrized
+    aggregated pair table; duplicates would not change BFS results, only
+    waste expansion work, so this is a pure planning hint."""
+    edges = edges.select("src", "dst")
+    if dedupe:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     m = edges.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
@@ -67,14 +76,23 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 50,
-                         num_partitions: int | None = None) -> DataFrame:
+                         num_partitions: int | None = None,
+                         dedupe: bool = True) -> DataFrame:
     """(id, component): undirected connected components by min-label
     propagation — component = smallest vertex id reachable. vertices: (id);
-    edges: (src, dst), treated as undirected."""
+    edges: (src, dst), treated as undirected.
+
+    dedupe=False skips the distinct over the symmetrized list (a full
+    edge shuffle) when the input rows are unique with src<dst or src≠dst
+    pairs — the mirror halves are then disjoint by construction and
+    duplicates can't exist. Min-propagation is idempotent over
+    duplicates, so this is a planning hint, never a correctness risk."""
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .distinct().localCheckpoint())
+                                     F.col("src").alias("dst"))))
+    if dedupe:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
     m = sym.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)

@@ -1259,7 +1259,10 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cooccurrence_unordered(_items(spark, sf_dir))
     vertices = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"))
-    return connected_components(vertices, pairs.select("src", "dst"))
+    # pairs are distinct src<dst by construction -> skip the
+    # defensive distinct over the symmetrized list (planning hint)
+    return connected_components(vertices, pairs.select("src", "dst"),
+                                dedupe=False)
 
 
 @register("shortest_paths_landmark", f"""
@@ -1281,7 +1284,9 @@ def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = symmetrize(cooccurrence_unordered(_items(spark, sf_dir)))
     landmark = (load_table(spark, sf_dir, "part")
                 .agg(F.min("p_partkey").alias("id")))
-    return shortest_paths(pairs.select("src", "dst"), landmark, max_hops=8)
+    # symmetrized distinct pairs -> unique rows by construction
+    return shortest_paths(pairs.select("src", "dst"), landmark,
+                          max_hops=8, dedupe=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1344,7 +1349,7 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     vertices = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(vertices, pairs.select("src", "dst"),
-                                max_iter=20)
+                                max_iter=20, dedupe=False)
     return (comp.groupBy(F.col("component").alias("canonical_doc_id"))
             .agg(F.count(F.lit(1)).alias("cluster_size"))
             .filter(F.col("cluster_size") > 1))
