@@ -93,3 +93,57 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_interval_join_is_single_hash_join(spark):
+    """The band join must ride the user_id equi key — one hash join with
+    the time band as its condition, never a cartesian/BNL product."""
+    plan = _formatted_plan(spark, "events_followup_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS expands via one Expand node over one scan of orders —
+    not one aggregation pass per grouping set."""
+    plan = _formatted_plan(spark, "revenue_grouping_sets")
+    assert plan.count("Expand") >= 1
+    # one scan per input table (orders, customer, nation, region) — the
+    # Expand means no per-grouping-set rescan of orders (formatted mode
+    # prints each scan once in the tree and once in the detail section)
+    import re
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 4
+
+
+def test_inactive_customers_pushes_date_filter(spark):
+    """The cutoff predicate must reach the orders parquet scan."""
+    plan = _formatted_plan(spark, "customers_inactive_since")
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l
+               for l in pushed)
+
+
+def test_rolling_revenue_broadcasts_dims_and_windows_post_agg(spark):
+    """Dims broadcast; the window runs over the aggregated frame, so the
+    plan has exactly one shuffle for the groupBy plus the tiny window
+    partition-by — never a window over the fact table."""
+    plan = _formatted_plan(spark, "orders_rolling_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+
+
+def test_salted_agg_two_levels(spark):
+    plan = _formatted_plan(spark, "events_type_counts_salted")
+    # phase-1 (type, salt) agg + phase-2 collapse = ≥2 HashAggregate pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_fk_orphans_no_broadcast_of_fact_parent(spark):
+    """The lineitem→orders orphan check must shuffle (orders is
+    fact-sized); dimension parents broadcast."""
+    plan = _formatted_plan(spark, "fk_orphans")
+    assert "BroadcastHashJoin" in plan
+    # at least one anti join NOT broadcast (the orders parent)
+    anti_lines = [l for l in plan.split("\n") if "LeftAnti" in l]
+    assert any("Broadcast" not in l for l in anti_lines), anti_lines
