@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "dedup_simhash",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",

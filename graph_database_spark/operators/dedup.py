@@ -276,3 +276,73 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+
+
+def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
+                              num_hashes: int = 64, bands: int = 16,
+                              n: int = 3, threshold: float = 0.5,
+                              text_col: str = "text") -> DataFrame:
+    """Incremental near-dup: (src=left doc, dst=right doc, jaccard) for
+    cross-corpus pairs only — the production shape where a NEW ingest
+    batch (left) is deduped against the EXISTING corpus (right) without
+    re-running corpus×corpus pairs.
+
+    Signatures are computed over the union here for self-containment; at
+    100 TB the right side's signatures/buckets are a precomputed table
+    (signatures are append-only — exactly what makes MinHash incremental:
+    bucket-join new signatures against the stored bucket index, touching
+    only colliding corpus docs). The candidate join is restricted to
+    cross-side pairs, so batch size — not corpus size — bounds the
+    quadratic stage.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    tagged = (left.select("doc_id", text_col)
+              .withColumn("__side", F.lit("L"))
+              .unionByName(right.select("doc_id", text_col)
+                           .withColumn("__side", F.lit("R"))))
+    sig = minhash_signatures(tagged, num_hashes, n, text_col) \
+        .join(tagged.select("doc_id", "__side"), "doc_id")
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            _bucket_fold([F.element_at("minhash", b * rows + r + 1)
+                          for r in range(rows)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (sig.select("doc_id", "__side", F.explode(band_cols).alias("bb"))
+               .select("doc_id", "__side", "bb.band", "bb.bucket"))
+    cand = (
+        buckets.filter("__side = 'L'").alias("x").join(
+            buckets.filter("__side = 'R'").alias("y"),
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")))
+        .select(F.col("x.doc_id").alias("src"),
+                F.col("y.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    l_docs = cand.select(F.col("src").alias("doc_id")).distinct()
+    r_docs = cand.select(F.col("dst").alias("doc_id")).distinct()
+    ls = _doc_shingles(left, text_col, n).join(l_docs, "doc_id", "left_semi")
+    rs = _doc_shingles(right, text_col, n).join(r_docs, "doc_id", "left_semi")
+    l_sizes = ls.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
+    r_sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dst"))
+    shared = (
+        ls.alias("a").join(rs.alias("b"),
+                           F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(cand, ["src", "dst"], "left_semi")
+    )
+    return (
+        shared
+        .join(l_sizes.withColumnRenamed("doc_id", "src"), "src")
+        .join(r_sizes.withColumnRenamed("doc_id", "dst"), "dst")
+        .withColumn("jaccard", F.col("shared")
+                    / (F.col("n_src") + F.col("n_dst") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )

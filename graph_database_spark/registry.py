@@ -1925,3 +1925,76 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer.c_nationkey", load_table(spark, sf_dir, "customer"),
          "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey"),
     ])
+
+
+def _sql_minhash_incremental_oracle(batch_source: str = "src0") -> str:
+    """Replays minhash_lsh_pairs_between: L = documents from
+    `batch_source`, R = the rest; candidates and verification restricted
+    to cross-side pairs."""
+    from .operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+    a = ", ".join(str(x) for x in MINHASH_A)
+    b = ", ".join(str(x) for x in MINHASH_B)
+    return f"""
+WITH ds AS ({_SQL_SHINGLES}),
+sides AS (SELECT doc_id,
+                 CASE WHEN source = '{batch_source}' THEN 'L' ELSE 'R' END
+                   AS side
+          FROM documents),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P} AS base
+  FROM ds
+),
+coeff AS (
+  SELECT unnest(range(0, 64)) AS i,
+         unnest([{a}]) AS a, unnest([{b}]) AS b
+),
+sig AS (
+  SELECT doc_id, i, MIN((a * base + b) % {HASH_P}) AS mh
+  FROM hs CROSS JOIN coeff GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
+  FROM sig GROUP BY doc_id, i // 4
+),
+bk AS (
+  SELECT doc_id, band,
+         ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
+          + l[4]) % {HASH_P} AS bucket
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM bk x JOIN sides sx ON x.doc_id = sx.doc_id AND sx.side = 'L'
+  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+  JOIN sides sy ON y.doc_id = sy.doc_id AND sy.side = 'R'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM ds a JOIN sides sa ON a.doc_id = sa.doc_id AND sa.side = 'L'
+  JOIN ds b ON a.shingle = b.shingle
+  JOIN sides sb ON b.doc_id = sb.doc_id AND sb.side = 'R'
+  GROUP BY 1, 2
+)
+SELECT shared.src, shared.dst,
+       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6)
+            AS DOUBLE) AS jaccard
+FROM shared
+JOIN cand ON shared.src = cand.src AND shared.dst = cand.dst
+JOIN sizes sa ON shared.src = sa.doc_id
+JOIN sizes sb ON shared.dst = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+
+@register("dedup_incremental_minhash", _sql_minhash_incremental_oracle())
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus near-dup (the incremental production shape):
+    batch = documents with source='src0', corpus = the rest."""
+    from .operators.dedup import minhash_lsh_pairs_between
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_between(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        num_hashes=64, bands=16, n=3, threshold=0.5)
