@@ -99,3 +99,33 @@ def healthcheck(spark: SparkSession) -> bool:
         return spark.sql("SELECT 1 AS ok").first()["ok"] == 1
     except Exception:
         return False
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None, **options) -> DataFrame:
+    """ORC reader (columnar sibling of parquet: same pushdown/pruning;
+    Hive-ecosystem interchange format)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True, **options) -> None:
+    """CSV export (interchange only — no pushdown/pruning on re-read;
+    never the storage format for pipeline state)."""
+    df.write.mode(mode).options(header=header, **options).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               **options) -> None:
+    df.write.mode(mode).options(**options).json(path)

@@ -99,3 +99,26 @@ def test_streaming_sessions(spark):
     for r in rows[:50]:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from graph_database_spark.sources.connectors import read_orc, write_orc
+    from graph_database_spark.sources.testdata import load_table
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(src.columns)
+    assert back.count() == src.count()
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from graph_database_spark.sources.connectors import (
+        read_csv, read_json, write_csv, write_json)
+    from graph_database_spark.sources.testdata import load_table
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    cpath, jpath = str(tmp_path / "r_csv"), str(tmp_path / "r_json")
+    write_csv(src, cpath)
+    write_json(src, jpath)
+    assert read_csv(spark, cpath, src.schema).count() == src.count()
+    assert read_json(spark, jpath, src.schema).count() == src.count()
