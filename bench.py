@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "graph_degree_histogram",
     "customer_rfm",
     "fk_orphans",
+    "customer_value_deciles",
+    "order_baskets",
     "customer_cf",
     "similarity_jaccard_topk",
     "seed_expansion",

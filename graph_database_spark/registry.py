@@ -1998,3 +1998,62 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         docs.filter(F.col("source") != "src0"),
         num_hashes=64, bands=16, n=3, threshold=0.5)
+
+
+@register("customer_value_deciles", """
+WITH m AS (
+  SELECT o_custkey AS customer_id,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT customer_id,
+         NTILE(10) OVER (ORDER BY mon DESC, customer_id ASC) AS decile,
+         mon
+  FROM m
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(mon), 2) AS DOUBLE) AS revenue
+FROM d GROUP BY 1
+""")
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking battery: customers bucketed into spend deciles.
+    The total ordering key (monetary desc, customer_id) is unique, so
+    bucket assignment is deterministic in both engines. The window runs
+    over the per-customer aggregate (|customers| rows), never the fact
+    table; the single-partition window is fine exactly because the
+    aggregate is dimension-sized — at a fact-sized population you'd
+    switch to approx quantile cutpoints and a broadcast range join."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    m = (o.groupBy(F.col("o_custkey").alias("customer_id"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+               .alias("mon")))
+    w = Window.orderBy(F.desc("mon"), F.asc("customer_id"))
+    d = m.select("customer_id", "mon", F.ntile(10).over(w).alias("decile"))
+    return (d.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("mon"), 2).cast("double").alias("revenue")))
+
+
+@register("order_baskets", """
+SELECT l_orderkey AS order_id,
+       CAST(COUNT(DISTINCT l_partkey) AS INT) AS basket_size,
+       array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))),
+                       ',') AS basket
+FROM lineitem GROUP BY 1
+""")
+def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: per-order basket as a sorted product-id
+    list (collect_set → sort_array → concat_ws). The serialized-string
+    form keeps the oracle comparison engine-portable; the array column
+    itself is the input shape for basket-analysis/FP-growth style work.
+    NOTE sort is lexicographic on the string ids in BOTH engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_orderkey").alias("order_id"))
+            .agg(F.countDistinct("l_partkey").cast("int")
+                  .alias("basket_size"),
+                 F.concat_ws(",", F.sort_array(
+                     F.collect_set(F.col("l_partkey").cast("string"))))
+                  .alias("basket")))

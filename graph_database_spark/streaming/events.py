@@ -85,6 +85,45 @@ def sliding_window_counts_stream(events: DataFrame,
     )
 
 
+def interval_join_stream(events: DataFrame,
+                         trigger_type: str = "signup",
+                         response_type: str = "purchase",
+                         horizon_hours: int = 24,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: triggers ⋈ responses by the same user
+    within (trigger_ts, trigger_ts + horizon] — the streaming twin of
+    operators/relational_ext.interval_followups' matching pairs.
+
+    Both sides carry watermarks and the join condition bounds response_ts
+    relative to trigger_ts, so Spark can expire join state: a buffered
+    trigger is dropped once the response watermark passes its horizon,
+    and vice versa — state is bounded by (horizon + watermark) of
+    traffic, not the stream length. This is THE operator that makes
+    event-correlation pipelines feasible as streams at 100 TB/day.
+
+    Returns (trigger_id, user_id, trigger_ts, response_ts) matched pairs
+    (append mode; aggregation to per-trigger counts happens downstream —
+    chaining another streaming agg after a stream-stream join needs
+    Spark's multiple-stateful-operator support and an output-mode
+    trade-off, so the count twin stays batch).
+    """
+    trig = (events.filter(F.col("event_type") == trigger_type)
+            .select(F.col("event_id").alias("trigger_id"),
+                    "user_id", F.col("ts").alias("trigger_ts"))
+            .withWatermark("trigger_ts", watermark))
+    resp = (events.filter(F.col("event_type") == response_type)
+            .select(F.col("user_id").alias("r_user"),
+                    F.col("ts").alias("response_ts"))
+            .withWatermark("response_ts", watermark))
+    return trig.join(
+        resp,
+        (trig["user_id"] == resp["r_user"])
+        & (resp["response_ts"] > trig["trigger_ts"])
+        & (resp["response_ts"] <= trig["trigger_ts"]
+           + F.expr(f"INTERVAL {horizon_hours} HOURS")),
+    ).select("trigger_id", "user_id", "trigger_ts", "response_ts")
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str,
                          output_mode: str = "update"):
     """Drive a streaming aggregation to completion against a static

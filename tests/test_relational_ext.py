@@ -80,3 +80,22 @@ def test_sliding_stream_matches_batch(spark):
         load_table(spark, SF_DIR, "events")).collect()
     key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
     assert {key(r): r["n"] for r in got} == {key(r): r["n"] for r in batch}
+
+
+def test_interval_join_stream_matches_batch_pairs(spark):
+    from graph_database_spark.streaming.events import (
+        interval_join_stream, run_stream_to_memory)
+    stream = read_event_stream(spark, SF_DIR)
+    q = run_stream_to_memory(interval_join_stream(stream), "sjoin",
+                             output_mode="append")
+    try:
+        got = spark.sql(
+            "SELECT trigger_id, response_ts FROM sjoin").collect()
+    finally:
+        q.stop()
+    ev = load_table(spark, SF_DIR, "events")
+    batch = interval_followups(ev).filter("n_followups > 0").collect()
+    # total matched pairs equals the batch sum of followup counts
+    assert len(got) == sum(r["n_followups"] for r in batch)
+    assert {r["trigger_id"] for r in got} \
+        == {r["event_id"] for r in batch}
