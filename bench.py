@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "customers_inactive_since",
     "events_dow_hour",
     "graph_degree_histogram",
+    "graph_triangle_count",
     "customer_rfm",
     "fk_orphans",
     "customer_value_deciles",

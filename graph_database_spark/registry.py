@@ -2057,3 +2057,43 @@ def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat_ws(",", F.sort_array(
                      F.collect_set(F.col("l_partkey").cast("string"))))
                   .alias("basket")))
+
+
+@register("graph_triangle_count", f"""
+WITH base AS ({_SQL_ITEMS}),
+e AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM e ab
+             JOIN e bc ON ab.dst = bc.src
+             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+            AS BIGINT) AS n_triangles
+""")
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the ≥2-support co-occurrence graph — the
+    clustering signal graph engines report (and the basis of truss/
+    community metrics). Edges are oriented src<dst so each triangle is
+    counted exactly once by the two-hop wedge join + closing-edge check.
+    The support threshold is what bounds wedge fan-out at scale (the
+    standard trick: count triangles on the significant-edge subgraph);
+    the thresholded edge set broadcasts, so the wedge join and the
+    closing check never shuffle."""
+    items = _items(spark, sf_dir)
+    e = (cooccurrence_unordered(items)
+         .filter(F.col("count") >= 2)
+         .select("src", "dst")
+         .localCheckpoint())
+    n_edges = e.count()
+    be = F.broadcast(e)
+    ab, bc, ac = e.alias("ab"), be.alias("bc"), be.alias("ac")
+    tri = (ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+           .join(ac, (F.col("ac.src") == F.col("ab.src"))
+                 & (F.col("ac.dst") == F.col("bc.dst"))))
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"))
