@@ -130,6 +130,16 @@ class PropertyGraph:
                                     e.select("src", "dst"),
                                     max_iter=max_iter)
 
+    def label_propagation(self, rel_type: str | None = None,
+                          max_iter: int = 10) -> DataFrame:
+        """(id, community) — deterministic synchronous LPA
+        (graphs/traversal.label_propagation)."""
+        from .traversal import label_propagation
+        e = self.edges if rel_type is None \
+            else self.edges.filter(F.col("rel_type") == rel_type)
+        return label_propagation(self.vertices.select("id"),
+                                 e.select("src", "dst"), max_iter=max_iter)
+
     def shortest_paths(self, landmarks: DataFrame, max_hops: int = 20,
                        rel_type: str | None = None) -> DataFrame:
         from .traversal import shortest_paths

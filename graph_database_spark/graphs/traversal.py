@@ -151,3 +151,65 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         if unchanged:
             break
     return labels
+
+
+def label_propagation(vertices: DataFrame, edges: DataFrame,
+                      max_iter: int = 10,
+                      num_partitions: int | None = None,
+                      dedupe: bool = True) -> DataFrame:
+    """(id, community) via synchronous label propagation with a
+    deterministic tie-break: each superstep every vertex adopts the
+    label most frequent among its neighbors, ties broken by the SMALLEST
+    label (so runs are reproducible — asynchronous/random-order LPA is
+    not). Isolated vertices keep their own id. Undirected: pass src<dst
+    pairs; the symmetrized list is built here.
+
+    Same Pregel-on-DataFrames shape as connected_components: per
+    superstep one edge⋈labels join, a (dst, label) count aggregate, and
+    an argmax-by-(count desc, label asc) window over neighbor label
+    histograms — all shuffle-bounded by the edge count. LPA on huge
+    graphs typically runs a FIXED small iteration budget (it may
+    oscillate rather than converge), which is the contract here: no
+    convergence probe, exactly max_iter supersteps.
+    """
+    from pyspark.sql import Window
+
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))))
+    if dedupe:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
+    m = sym.count()
+    n_parts = num_partitions or _iter_partitions(
+        edges.sparkSession.sparkContext, m)
+    bcast_state = m <= _BROADCAST_STATE_ROWS
+    if not bcast_state:
+        sym = sym.repartition(n_parts, "src").localCheckpoint()
+
+    labels = vertices.select("id", F.col("id").alias("community")) \
+        .repartition(n_parts, "id").localCheckpoint()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
+
+    w = (Window.partitionBy("id")
+         .orderBy(F.desc("cnt"), F.asc("community")))
+    for _ in range(max_iter):
+        hist = (
+            sym.join(_b(labels), labels["id"] == sym["src"])
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (hist
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter("__rn = 1")
+                  .select("id", F.col("community").alias("n_comm")))
+        labels = (
+            labels.join(_b(winner), "id", "left")
+            .select("id", F.coalesce(F.col("n_comm"), F.col("community"))
+                     .alias("community"))
+            .repartition(n_parts, "id")
+            .localCheckpoint()
+        )
+    return labels

@@ -50,3 +50,29 @@ def test_toy_cooccurrence_paths(spark, toy):
                                    num_partitions=4).collect()}
     # P1—P2—P4 chain (FIXTURES §3 adjacency); P3 unreachable
     assert got == {"P1": 0, "P2": 1, "P4": 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from graph_database_spark.graphs.traversal import label_propagation
+    # two 4-cliques joined by one bridge edge — LPA must keep them as
+    # two communities (the bridge can't outvote 3 clique neighbors)
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]  # noqa: E731
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 11, 12, 13, 14]],
+                              "id long")
+    got = {r["id"]: r["community"]
+           for r in label_propagation(v, e, max_iter=5).collect()}
+    assert len({got[i] for i in [1, 2, 3, 4]}) == 1
+    assert len({got[i] for i in [11, 12, 13, 14]}) == 1
+    assert got[1] != got[11]
+
+
+def test_label_propagation_deterministic(spark):
+    from graph_database_spark.graphs.traversal import label_propagation
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    a = sorted(map(tuple, label_propagation(v, e, max_iter=4).collect()))
+    b = sorted(map(tuple, label_propagation(v, e, max_iter=4).collect()))
+    assert a == b
