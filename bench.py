@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "nation_revenue_share",
     "customers_inactive_since",
     "events_dow_hour",
+    "event_funnel",
+    "weekly_retention",
+    "cooccurrence_weighted",
     "graph_degree_histogram",
     "graph_triangle_count",
     "customer_rfm",

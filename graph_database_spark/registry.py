@@ -2097,3 +2097,131 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnel + retention (the product-analytics
+# queries an events table exists to answer; both deterministic
+# first-touch semantics so the oracle pins values exactly).
+# ---------------------------------------------------------------------------
+
+@register("event_funnel", """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v
+    ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c
+    ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'view' AS step, CAST(1 AS INT) AS step_order,
+       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS INT), CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS INT), CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+""")
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel, strict first-touch
+    ordering: a user advances a step only with an event STRICTLY after
+    their first event of the previous step. Each stage is a per-user min
+    aggregate semi-joined to the previous stage — |users|-sized frames
+    throughout; the events scan happens once per stage with the
+    event_type predicate pushed to parquet."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type",
+                                                    "ts")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = (e.join(prev.select("user_id",
+                                    F.col("t").alias("__pt")), "user_id")
+                 .filter(F.col("ts") > F.col("__pt")))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [("view", 1, v), ("click", 2, c), ("purchase", 3, p)]
+    out = None
+    for step, order, df in counts:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(order).cast("int").alias("step_order"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register("weekly_retention", """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0)
+              AS INT) AS offset_weeks,
+         f.d0
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+       offset_weeks, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+""")
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each subsequent week-offset they were active. Offsets use day
+    arithmetic from the user's own first day (not calendar-week
+    boundaries) so both engines compute identical buckets; the cohort
+    label is the Monday of the first-seen week. Two aggregations over
+    events with a |users|-sized broadcast join between them."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = (ev.join(F.broadcast(first), "user_id")
+           .select("user_id", "d0",
+                   F.floor(F.datediff("d", "d0") / 7.0)
+                    .cast("int").alias("offset_weeks"))
+           .distinct())
+    return (act.groupBy(
+                F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
+                "offset_weeks")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register("cooccurrence_weighted", f"""
+WITH base AS (
+  SELECT l_orderkey AS order_id, l_partkey AS product_id,
+         CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.product_id AS src, b.product_id AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(a.qty * b.qty) AS BIGINT) AS qty_weight
+FROM base a JOIN base b
+  ON a.order_id = b.order_id AND a.product_id < b.product_id
+GROUP BY 1, 2
+""")
+def q_cooccurrence_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted co-occurrence: pair affinity = Σ qty_a·qty_b
+    over shared orders (basket-strength, not just basket-presence —
+    the input the weighted-graph operators would consume). Same
+    self-join shape as the count form with a per-(order, product)
+    quantity pre-aggregate enforcing the PK invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (li.groupBy(F.col("l_orderkey").alias("order_id"),
+                       F.col("l_partkey").alias("product_id"))
+            .agg(F.sum(F.col("l_quantity").cast("int")).alias("qty")))
+    a, b = base.alias("a"), base.alias("b")
+    return (a.join(b, (F.col("a.order_id") == F.col("b.order_id"))
+                   & (F.col("a.product_id") < F.col("b.product_id")))
+            .groupBy(F.col("a.product_id").alias("src"),
+                     F.col("b.product_id").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("a.qty") * F.col("b.qty")).alias("qty_weight")))
