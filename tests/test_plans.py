@@ -147,3 +147,28 @@ def test_fk_orphans_no_broadcast_of_fact_parent(spark):
     # at least one anti join NOT broadcast (the orders parent)
     anti_lines = [l for l in plan.split("\n") if "LeftAnti" in l]
     assert any("Broadcast" not in l for l in anti_lines), anti_lines
+
+
+def test_graph_sink_partition_pruning(spark, tmp_path):
+    """Edges written rel_type-partitioned must prune at the directory
+    level: a rel_type filter shows up as a PartitionFilter, not a data
+    filter over all files."""
+    from graph_database_spark.sources.connectors import write_graph, read_graph
+    from graph_database_spark.sources.toy import toy_dataset
+    from graph_database_spark.graphs.api import PropertyGraph
+    from pyspark.sql import functions as F
+
+    t = toy_dataset(spark)
+    g = PropertyGraph.from_tables(t["customers"], t["categories"],
+                                  t["products"], t["orders"],
+                                  t["order_items"], events=t["events"])
+    path = str(tmp_path / "pg")
+    write_graph(g.vertices, g.edges, path)
+    _, edges = read_graph(spark, path)
+    q = edges.filter(F.col("rel_type") == "CONTAINS")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    part = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert part and any("rel_type" in l for l in part), plan
+    assert q.count() == g.edges.filter("rel_type = 'CONTAINS'").count()
