@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "similarity_jaccard_topk",
     "seed_expansion",
     "recommend_batch",
+    "recommend_focal_blend",
     "events_hourly",
     "sessionization",
     "events_props_stats",

@@ -2225,3 +2225,100 @@ def q_cooccurrence_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.product_id").alias("dst"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("a.qty") * F.col("b.qty")).alias("qty_weight")))
+
+
+@register("recommend_focal_blend", f"""
+WITH base AS ({_SQL_ITEMS}),
+inc AS ({_SQL_INC}),
+seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL}),
+cooc AS (
+  SELECT b.product_id AS pid, CAST(COUNT(*) AS DOUBLE) AS sc
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  WHERE a.product_id IN (SELECT product_id FROM seeds)
+    AND b.product_id NOT IN (SELECT product_id FROM seeds)
+  GROUP BY 1
+),
+sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY 1),
+inter AS (
+  SELECT s.product_id AS sp, c.product_id AS cp, COUNT(*) AS i
+  FROM inc s JOIN inc c
+    ON s.customer_id = c.customer_id AND s.product_id <> c.product_id
+  WHERE s.product_id IN (SELECT product_id FROM seeds)
+    AND c.product_id NOT IN (SELECT product_id FROM seeds)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT inter.cp AS pid,
+         SUM(CAST(i AS DOUBLE) / (ss.n + cs.n - i)) AS sc
+  FROM inter
+  JOIN sizes ss ON inter.sp = ss.product_id
+  JOIN sizes cs ON inter.cp = cs.product_id
+  GROUP BY 1
+),
+mx AS (SELECT (SELECT MAX(sc) FROM cooc) AS mc, (SELECT MAX(sc) FROM sim) AS ms),
+blended AS (
+  SELECT COALESCE(cooc.pid, sim.pid) AS product_id,
+         0.4 * COALESCE(cooc.sc, 0.0) / mx.mc
+         + 0.3 * COALESCE(sim.sc, 0.0) / mx.ms AS score
+  FROM cooc FULL OUTER JOIN sim ON cooc.pid = sim.pid
+  CROSS JOIN mx
+)
+SELECT product_id, CAST(ROUND(score, 6) AS DOUBLE) AS score
+FROM blended WHERE score > 0
+ORDER BY score DESC, product_id ASC LIMIT 10
+""")
+def q_recommend_focal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp1's Q1 composite (recommend_for_customer, recommendation.py:
+    44-68,198-222) under the value-level gate: seeds → two strategy
+    score maps (seed-expansion co-occurrence J4 + summed Jaccard J5) →
+    per-strategy max-normalization (A8) → STRATEGY_WEIGHTS blend
+    (0.4 co-occurrence / 0.3 similarity, recommendation.py:10-14) →
+    value<=0 drop → deterministic top-10 (W1). The PPR strategy is
+    covered separately (pagerank_fixed20 / goldens) — iterative terms
+    don't belong in a closed-form oracle.
+
+    Plan: seeds broadcast into both strategy branches; each branch ends
+    in a product-sized aggregate; normalization is a broadcast 1-row max
+    crossJoin; blend is a full outer join of two product-sized frames —
+    nothing fact-sized crosses a shuffle after the strategy aggregates."""
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)) \
+        .localCheckpoint()
+    focal = _focal_customer(spark, sf_dir)
+    seeds = (inc.filter(F.col("customer_id") == F.lit(focal))
+             .select("product_id"))
+    cooc = seed_expansion_scores_from_items(_items(spark, sf_dir), seeds) \
+        .select("product_id", F.col("score").cast("double").alias("sc"))
+
+    sizes = inc.groupBy("product_id").agg(F.count(F.lit(1)).alias("n"))
+    s_inc = (inc.join(F.broadcast(seeds.withColumnRenamed(
+                 "product_id", "sp")), inc["product_id"] == F.col("sp"))
+             .select("customer_id", "sp"))
+    c_inc = (inc.join(F.broadcast(seeds), "product_id", "left_anti")
+             .select("customer_id", F.col("product_id").alias("cp")))
+    inter = (s_inc.join(c_inc, "customer_id")
+             .groupBy("sp", "cp").agg(F.count(F.lit(1)).alias("i")))
+    sim = (inter
+           .join(F.broadcast(sizes.withColumnRenamed("product_id", "sp")
+                             .withColumnRenamed("n", "ns")), "sp")
+           .join(F.broadcast(sizes.withColumnRenamed("product_id", "cp")
+                             .withColumnRenamed("n", "nc")), "cp")
+           .groupBy(F.col("cp").alias("product_id"))
+           .agg(F.sum(F.col("i").cast("double")
+                      / (F.col("ns") + F.col("nc") - F.col("i"))).alias("sc")))
+
+    mx = (cooc.agg(F.max("sc").alias("mc"))
+          .crossJoin(sim.agg(F.max("sc").alias("ms"))))
+    blended = (
+        cooc.withColumnRenamed("sc", "sc_c")
+        .join(sim.withColumnRenamed("sc", "sc_s"), "product_id", "full_outer")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "product_id",
+            (0.4 * F.coalesce(F.col("sc_c"), F.lit(0.0)) / F.col("mc")
+             + 0.3 * F.coalesce(F.col("sc_s"), F.lit(0.0)) / F.col("ms")
+             ).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return (blended.orderBy(F.desc("score"), F.asc("product_id")).limit(10)
+            .select("product_id", F.round("score", 6).alias("score")))
