@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "recommend_batch",
     "recommend_focal_blend",
     "events_hourly",
+    "events_hourly_gapfill",
     "sessionization",
     "events_props_stats",
     "graph_vertices",

@@ -2322,3 +2322,46 @@ def q_recommend_focal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (blended.orderBy(F.desc("score"), F.asc("product_id")).limit(10)
             .select("product_id", F.round("score", 6).alias("score")))
+
+
+@register("events_hourly_gapfill", """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, t.event_type, COALESCE(h.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+""")
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a complete (hour × event_type) spine
+    with zero-filled counts — the resample shape time-series stores give
+    for free and plain SQL loses (missing hours silently vanish from
+    GROUP BY). The spine generates from a 1-row bounds aggregate
+    (sequence() is JVM-side), so its cost is |hours|·|types| rows
+    regardless of event volume; the hourly aggregate is the only
+    fact-sized pass."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine = bounds.select(F.explode(F.expr(
+        "sequence(h0, h1, interval 1 hour)")).alias("hour"))
+    types = ev.select("event_type").distinct()
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (spine.crossJoin(types)
+            .join(hourly, ["hour", "event_type"], "left")
+            .select("hour", "event_type",
+                    F.coalesce("n", F.lit(0)).alias("n")))
