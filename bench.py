@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "seed_expansion",
     "recommend_batch",
     "recommend_focal_blend",
+    "strategy_breakdown_focal",
     "events_hourly",
     "events_hourly_gapfill",
     "sessionization",

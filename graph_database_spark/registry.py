@@ -2365,3 +2365,82 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(hourly, ["hour", "event_type"], "left")
             .select("hour", "event_type",
                     F.coalesce("n", F.lit(0)).alias("n")))
+
+
+@register("strategy_breakdown_focal", f"""
+WITH base AS ({_SQL_ITEMS}),
+inc AS ({_SQL_INC}),
+seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL}),
+cooc AS (
+  SELECT b.product_id AS pid, CAST(COUNT(*) AS DOUBLE) AS sc
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  WHERE a.product_id IN (SELECT product_id FROM seeds)
+    AND b.product_id NOT IN (SELECT product_id FROM seeds)
+  GROUP BY 1
+),
+sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY 1),
+inter AS (
+  SELECT s.product_id AS sp, c.product_id AS cp, COUNT(*) AS i
+  FROM inc s JOIN inc c
+    ON s.customer_id = c.customer_id AND s.product_id <> c.product_id
+  WHERE s.product_id IN (SELECT product_id FROM seeds)
+    AND c.product_id NOT IN (SELECT product_id FROM seeds)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT inter.cp AS pid,
+         SUM(CAST(i AS DOUBLE) / (ss.n + cs.n - i)) AS sc
+  FROM inter
+  JOIN sizes ss ON inter.sp = ss.product_id
+  JOIN sizes cs ON inter.cp = cs.product_id
+  GROUP BY 1
+),
+ranked AS (
+  SELECT 'co_occurrence' AS strategy, pid AS product_id,
+         CAST(ROUND(sc, 6) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (ORDER BY sc DESC, pid ASC) AS rn
+  FROM cooc
+  UNION ALL
+  SELECT 'similarity', pid, CAST(ROUND(sc, 6) AS DOUBLE),
+         ROW_NUMBER() OVER (ORDER BY sc DESC, pid ASC)
+  FROM sim
+)
+SELECT strategy, product_id, score FROM ranked WHERE rn <= 10
+""")
+def q_strategy_breakdown_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp1's Q2 strategy_breakdown (recommendation.py:70-89) at driver
+    scale: RAW un-normalized per-strategy scores, top-10 each with the
+    deterministic tie-break, for the two closed-form strategies (the PPR
+    strategy has its fixed-iteration oracle twin). Same branch plans as
+    recommend_focal_blend minus normalization/blending; per-strategy
+    top-10 is one WindowGroupLimit pass over the union."""
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)) \
+        .localCheckpoint()
+    focal = _focal_customer(spark, sf_dir)
+    seeds = (inc.filter(F.col("customer_id") == F.lit(focal))
+             .select("product_id"))
+    cooc = seed_expansion_scores_from_items(_items(spark, sf_dir), seeds) \
+        .select("product_id", F.col("score").cast("double").alias("sc"))
+    sizes = inc.groupBy("product_id").agg(F.count(F.lit(1)).alias("n"))
+    s_inc = (inc.join(F.broadcast(seeds.withColumnRenamed(
+                 "product_id", "sp")), inc["product_id"] == F.col("sp"))
+             .select("customer_id", "sp"))
+    c_inc = (inc.join(F.broadcast(seeds), "product_id", "left_anti")
+             .select("customer_id", F.col("product_id").alias("cp")))
+    sim = (s_inc.join(c_inc, "customer_id")
+           .groupBy("sp", "cp").agg(F.count(F.lit(1)).alias("i"))
+           .join(F.broadcast(sizes.withColumnRenamed("product_id", "sp")
+                             .withColumnRenamed("n", "ns")), "sp")
+           .join(F.broadcast(sizes.withColumnRenamed("product_id", "cp")
+                             .withColumnRenamed("n", "nc")), "cp")
+           .groupBy(F.col("cp").alias("product_id"))
+           .agg(F.sum(F.col("i").cast("double")
+                      / (F.col("ns") + F.col("nc") - F.col("i"))).alias("sc")))
+    both = (cooc.select(F.lit("co_occurrence").alias("strategy"),
+                        "product_id", "sc")
+            .unionByName(sim.select(F.lit("similarity").alias("strategy"),
+                                    "product_id", "sc")))
+    top = top_k_per_group(both, 10, "strategy", "sc", "product_id")
+    return top.select("strategy", "product_id",
+                      F.round("sc", 6).alias("score"))
