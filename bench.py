@@ -111,7 +111,10 @@ def main() -> None:
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     # warm the JVM + parquet footers once so per-query times measure compute
-    QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    try:
+        QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     # Steady-state methodology: run every query PASSES times and report the
     # per-query minimum. Pass 1 doubles as the plan-compile/codegen warmup;
@@ -119,19 +122,30 @@ def main() -> None:
     # neighbor interference), measuring the throughput that matters for a
     # long-running cluster job. Set SPARK_GRAFT_BENCH_PASSES=1 for the old
     # single-shot numbers.
+    #
+    # Fault isolation: one broken query must not take down the whole run —
+    # record its error and keep going; the JSON line always prints.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(passes):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                times.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -139,7 +153,10 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "methodology": "per-query min over passes (steady-state)",
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -30,13 +30,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
-        # rejects; read nanos as long and rebuild a microsecond timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts has shipped in two vintages: parquet TIMESTAMP(NANOS)
+    (which Spark only reads as int64 under the nanosAsLong legacy flag)
+    and plain timestamp[us]. Branch on the observed dtype so both work.
+    """
+    try:
         df = spark.read.parquet(path)
+    except Exception:
+        # nanos vintage without the flag: retry with nanosAsLong, restoring
+        # the previous session setting afterwards.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(path)
+    if ts_type == "timestamp_ntz":
+        # normalize to session-local TIMESTAMP so downstream date/window fns
+        # behave identically across vintages
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

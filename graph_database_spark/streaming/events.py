@@ -15,35 +15,61 @@ source-agnostic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
 from ..operators.weights import EVENT_WEIGHTS_DRIVER, event_weight_col
 
-# driver events.parquet schema with ts as raw nanos (see sources.testdata:
-# the parquet stores TIMESTAMP(NANOS); with nanosAsLong it reads as long)
-EVENTS_STREAM_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def _events_stream_schema(ts_is_nanos: bool) -> StructType:
+    # driver events.parquet schema; ts is either raw int64 nanos (legacy
+    # vintage, read as long) or a proper timestamp[us] column
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType() if ts_is_nanos else TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
                       glob: str = "events.parquet") -> DataFrame:
     """Streaming scan of an events parquet directory with a proper
     timestamp column. `glob` selects the event files when the directory
-    holds other tables (the driver testdata layout)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    holds other tables (the driver testdata layout).
+
+    Streaming sources need an explicit schema, so probe the parquet once
+    with a batch read (footer-only, no data scan) to learn which ts
+    vintage this directory carries — int64 nanos or timestamp[us] —
+    and shape the stream schema + conversion to match.
+    """
+    probe_path = os.path.join(events_dir, glob)
+    raw_probe = _raw_events_read(spark, probe_path)
+    ts_is_nanos = dict(raw_probe.dtypes).get("ts") == "bigint"
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(_events_stream_schema(ts_is_nanos))
            .option("pathGlobFilter", glob)
            .parquet(events_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def _raw_events_read(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read the events parquet without normalization, tolerating the
+    nanos vintage (which needs the legacy flag just to load)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
 
 
 def windowed_event_weights(events: DataFrame,
