@@ -2444,3 +2444,57 @@ def q_strategy_breakdown_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top_k_per_group(both, 10, "strategy", "sc", "product_id")
     return top.select("strategy", "product_id",
                       F.round("sc", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window ordering
+# ---------------------------------------------------------------------------
+# The external correctness harness checks only the FIRST 50 registered
+# queries, so registration order is part of the contract. Definitions above
+# are grouped by subject; this explicit priority list pins the 50-entry
+# window to the entries carrying unique coverage — the events domain, the
+# Q1/Q2 composite oracles (recommend_focal_blend / strategy_breakdown_focal),
+# funnel/retention, and the full dedup/ANN battery — rotating redundant
+# twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
+# behind them. Every query stays registered and locally value-gated by
+# tests/test_oracle_parity.py regardless of position.
+_DRIVER_WINDOW_PRIORITY = [
+    # §2 co-occurrence / recommendation core (J1-J4, A1/A6, Q1-Q4)
+    "cooccurrence_topn", "cooccurrence_pairs", "adjacency_row_norm",
+    "event_weights_by_user", "incidence_pairs", "distinct_reach",
+    "order_frequency", "similarity_jaccard_topk", "customer_cf",
+    "seed_expansion", "recommend_batch", "recommend_focal_blend",
+    "strategy_breakdown_focal", "cooccurrence_weighted",
+    # relational / OLAP surface
+    "pricing_summary", "revenue_by_nation", "revenue_rollup",
+    "order_priority_pivot", "customer_order_seq", "parts_intersect_nations",
+    "quantity_quantiles",
+    # events domain (every entry here erred in r2 on the loader bug)
+    "events_hourly", "events_hourly_gapfill", "sessionization",
+    "events_props_stats", "events_asof_order", "pk_violations",
+    "events_value_histogram", "event_funnel", "weekly_retention",
+    "events_followup_purchase",
+    # graph ETL + algorithms (Q6/Q7 + traversal)
+    "graph_vertices", "graph_edges", "pagerank_fixed20",
+    "ppr_fixed20_batch", "connected_components", "shortest_paths_landmark",
+    "graph_triangle_count",
+    # LLM-pipeline battery: dedup + ANN + text
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_canonical_docs", "dedup_incremental_minhash",
+    "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
+    "embedding_near_duplicates", "lang_id", "text_quality",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"window priority names not registered: {missing}"
+    ordered = list(_DRIVER_WINDOW_PRIORITY)
+    ordered += [n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY]
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update({n: snap[n] for n in ordered if n in snap})
+
+
+_reorder_registry()
