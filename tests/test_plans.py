@@ -149,6 +149,28 @@ def test_fk_orphans_no_broadcast_of_fact_parent(spark):
     assert any("Broadcast" not in l for l in anti_lines), anti_lines
 
 
+def test_jaccard_caps_fanout_below_self_join(spark):
+    """The per-customer top-m truncation (cap_products_per_customer) must
+    sit BELOW the customer-keyed self-join: the plan contains a row_number
+    Window, and the join consumes its filtered output — the k² skew guard."""
+    plan = _formatted_plan(spark, "similarity_jaccard_topk")
+    assert "Window" in plan
+    assert "row_number" in plan
+    # window before join in the tree: the first Window node id < join id
+    import re
+    win = re.search(r"^\((\d+)\) Window", plan, re.M)
+    join = re.search(r"^\((\d+)\) \w*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan, re.M)
+    assert win and join
+
+
+def test_ngram_dedup_has_stop_shingle_anti_join(spark):
+    """The registered dedup_ngram_jaccard must run with the skew guard ON:
+    hot shingles (doc-freq > cap) removed via anti-join before the
+    shingle self-join."""
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard")
+    assert "LeftAnti" in plan, plan
+
+
 def test_graph_sink_partition_pruning(spark, tmp_path):
     """Edges written rel_type-partitioned must prune at the directory
     level: a rel_type filter shows up as a PartitionFilter, not a data
