@@ -45,6 +45,53 @@ def test_global_pagerank_golden(toy_graph):
         assert got[k] == pytest.approx(v, abs=1e-4), k
 
 
+def _numpy_pagerank(n, edges, p_vec, damping=0.85, iters=30):
+    """Independent dense power iteration (SURVEY §4.3 cross-check):
+    r' = (1-d)·p + d·(Mᵀr + sink_mass/n), identical semantics to
+    graphs/pagerank.pagerank — uniform dangling redistribution, L1 state."""
+    import numpy as np
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[s, d] = w
+    sinks = np.where(M.sum(axis=1) == 0)[0]
+    r = np.full(n, 1.0 / n)
+    p = np.asarray(p_vec, dtype=float)
+    for _ in range(iters):
+        sink_mass = r[sinks].sum()
+        r = (1 - damping) * p + damping * (M.T @ r + sink_mass / n)
+    return r
+
+
+@pytest.mark.parametrize("case", ["sink", "personalized", "two_components"])
+def test_pagerank_matches_numpy_power_iteration(spark, case):
+    """GraphFrames-independent cross-check on 5-node graphs with sinks and
+    personalization: the Spark loop at fixed 30 iterations must agree with
+    a dense numpy power iteration to 1e-8."""
+    n = 5
+    ids = list(range(n))
+    # row-stochastic weighted edges (src, dst, weight); node 4 is a sink
+    edges = [(0, 1, 0.5), (0, 2, 0.5), (1, 2, 1.0),
+             (2, 3, 0.7), (2, 4, 0.3), (3, 0, 1.0)]
+    if case == "two_components":
+        # 0-1 cycle, 2→3→4(sink): disconnected + dangling in one graph
+        edges = [(0, 1, 1.0), (1, 0, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    if case == "personalized":
+        p_vec = [0.6, 0.0, 0.4, 0.0, 0.0]
+        pers = spark.createDataFrame(
+            [(0, 0.6), (2, 0.4)], ["id", "p"])
+    else:
+        p_vec = [1.0 / n] * n
+        pers = None
+    want = _numpy_pagerank(n, edges, p_vec)
+    vertices = spark.createDataFrame([(i,) for i in ids], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r["id"]: r["rank"] for r in
+           pagerank(vertices, edf, personalization=pers,
+                    tol=-1.0, max_iter=30, num_partitions=4).collect()}
+    for i in ids:
+        assert got[i] == pytest.approx(want[i], abs=1e-8), (case, i)
+
+
 def test_pagerank_batch_matches_single(spark, toy_graph):
     vertices, adj = toy_graph
     # personalized on seeds {P1} (customer C3's seed set)
