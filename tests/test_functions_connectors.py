@@ -122,3 +122,38 @@ def test_csv_json_roundtrip(spark, tmp_path):
     write_json(src, jpath)
     assert read_csv(spark, cpath, src.schema).count() == src.count()
     assert read_json(spark, jpath, src.schema).count() == src.count()
+
+
+def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
+    """events.parquet has shipped with ts as TIMESTAMP(NANOS) and as
+    timestamp[us]; load_table must normalize both to an identical
+    session-TZ timestamp column (the r2 regression: the loader assumed
+    nanos unconditionally and broke on the us vintage)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from graph_database_spark.sources.testdata import load_table
+
+    base = [datetime.datetime(2024, 3, 1, 12, 0, 0, 250000),
+            datetime.datetime(2024, 3, 2, 0, 30, 59, 999999)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "purchase"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for vintage, unit in (("us_dir", "us"), ("ns_dir", "ns")):
+        d = tmp_path / vintage
+        d.mkdir()
+        t = pa.table({**cols, "ts": pa.array(base, pa.timestamp(unit))})
+        pq.write_table(t, str(d / "events.parquet"))
+
+    got = {}
+    for vintage in ("us_dir", "ns_dir"):
+        df = load_table(spark, str(tmp_path / vintage), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", vintage
+        got[vintage] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect())
+    assert got["us_dir"] == got["ns_dir"]
+    assert [ts for _, ts in got["us_dir"]] == base
