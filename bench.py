@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "multimodal_features",
+    "doc_split_assignment",
+    "doc_sample_stratified",
+    "decontaminate_ngram",
 ]
 
 

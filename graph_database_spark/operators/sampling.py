@@ -1,0 +1,106 @@
+"""Deterministic sampling, splitting, and decontamination for training-data
+curation (beyond-reference, per the build brief).
+
+Everything keys off the engine-portable 60-bit md5 hash
+(`dedup.md5_long`), NOT `rand()`: random sampling is partition-layout
+dependent (a repartition changes the sample), while hash-of-key sampling
+is a pure per-row projection — reproducible across engines, runs, and
+cluster sizes, re-runnable on late-arriving data without resampling the
+world. That property is what makes these usable in a 100 TB pipeline:
+
+- split/sample are map-side only (zero shuffle on the big side; the
+  filter pushes to the scan's data filters),
+- the n-gram decontamination check broadcasts the benchmark's shingle
+  set against the streamed training corpus — the standard
+  "remove any training doc sharing an n-gram with the eval set"
+  pass (the GPT-3/LLaMA decontamination recipe), with the corpus side
+  never shuffled until the tiny per-doc hit count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_long, word_shingles
+
+#: hash-space denominator for rate thresholds — rates are exact to 1e-6
+SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, SAMPLE_BUCKETS) from the portable md5 hash of
+    the key's string form. DuckDB twin:
+    CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000.
+    """
+    return md5_long(key.cast("string")) % F.lit(SAMPLE_BUCKETS)
+
+
+def assign_split(df: DataFrame, key_col: str = "doc_id",
+                 weights: tuple[tuple[str, float], ...] = (
+                     ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 ) -> DataFrame:
+    """Add a deterministic `split` column partitioning rows by weight.
+
+    Cumulative-threshold assignment over the hash bucket: a row's split
+    never changes when data is added, removed, or repartitioned — the
+    invariant a train/val/test split must hold across pipeline re-runs.
+    """
+    total = sum(w for _, w in weights)
+    b = hash_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w / total
+        cond = b < F.lit(int(round(cum * SAMPLE_BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source",
+                      default_fraction: float = 0.0,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls under its stratum's rate — the domain-mixing primitive (e.g.
+    up-sample curated sources, down-sample crawl) expressed as one
+    map-side filter with no shuffle and no RNG state.
+    """
+    rate = None
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.lit(int(round(frac * SAMPLE_BUCKETS)))
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    default_thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    rate = default_thr if rate is None else rate.otherwise(default_thr)
+    return df.filter(hash_bucket(F.col(key_col)) < rate)
+
+
+def ngram_contamination(train: DataFrame, benchmark: DataFrame,
+                        n: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_shared): training docs sharing ≥1 word n-gram with the
+    benchmark corpus, with the count of distinct shared n-grams.
+
+    The benchmark side (eval sets — tiny by definition) collapses to a
+    distinct shingle set and BROADCASTS; the training corpus explodes to
+    (doc_id, shingle) and inner-joins it map-side, so the 100 TB side is
+    scanned once with no shuffle before the per-doc count. Docs with
+    n_shared > 0 are the contamination-removal candidates.
+    """
+    bench_shingles = (
+        benchmark
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    train_shingles = (
+        train
+        .select("doc_id",
+                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    )
+    return (
+        train_shingles
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

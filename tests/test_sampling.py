@@ -1,0 +1,86 @@
+"""Deterministic sampling/split/decontamination operators: invariance
+properties plus plan shape (the value-level oracle gate lives in
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_spark.operators.sampling import (
+    assign_split, hash_bucket, ngram_contamination, stratified_sample,
+)
+from graph_database_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_split_stable_under_repartition(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"]: r["split"]
+         for r in assign_split(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(docs.repartition(13))
+         .select("doc_id", "split").collect()}
+    assert a == b
+    # roughly 80/10/10 (hash uniformity at 500 docs: generous bounds)
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * n < train < 0.9 * n
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_stable_under_subset(spark):
+    """A doc's split must not depend on what other docs exist."""
+    docs = _docs(spark)
+    full = {r["doc_id"]: r["split"]
+            for r in assign_split(docs).select("doc_id", "split").collect()}
+    sub = {r["doc_id"]: r["split"]
+           for r in assign_split(docs.filter(F.col("doc_id") % 3 == 0))
+           .select("doc_id", "split").collect()}
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_stratified_sample_is_subset_and_per_stratum(spark):
+    docs = _docs(spark)
+    sampled = stratified_sample(docs, {"src0": 1.0}, default_fraction=0.0)
+    got = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    want = {r["doc_id"] for r in docs.filter("source = 'src0'")
+            .select("doc_id").collect()}
+    assert got == want  # rate 1.0 keeps the whole stratum, 0.0 drops rest
+
+
+def test_sample_filter_is_map_side(spark):
+    """The sampling predicate must be a scan-side filter: zero Exchange in
+    the plan — the property that makes it free at 100 TB."""
+    sampled = stratified_sample(
+        _docs(spark), {"src0": 0.5}, default_fraction=0.1)
+    plan = sampled._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = _docs(spark)
+    res = ngram_contamination(docs.filter("source <> 'src19'"),
+                              docs.filter("source = 'src19'"), n=4)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = res.collect()
+    # src19's near-dup partners overlap; every count positive
+    assert all(r["n_shared"] > 0 for r in rows)
+
+
+def test_hash_bucket_range(spark):
+    docs = _docs(spark)
+    mm = docs.select(hash_bucket(F.col("doc_id")).alias("b")) \
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
+    assert 0 <= mm["lo"] and mm["hi"] < 1_000_000
