@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "doc_split_assignment",
     "doc_sample_stratified",
     "decontaminate_ngram",
+    "documents_curated",
 ]
 
 

@@ -34,24 +34,43 @@ def _match_count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
-def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang): stopword-profile n-gram heuristic."""
-    low = F.lower(F.col(text_col))
-    counts = {lang: _match_count(low, pat).alias(f"c_{lang}")
+def lang_pred_col(text: Column) -> Column:
+    """Predicted-language Column (row-local expression) — argmax of
+    stopword-profile match counts, first-listed language wins ties."""
+    low = F.lower(text)
+    counts = {lang: _match_count(low, pat)
               for lang, pat in LANG_PATTERNS.items()}
-    df = documents.select("doc_id", *counts.values())
-    g = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_ORDER])
+    g = F.greatest(*[counts[lang] for lang in LANG_ORDER])
     pred = F.when(g == 0, F.lit("unknown"))
     for lang in LANG_ORDER:
-        pred = pred.when(F.col(f"c_{lang}") == g, F.lit(lang))
-    return df.select("doc_id", pred.alias("pred_lang"))
+        pred = pred.when(counts[lang] == g, F.lit(lang))
+    return pred
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): stopword-profile n-gram heuristic."""
+    return documents.select(
+        "doc_id", lang_pred_col(F.col(text_col)).alias("pred_lang"))
+
+
+def quality_col(text: Column) -> Column:
+    """[0,1] quality score Column, rounded to 6dp. Rational arithmetic
+    only (no exp/log) so the score is bit-identical across engines."""
+    words = _match_count(text, WS_TOKEN_PATTERN)
+    punct = _match_count(text, PUNCT_PATTERN)
+    stop = _match_count(F.lower(text), EN_STOPWORD_PATTERN)
+    word_count = F.when(words > 0, words).otherwise(F.lit(1))
+    punct_ratio = punct / word_count
+    stop_ratio = stop / word_count
+    return F.round(
+        F.least(words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25, 6)
 
 
 def text_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, word_count, punct_ratio, stopword_ratio, quality):
-    length/punctuation/stopword heuristics combined into a [0,1] score.
-    Rational arithmetic only (no exp/log) so the score is bit-identical
-    across engines."""
+    length/punctuation/stopword heuristics combined into a [0,1] score."""
     text = F.col(text_col)
     words = _match_count(text, WS_TOKEN_PATTERN)
     punct = _match_count(text, PUNCT_PATTERN)
@@ -59,17 +78,12 @@ def text_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     word_count = F.when(words > 0, words).otherwise(F.lit(1))
     punct_ratio = punct / word_count
     stop_ratio = stop / word_count
-    quality = (
-        F.least(words.cast("double") / 100.0, F.lit(1.0)) * 0.5
-        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.25
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
-    )
     return documents.select(
         "doc_id",
         words.alias("word_count"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        quality_col(text).alias("quality"),
     )
 
 
@@ -94,3 +108,41 @@ def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): md5 of the normalized text."""
     return documents.select(
         "doc_id", F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+
+
+def curate_documents(documents: DataFrame, benchmark: DataFrame,
+                     lang: str = "en", min_quality: float = 0.5,
+                     min_tokens: int = 50, max_tokens: int = 10_000,
+                     contamination_ngram: int = 4,
+                     text_col: str = "text") -> DataFrame:
+    """End-to-end curation: (doc_id, quality, ws_tokens) for docs that are
+    the target language, above the quality floor, inside the token
+    budget, and NOT contaminated by the benchmark corpus.
+
+    Plan shape: language, quality, and token metrics are all row-local
+    expressions, so they evaluate in ONE scan of the corpus with the
+    three predicates fused into it (no metric self-joins); the only join
+    is the broadcast n-gram contamination anti-join. At 100 TB this is a
+    single pass over the data — the property a curation pipeline must
+    have, and one the equivalent four-way-join SQL formulation (see the
+    oracle) only reaches if its optimizer collapses the self-joins.
+    """
+    from .sampling import ngram_contamination
+
+    text = F.col(text_col)
+    ws_tokens = _match_count(text, WS_TOKEN_PATTERN)
+    kept = (
+        documents
+        .select("doc_id", text_col,
+                quality_col(text).alias("quality"),
+                ws_tokens.alias("ws_tokens"))
+        .filter((lang_pred_col(F.col(text_col)) == F.lit(lang))
+                & (F.col("quality") >= min_quality)
+                & (F.col("ws_tokens") >= min_tokens)
+                & (F.col("ws_tokens") <= max_tokens))
+    )
+    contaminated = ngram_contamination(
+        kept.select("doc_id", text_col), benchmark,
+        n=contamination_ngram, text_col=text_col).select("doc_id")
+    return (kept.join(contaminated, "doc_id", "left_anti")
+            .select("doc_id", "quality", "ws_tokens"))

@@ -2531,6 +2531,41 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src19"), n=4)
 
 
+@register("documents_curated", f"""
+WITH lang AS ({{lang}}),
+q AS ({{quality}}),
+tok AS ({{tokens}}),
+contam AS ({{contam}})
+SELECT d.doc_id, q.quality, tok.ws_tokens
+FROM documents d
+JOIN lang USING (doc_id)
+JOIN q USING (doc_id)
+JOIN tok USING (doc_id)
+LEFT JOIN contam USING (doc_id)
+WHERE d.source <> 'src19'
+  AND lang.pred_lang = 'en'
+  AND q.quality >= 0.5
+  AND tok.ws_tokens BETWEEN 50 AND 10000
+  AND contam.doc_id IS NULL
+""")
+def q_documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: language + quality + token budget +
+    benchmark decontamination in ONE corpus scan plus one broadcast
+    anti-join (see operators/text.curate_documents). The oracle reaches
+    the same answer through explicit metric self-joins."""
+    from .operators.text import curate_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"))
+
+
+# splice the already-registered metric oracles into the composite's CTEs
+ORACLES["documents_curated"] = ORACLES["documents_curated"].format(
+    lang=ORACLES["lang_id"], quality=ORACLES["text_quality"],
+    tokens=ORACLES["token_count"], contam=ORACLES["decontaminate_ngram"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------
