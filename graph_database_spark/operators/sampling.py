@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import md5_long, word_shingles
+from .util import spread
 
 #: hash-space denominator for rate thresholds — rates are exact to 1e-6
 SAMPLE_BUCKETS = 1_000_000
@@ -93,8 +94,11 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame,
         .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
+    # spread(): a small parquet scans as ONE partition and shingling is
+    # CPU-bound — repartition the narrow input to full parallelism first
+    # (same guard as dedup._doc_shingles)
     train_shingles = (
-        train
+        spread(train)
         .select("doc_id",
                 F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
     )

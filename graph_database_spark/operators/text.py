@@ -128,11 +128,14 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
     oracle) only reaches if its optimizer collapses the self-joins.
     """
     from .sampling import ngram_contamination
+    from .util import spread
 
     text = F.col(text_col)
     ws_tokens = _match_count(text, WS_TOKEN_PATTERN)
+    # spread(): regex metrics are CPU-bound and a small parquet scans as
+    # one partition — fan the narrow input out to full parallelism first
     kept = (
-        documents
+        spread(documents)
         .select("doc_id", text_col,
                 quality_col(text).alias("quality"),
                 ws_tokens.alias("ws_tokens"))
@@ -140,6 +143,9 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
                 & (F.col("quality") >= min_quality)
                 & (F.col("ws_tokens") >= min_tokens)
                 & (F.col("ws_tokens") <= max_tokens))
+        # kept feeds BOTH the contamination shingling and the final
+        # anti-join; checkpoint so the regex-metric scan runs once
+        .localCheckpoint()
     )
     contaminated = ngram_contamination(
         kept.select("doc_id", text_col), benchmark,

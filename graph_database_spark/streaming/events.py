@@ -64,12 +64,20 @@ def read_event_stream(spark: SparkSession, events_dir: str,
 
 def _raw_events_read(spark: SparkSession, path: str) -> DataFrame:
     """Batch-read the events parquet without normalization, tolerating the
-    nanos vintage (which needs the legacy flag just to load)."""
+    nanos vintage (which needs the legacy flag just to load). The probe's
+    schema inspection is lazy-safe: dtypes come from the footer."""
     try:
         return spark.read.parquet(path)
     except Exception:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def windowed_event_weights(events: DataFrame,
