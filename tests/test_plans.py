@@ -156,11 +156,15 @@ def test_jaccard_caps_fanout_below_self_join(spark):
     plan = _formatted_plan(spark, "similarity_jaccard_topk")
     assert "Window" in plan
     assert "row_number" in plan
-    # window before join in the tree: the first Window node id < join id
+    # formatted-plan node ids number bottom-up, so "window BELOW the
+    # self-join" means the first Window id is smaller than every join id
     import re
-    win = re.search(r"^\((\d+)\) Window", plan, re.M)
-    join = re.search(r"^\((\d+)\) \w*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan, re.M)
-    assert win and join
+    win_ids = [int(x) for x in re.findall(r"^\((\d+)\) Window", plan, re.M)]
+    join_ids = [int(x) for x in re.findall(
+        r"^\((\d+)\) [\w]*(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M)]
+    assert win_ids and join_ids
+    assert min(win_ids) < min(join_ids), (win_ids, join_ids)
 
 
 def test_ngram_dedup_has_stop_shingle_anti_join(spark):
