@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "decontaminate_ngram",
     "documents_curated",
+    "doc_repetition",
+    "pii_scan",
+    "embedding_cluster_sizes",
+    "domain_mixture_plan",
 ]
 
 

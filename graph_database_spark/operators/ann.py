@@ -154,6 +154,39 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def kmeans_cluster_stats(embeddings: DataFrame,
+                         centroids: list[list[float]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(cell, n_vectors, mean_cosine): 1-NN centroid assignment (the IVF
+    cell map reused as a topic-clustering primitive) plus each cluster's
+    cohesion — mean cosine of members to their centroid.
+
+    The mean goes through DECIMAL(18,6) sums of pre-rounded cosines so it
+    is exact and order-free (engine-portable); the centroid table is a
+    broadcast literal, so the only shuffle is the final per-cell agg.
+    """
+    spark = embeddings.sparkSession
+    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>")
+    cos = F.round(_dot(F.col(vec_col), F.col("cvec")), 6) \
+        .cast("decimal(18,6)")
+    return (
+        embeddings.select(F.col(id_col).alias("id"), vec_col)
+        .join(assign, "id")
+        .join(F.broadcast(cents), "cell")
+        .select("cell", cos.alias("cos"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.sum("cos").alias("__s"))
+        .select("cell", "n_vectors",
+                F.round(F.col("__s").cast("double") / F.col("n_vectors"), 6)
+                 .alias("mean_cosine"))
+    )
+
+
 def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
                    tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",

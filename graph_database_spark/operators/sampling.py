@@ -78,6 +78,58 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(hash_bucket(F.col(key_col)) < rate)
 
 
+def mixture_plan(df: DataFrame, targets: dict[str, float],
+                 sample_frac: float, strata_col: str = "source") -> DataFrame:
+    """(source, n_docs, target_docs, rate): the domain-mixture plan — how
+    hard to sample each stratum so the output approximates the target
+    mixture `targets` within a total budget of `sample_frac · |df|` rows.
+
+    target_docs = ⌊budget · w_s⌋ (w_s = 0 for unlisted strata);
+    rate = min(1, target_docs / n_docs) — a stratum smaller than its
+    target saturates at rate 1 (capped, not re-normalized, so the plan is
+    a pure per-stratum expression both engines compute identically).
+    Weights and the budget fraction are quantized to 6dp DECIMALs so the
+    ⌊·⌋ boundary is exact — double literals can land an ulp below an
+    integer and floor one short in one engine but not the other.
+
+    Plan shape: one groupBy on the stratum key, a 1-row grand total
+    broadcast back — no window over the full data, no second scan. Feed
+    the rates to `stratified_sample` (see `apply_mixture_plan`) for the
+    map-side filter that realizes the mix.
+    """
+    def _dec(x: float):
+        return F.lit(f"{x:.6f}").cast("decimal(12,6)")
+
+    w = None
+    for stratum, weight in sorted(targets.items()):
+        cond = F.col(strata_col) == stratum
+        w = F.when(cond, _dec(weight)) if w is None \
+            else w.when(cond, _dec(weight))
+    w = _dec(0.0) if w is None else w.otherwise(_dec(0.0))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(strata_col, "n_docs",
+                    F.floor(_dec(sample_frac) * F.col("total") * w)
+                     .cast("long").alias("target_docs"))
+            .withColumn("rate", F.round(
+                F.least(F.lit(1.0),
+                        F.col("target_docs").cast("double")
+                        / F.col("n_docs")), 6)))
+
+
+def apply_mixture_plan(df: DataFrame, plan: DataFrame,
+                       strata_col: str = "source",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Realize a `mixture_plan` as a deterministic stratified sample. The
+    plan is one row per stratum — a bounded driver-side collect (the same
+    small-dimension pattern as the IVF centroid fetch), turned into the
+    map-side hash filter `stratified_sample` applies."""
+    rates = {r[strata_col]: float(r["rate"]) for r in plan.collect()}
+    return stratified_sample(df, rates, strata_col=strata_col,
+                             default_fraction=0.0, key_col=key_col)
+
+
 def ngram_contamination(train: DataFrame, benchmark: DataFrame,
                         n: int = 5, text_col: str = "text") -> DataFrame:
     """(doc_id, n_shared): training docs sharing ≥1 word n-gram with the

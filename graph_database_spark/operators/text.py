@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import spread
+
 # language → stopword alternation (word-bounded). Deterministic heuristic:
 # argmax of match counts, first-listed language wins ties, 'unknown' if all 0.
 LANG_PATTERNS: dict[str, str] = {
@@ -98,6 +100,78 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(documents: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, distinct_word_ratio, top_bigram_frac): the
+    Gopher-style repetition quality signals — low distinct-word ratio or a
+    single bigram dominating the text marks boilerplate/spam for removal.
+
+    Plan shape: `n_words` and `distinct_word_ratio` are row-local array
+    expressions fused into the scan; the bigram mode needs a per-doc
+    frequency table, so the text explodes to (doc_id, bigram) and
+    aggregates twice — both shuffles keyed on doc_id, no self-joins.
+    The final join back to the row-local metrics is the only join.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (spread(documents)
+            .select("doc_id", toks.alias("w"))
+            .withColumn("n_words", F.size("w")))
+    bigrams = F.when(
+        F.col("n_words") >= 2,
+        F.zip_with(
+            F.slice("w", F.lit(1), F.col("n_words") - 1),
+            F.slice("w", F.lit(2), F.col("n_words") - 1),
+            lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    row_local = base.select(
+        "doc_id", "n_words",
+        F.round(F.size(F.array_distinct("w")) / F.col("n_words"), 6)
+         .alias("distinct_word_ratio"))
+    top = (base
+           .select("doc_id", F.explode(bigrams).alias("bigram"))
+           .groupBy("doc_id", "bigram")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .groupBy("doc_id")
+           .agg(F.max("n").alias("top_n"),
+                F.sum("n").alias("total_bg")))
+    return (row_local.join(top, "doc_id", "left")
+            .select("doc_id", "n_words", "distinct_word_ratio",
+                    F.coalesce(
+                        F.round(F.col("top_n").cast("double")
+                                / F.col("total_bg"), 6),
+                        F.lit(0.0)).alias("top_bigram_frac")))
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround, \b supported by both.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone): per-doc PII match counts —
+    row-local regexp counts fused into the scan, zero shuffles."""
+    text = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        *[_match_count(text, PII_PATTERNS[k]).alias(f"n_{k}")
+          for k in PII_ORDER])
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """documents + `clean_text` with each PII class replaced by its
+    <CLASS> token — sequential regexp_replace projections (row-local)."""
+    clean = F.col(text_col)
+    for k in PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k], f"<{k.upper()}>")
+    return documents.withColumn(out_col, clean)
+
+
 def normalized_text(text: Column) -> Column:
     """lower + collapse whitespace + trim — the canonical form fingerprints
     and exact-dedup hash over."""
@@ -128,7 +202,6 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
     oracle) only reaches if its optimizer collapses the self-joins.
     """
     from .sampling import ngram_contamination
-    from .util import spread
 
     text = F.col(text_col)
     ws_tokens = _match_count(text, WS_TOKEN_PATTERN)

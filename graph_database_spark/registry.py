@@ -2566,6 +2566,114 @@ ORACLES["documents_curated"] = ORACLES["documents_curated"].format(
     tokens=ORACLES["token_count"], contam=ORACLES["decontaminate_ngram"])
 
 
+@register("doc_repetition", r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+         CAST(ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+              AS DOUBLE) AS distinct_word_ratio
+  FROM w),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM w),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total_bg
+        FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words, b.distinct_word_ratio,
+  CAST(COALESCE(ROUND(CAST(top_n AS DOUBLE) / total_bg, 6), 0.0) AS DOUBLE)
+    AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+""")
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: a low distinct-word ratio or one
+    bigram dominating the text marks boilerplate for removal."""
+    from .operators.text import repetition_metrics
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register("pii_scan", r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone
+FROM documents
+""")
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII match counts (email/IPv4/phone), row-local regexes with
+    identical Java-regex/RE2 semantics. The synthetic corpus is PII-free,
+    so this entry pins "both engines agree nothing matches"; the value
+    check on matching text lives in tests/test_operators_misc.py over a
+    constructed fixture (redaction included)."""
+    from .operators.text import pii_scan
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_cluster_sizes", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn <= 1
+),
+scored AS (
+  SELECT a.cell,
+         CAST(ROUND(list_dot_product(e.v, c.cvec), 6) AS DECIMAL(18,6)) AS cos
+  FROM assign a JOIN e USING (vec_id) JOIN cents c USING (cell))
+SELECT CAST(cell AS INTEGER) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+         AS mean_cosine
+FROM scored GROUP BY cell
+""")
+def q_embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-cluster census: 1-NN centroid assignment (the IVF cell map as
+    a clustering primitive) + per-cluster cohesion. Fixed corpus-vector
+    centroids, same offline-centroid pattern as `embedding_topk_ivf`, so
+    the oracle replays assignment exactly; the mean goes through exact
+    DECIMAL sums of pre-rounded cosines (order-free)."""
+    from .operators.ann import kmeans_cluster_stats
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    return kmeans_cluster_stats(emb, cents)
+
+
+@register("domain_mixture_plan", """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT SUM(n_docs) AS total FROM c),
+w AS (SELECT source, n_docs, total,
+        CASE source WHEN 'src0' THEN 0.400000 WHEN 'src1' THEN 0.300000
+                    WHEN 'src2' THEN 0.200000 WHEN 'src3' THEN 0.100000
+                    ELSE 0.000000 END AS wt
+      FROM c CROSS JOIN t)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(FLOOR(0.100000 * total * wt) AS BIGINT) AS target_docs,
+  CAST(ROUND(LEAST(1.0, CAST(FLOOR(0.100000 * total * wt) AS DOUBLE)
+                         / n_docs), 6) AS DOUBLE) AS rate
+FROM w
+""")
+def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning: per-source sampling rates that realize a
+    target 40/30/20/10 mix over src0-3 within a 10%-of-corpus budget.
+    DECIMAL-exact floor boundaries on both sides; one stratum groupBy plus
+    a broadcast 1-row grand total."""
+    from .operators.sampling import mixture_plan
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        sample_frac=0.1)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------

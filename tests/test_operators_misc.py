@@ -27,3 +27,52 @@ def test_spread_widens_partitions(spark):
     wide = spread(df, 8)
     assert wide.rdd.getNumPartitions() == 8
     assert wide.count() == 100
+
+
+def test_repetition_metrics_values(spark):
+    from graph_database_spark.operators.text import repetition_metrics
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),          # 6 words, 2 distinct; bigrams: ab x3, ba x2 → 3/5
+         (2, "one two three four"),   # all distinct; every bigram unique → 1/3
+         (3, "solo")],                # single word → no bigrams
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["n_words"] == 6
+    assert rows[1]["distinct_word_ratio"] == round(2 / 6, 6)
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[2]["distinct_word_ratio"] == 1.0
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scan_and_redact(spark):
+    from graph_database_spark.operators.text import pii_redact, pii_scan
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com and alice@test.org, ip 10.0.0.1"),
+         (2, "call 555-867-5309 or 555.867.5309"),
+         (3, "clean text, no identifiers")],
+        ["doc_id", "text"])
+    scans = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (scans[1]["n_email"], scans[1]["n_ipv4"]) == (2, 1)
+    assert scans[2]["n_phone"] == 2
+    assert (scans[3]["n_email"], scans[3]["n_ipv4"], scans[3]["n_phone"]) \
+        == (0, 0, 0)
+    clean = {r["doc_id"]: r["clean_text"] for r in pii_redact(docs).collect()}
+    assert clean[1] == "mail <EMAIL> and <EMAIL>, ip <IPV4>"
+    assert clean[2] == "call <PHONE> or <PHONE>"
+    assert clean[3] == "clean text, no identifiers"
+
+
+def test_kmeans_cluster_stats_partition(spark):
+    """Every vector lands in exactly one cell; cohesion is bounded."""
+    from graph_database_spark.operators.ann import kmeans_cluster_stats
+    from graph_database_spark.sources.testdata import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    stats = kmeans_cluster_stats(emb, cents).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert all(-1.0 <= r["mean_cosine"] <= 1.0 for r in stats)
+    assert all(0 <= r["cell"] < 16 for r in stats)

@@ -84,3 +84,40 @@ def test_hash_bucket_range(spark):
     mm = docs.select(hash_bucket(F.col("doc_id")).alias("b")) \
         .agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= mm["lo"] and mm["hi"] < 1_000_000
+
+
+def test_mixture_plan_math(spark):
+    """40/30/20/10 targets over a 10% budget at 500 docs (25/source):
+    budget 50 → targets 20/15/10/5 → rates 0.8/0.6/0.4/0.2, others 0."""
+    from graph_database_spark.operators.sampling import (
+        apply_mixture_plan, mixture_plan,
+    )
+    docs = _docs(spark)
+    plan = mixture_plan(
+        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        sample_frac=0.1)
+    rows = {r["source"]: r for r in plan.collect()}
+    assert len(rows) == 20 and all(r["n_docs"] == 25 for r in rows.values())
+    expect = {"src0": (20, 0.8), "src1": (15, 0.6),
+              "src2": (10, 0.4), "src3": (5, 0.2)}
+    for src, (target, rate) in expect.items():
+        assert rows[src]["target_docs"] == target
+        assert rows[src]["rate"] == pytest.approx(rate)
+    assert rows["src7"]["target_docs"] == 0 and rows["src7"]["rate"] == 0.0
+
+    # a stratum smaller than its target saturates at rate 1
+    sat = mixture_plan(docs, {"src0": 1.0}, sample_frac=0.5)
+    r0 = {r["source"]: r["rate"] for r in sat.collect()}["src0"]
+    assert r0 == 1.0
+
+    # applying the plan keeps only planned strata, at most target+1 rows
+    # each (hash thresholding is statistically, not exactly, proportional)
+    sampled = apply_mixture_plan(docs, plan)
+    by_src = {r["source"]: r["n"] for r in
+              sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(by_src) <= set(expect)
+    # deterministic: same plan, same rows
+    again = apply_mixture_plan(docs, plan)
+    assert sorted(r["doc_id"] for r in sampled.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
