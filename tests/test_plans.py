@@ -198,3 +198,33 @@ def test_graph_sink_partition_pruning(spark, tmp_path):
     part = [l for l in plan.split("\n") if "PartitionFilters" in l]
     assert part and any("rel_type" in l for l in part), plan
     assert q.count() == g.edges.filter("rel_type = 'CONTAINS'").count()
+
+
+def test_pii_scan_zero_shuffle(spark):
+    """PII counting is a pure row-local projection: no Exchange anywhere."""
+    plan = _formatted_plan(spark, "pii_scan")
+    assert "Exchange" not in plan
+
+
+def test_mixture_plan_broadcasts_grand_total(spark):
+    """The 1-row grand total joins back via broadcast, never a shuffle of
+    the stratum counts against it."""
+    plan = _formatted_plan(spark, "domain_mixture_plan")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_sizes_broadcasts_centroids(spark):
+    """The centroid table is broadcast; the member-vector side is never
+    the build side of a shuffle join."""
+    plan = _formatted_plan(spark, "embedding_cluster_sizes")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_shuffles_only_on_doc_id(spark):
+    """Both aggregations and the metric join key on doc_id/(doc_id,bigram)
+    — no join of the corpus against anything but its own aggregates."""
+    plan = _formatted_plan(spark, "doc_repetition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
