@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "pii_scan",
     "embedding_cluster_sizes",
     "domain_mixture_plan",
+    "corpus_top_ngrams",
+    "doc_tfidf_keywords",
+    "graph_kcore",
 ]
 
 

@@ -213,3 +213,29 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
             .localCheckpoint()
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """(id, degree): vertices surviving `rounds` synchronized peels of the
+    k-core iteration, with their degree in the surviving subgraph.
+
+    Each round removes every vertex whose current degree is below k and
+    restricts the edge set to survivors — the synchronous form of k-core
+    decomposition (fixed round count, so an external engine can replay it
+    exactly; run more rounds for the fixpoint core). edges must hold both
+    directions of each undirected pair, so per-src counts ARE degrees.
+
+    Scale shape: per round, one degree aggregate plus two src/dst
+    semi-joins, all keyed on vertex id; localCheckpoint truncates lineage
+    so the plan stays flat across rounds (same Pregel discipline as CC).
+    """
+    e = edges.select("src", "dst")
+    for _ in range(rounds):
+        keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("src").localCheckpoint())
+        e = (e.join(keep, "src", "leftsemi")
+             .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+             .localCheckpoint())
+    return (e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("src").alias("id"), "degree"))

@@ -142,6 +142,68 @@ def repetition_metrics(documents: DataFrame,
                         F.lit(0.0)).alias("top_bigram_frac")))
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams (lowercased, NON-distinct — frequency matters) as
+    an array column. Guarded to an empty array when the doc has fewer than
+    n words: Spark's `sequence(1, 0)` counts DOWN, which would fabricate
+    partial grams, while the oracle's generate_series(1, 0) is empty."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_top_ngrams(documents: DataFrame, n: int = 2, k: int = 50,
+                      text_col: str = "text") -> DataFrame:
+    """(ngram, n_occurrences): corpus-wide top-k most frequent word
+    n-grams — the vocabulary-induction / BPE-corpus-statistics primitive.
+    Deterministic tie-break (count desc, ngram asc); the top-k is a
+    TakeOrderedAndProject over the ngram aggregate, never a global sort.
+    """
+    grams = (spread(documents)
+             .select(F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("ngram")))
+    return (grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
+def tfidf_keywords(documents: DataFrame, top: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, token, tfidf, rank): per-doc top keywords by RATIONAL
+    tf-idf — tf · N / df with no logarithm, so the score is a single
+    exactly-rounded IEEE division both engines compute bit-identically
+    (log/exp differ across libm implementations; ranking is unchanged
+    since ln is monotone in N/df).
+
+    Two aggregates (doc-term tf, term df — df derived from tf so the
+    corpus explodes once) and a token-keyed join; N is a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    toks = (spread(documents)
+            .select("doc_id",
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("token")))
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round((F.col("tf") * F.col("n_docs")).cast("double")
+                    / F.col("df"), 6)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (tf.join(df, "token")
+            .crossJoin(F.broadcast(n_docs))
+            .select("doc_id", "token", tfidf.alias("tfidf"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top))
+
+
 # PII patterns chosen for identical semantics in Java regex (Spark) and
 # RE2 (DuckDB oracle): no backrefs, no lookaround, \b supported by both.
 PII_PATTERNS: dict[str, str] = {

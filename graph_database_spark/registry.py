@@ -2674,6 +2674,77 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frac=0.1)
 
 
+@register("corpus_top_ngrams", r"""
+WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+grams AS (SELECT unnest(list_transform(
+            generate_series(1, greatest(len(w) - 1, 0)),
+            i -> w[i] || ' ' || w[i+1])) AS ngram FROM toks)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+""")
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the 50 most frequent word bigrams
+    (count desc, ngram asc tie-break) — the vocabulary-induction / BPE
+    corpus-stats primitive. Top-k via TakeOrderedAndProject, no global
+    sort."""
+    from .operators.text import corpus_top_ngrams
+    return corpus_top_ngrams(load_table(spark, sf_dir, "documents"),
+                             n=2, k=50)
+
+
+@register("doc_tfidf_keywords", r"""
+WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT tf.doc_id, tf.token,
+         CAST(ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS DOUBLE)
+           AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) DESC,
+                    tf.token ASC) AS rank
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+WHERE rank <= 3
+""")
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by rational tf-idf (tf · N / df, no log —
+    monotone-equivalent ranking, bit-identical across engines)."""
+    from .operators.text import tfidf_keywords
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), top=3)
+
+
+@register("graph_kcore", f"""
+WITH {_SQL_COOC_EDGES},
+v1 AS (SELECT src FROM edges GROUP BY src HAVING COUNT(*) >= 90),
+e1 AS (SELECT e.src, e.dst FROM edges e
+       JOIN v1 a ON e.src = a.src JOIN v1 b ON e.dst = b.src),
+v2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 90),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN v2 a ON e.src = a.src JOIN v2 b ON e.dst = b.src),
+v3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 90),
+e3 AS (SELECT e.src, e.dst FROM e2 e
+       JOIN v3 a ON e.src = a.src JOIN v3 b ON e.dst = b.src)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e3 GROUP BY src
+""")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronized 90-core peel of the co-occurrence graph:
+    each round drops vertices with degree < 90 and restricts edges to
+    survivors (fixed round count so the oracle unrolls it exactly; run
+    more rounds for the fixpoint core). Cascade-sensitive — a vertex can
+    fall below threshold only because its neighbors were peeled."""
+    from .graphs.traversal import kcore_peel
+    from .operators.cooccurrence import symmetrize
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    return kcore_peel(symmetrize(pairs).select("src", "dst"),
+                      k=90, rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------

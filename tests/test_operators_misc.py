@@ -76,3 +76,29 @@ def test_kmeans_cluster_stats_partition(spark):
     assert sum(r["n_vectors"] for r in stats) == emb.count()
     assert all(-1.0 <= r["mean_cosine"] <= 1.0 for r in stats)
     assert all(0 <= r["cell"] < 16 for r in stats)
+
+
+def test_corpus_top_ngrams_counts(spark):
+    from graph_database_spark.operators.text import corpus_top_ngrams
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z"), (3, "q")], ["doc_id", "text"])
+    # bigrams: doc1 → "x y","y x","x y"; doc2 → "x y","y z"; doc3 → none
+    rows = [(r["ngram"], r["n_occurrences"])
+            for r in corpus_top_ngrams(docs, n=2, k=2).collect()]
+    assert rows == [("x y", 3), ("y x", 1)]  # tie y x < y z broken asc
+
+
+def test_tfidf_keywords_ranking(spark):
+    from graph_database_spark.operators.text import tfidf_keywords
+    docs = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common"), (3, "common")],
+        ["doc_id", "text"])
+    rows = {(r["doc_id"], r["rank"]): r
+            for r in tfidf_keywords(docs, top=2).collect()}
+    # doc1: rare tf=1 df=1 → 1*3/1=3.0 beats common tf=2 df=3 → 2.0
+    assert rows[(1, 1)]["token"] == "rare"
+    assert rows[(1, 1)]["tfidf"] == 3.0
+    assert rows[(1, 2)]["token"] == "common"
+    assert rows[(1, 2)]["tfidf"] == 2.0
+    assert rows[(2, 1)]["token"] == "common"
+    assert (3, 2) not in rows  # doc3 has a single distinct token

@@ -76,3 +76,18 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(v, e, max_iter=4).collect()))
     b = sorted(map(tuple, label_propagation(v, e, max_iter=4).collect()))
     assert a == b
+
+
+def test_kcore_peel_cascade(spark):
+    """Pendant chain peels away over rounds; the triangle is the 2-core."""
+    from graph_database_spark.graphs.traversal import kcore_peel
+    und = [(1, 2), (2, 3), (1, 3),   # triangle
+           (3, 4), (4, 5)]           # chain hanging off it
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    # round 1 peels 5 (deg 1); round 2 peels 4 (deg 1 after cascade)
+    surv = {r["id"]: r["degree"]
+            for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    assert surv == {1: 2, 2: 2, 3: 2}
+    one_round = {r["id"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert one_round == {1, 2, 3, 4}  # 4 survives until 5's removal lands
