@@ -1,0 +1,77 @@
+"""Streaming curation gate: the row-local metric expressions run
+unchanged on a stream; the memory-sink result must equal the batch twin
+exactly, and a PII-bearing doc must be rejected in-flight."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_spark.sources.testdata import load_table
+from graph_database_spark.streaming.curation import (
+    annotate_stream, curation_filter_stream,
+)
+from graph_database_spark.streaming.dedup import read_document_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _drain(stream_df, name):
+    q = (stream_df.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        return q
+    finally:
+        q.stop()
+
+
+def test_curation_stream_matches_batch(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(d)
+
+    stream = read_document_stream(spark, d, glob="*.parquet")
+    _drain(curation_filter_stream(stream), "curated_stream")
+    got = {(r["doc_id"], r["quality"], r["ws_tokens"])
+           for r in spark.sql("SELECT * FROM curated_stream").collect()}
+
+    want = {(r["doc_id"], r["quality"], r["ws_tokens"])
+            for r in curation_filter_stream(docs).collect()}
+    assert got == want
+    assert got, "gate should pass a non-empty subset of the corpus"
+    # and it is a strict gate, not a pass-through
+    assert len(got) < docs.count()
+
+
+def test_curation_stream_is_stateless(spark, tmp_path):
+    """The gate must need no state store: a plan with no aggregation or
+    dedup means per-row processing with zero memory growth on an
+    unbounded feed."""
+    docs = load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(d)
+    stream = curation_filter_stream(
+        read_document_stream(spark, d, glob="*.parquet"))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    for stateful in ("Aggregate", "Deduplicate", "FlatMapGroupsWithState"):
+        assert stateful not in plan
+
+
+def test_pii_rejected_in_flight(spark, tmp_path):
+    base = ("the and of to in is that it was for " * 12).strip()
+    rows = [(1, base, "en", "s0", len(base)),
+            (2, base + " contact bob@example.com", "en", "s0", 24)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+
+    stream = read_document_stream(spark, d, glob="*.parquet")
+    _drain(curation_filter_stream(stream), "pii_gate")
+    kept = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM pii_gate").collect()}
+    assert kept == {1}
+
+    ann = {r["doc_id"]: r for r in annotate_stream(df).collect()}
+    assert ann[2]["n_email"] == 1 and ann[1]["n_email"] == 0
