@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "corpus_top_ngrams",
     "doc_tfidf_keywords",
     "graph_kcore",
+    "orders_profile",
 ]
 
 

@@ -317,3 +317,38 @@ def fk_orphan_report(pairs: list[tuple[str, DataFrame, str, DataFrame, str]]
         )
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value): the
+    ANALYZE-style statistics profile, one row per column — the input to
+    partition planning, skew diagnosis, and data-contract checks.
+
+    ONE scan computes every statistic: a single wide aggregate (Spark
+    expands internally for the multi-column exact distinct counts), then
+    a `stack` unpivot of the 1-row result — never one scan per column.
+    At 100 TB swap the exact distincts for approx_count_distinct (the
+    pinned drop-in, tests/test_approx_dropins.py); min/max/null counts
+    are already single-pass partial aggregates. min/max stringify AFTER
+    aggregation on the native type, so ordering is typed, not lexical.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols)
+    return one.select(
+        F.expr(f"stack({len(cols)}, {stacked}) AS "
+               "(col_name, n_nulls, n_distinct, min_value, max_value)"),
+        F.col("__n_rows").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value")

@@ -2674,6 +2674,33 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frac=0.1)
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority")
+
+_SQL_PROFILE_ONE = """
+SELECT '{c}' AS col_name, n.n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders CROSS JOIN n GROUP BY n.n_rows
+"""
+
+
+@register("orders_profile",
+          "WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)\n"
+          + "\nUNION ALL\n".join(
+              _SQL_PROFILE_ONE.format(c=c) for c in _PROFILE_COLS))
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics: one row per profiled column with
+    null count, exact distinct count, and typed min/max — computed in a
+    single scan + one wide aggregate (the oracle needs a per-column
+    UNION ALL to express the same answer)."""
+    from .operators.relational_ext import table_profile
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(orders, list(_PROFILE_COLS))
+
+
 @register("corpus_top_ngrams", r"""
 WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
               FROM documents),

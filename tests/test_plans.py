@@ -228,3 +228,13 @@ def test_repetition_shuffles_only_on_doc_id(spark):
     plan = _formatted_plan(spark, "doc_repetition")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_single_scan(spark):
+    """All per-column statistics come from ONE scan of the table — a
+    per-column rescan would multiply 100 TB of IO by the column count."""
+    import re
+    plan = _formatted_plan(spark, "orders_profile")
+    # the formatted dump names each scan once in the tree and once in the
+    # node details — count the detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
