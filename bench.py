@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "doc_tfidf_keywords",
     "graph_kcore",
     "orders_profile",
+    "doc_sample_quality_weighted",
+    "doc_shards_by_tokens",
 ]
 
 

@@ -160,3 +160,49 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame,
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def quality_weighted_sample(df: DataFrame, quality_col: str = "quality",
+                            base_rate: float = 1.0,
+                            key_col: str = "doc_id") -> DataFrame:
+    """Keep each row with probability `base_rate · quality` — the
+    quality-weighted curation sampler (high-quality docs oversampled,
+    low-quality docs thinned, nothing discarded by a hard cutoff) — as a
+    DETERMINISTIC hash threshold, not an RNG draw.
+
+    The per-row threshold goes through DECIMAL(14,6) multiplication of
+    the 6dp quality by the 6dp base rate (exact, engine-portable floor
+    boundary); the filter stays a map-side projection, zero shuffle.
+    """
+    thr = F.floor(
+        F.col(quality_col).cast("decimal(8,6)")
+        * F.lit(f"{base_rate:.6f}").cast("decimal(12,6)")
+        * F.lit(SAMPLE_BUCKETS)).cast("long")
+    return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+
+def shard_by_token_budget(df: DataFrame, budget: int,
+                          tokens_col: str = "ws_tokens",
+                          strata_col: str = "source",
+                          key_col: str = "doc_id") -> DataFrame:
+    """(key, stratum, shard): pack documents into training shards of
+    ~`budget` tokens each, per stratum — the corpus-sharding step before
+    tokenization, so every output file feeds the trainer a near-uniform
+    token count.
+
+    Greedy prefix packing over a DETERMINISTIC order (hash of the key,
+    then the key): shard = ⌊exclusive-prefix-sum / budget⌋. The window
+    partitions on the stratum key, so each stratum's cumulative sum runs
+    independently — no global single-partition window at 100 TB (shard
+    within finer strata, e.g. source × split, when one stratum dominates).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_bucket(F.col(key_col)), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(tokens_col).over(w)
+    shard = F.floor((cum - F.col(tokens_col)).cast("double")
+                    / F.lit(budget)).cast("long")
+    return df.select(key_col, strata_col, tokens_col,
+                     shard.alias("shard"))

@@ -2674,6 +2674,55 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frac=0.1)
 
 
+@register("doc_sample_quality_weighted", f"""
+WITH q AS ({{quality}})
+SELECT doc_id, quality FROM q
+WHERE {_SQL_HASH_BUCKET} <
+      CAST(FLOOR(CAST(quality AS DECIMAL(8,6)) * 0.900000 * 1000000)
+           AS BIGINT)
+""")
+def q_doc_sample_quality_weighted(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Quality-weighted curation sample: keep each doc with probability
+    0.9 · quality via the deterministic hash threshold (no RNG, stable
+    under repartition/re-run). DECIMAL-exact threshold boundaries."""
+    from .operators.sampling import quality_weighted_sample
+    from .operators.text import quality_col
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_col(F.col("text")).alias("quality"))
+    return quality_weighted_sample(scored, base_rate=0.9)
+
+
+ORACLES["doc_sample_quality_weighted"] = \
+    ORACLES["doc_sample_quality_weighted"].format(
+        quality=ORACLES["text_quality"])
+
+
+@register("doc_shards_by_tokens", rf"""
+WITH t AS (SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+             {_SQL_HASH_BUCKET} AS b
+           FROM documents)
+SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens,
+  CAST(FLOOR(CAST(SUM(ws_tokens) OVER w - ws_tokens AS DOUBLE) / 2000)
+       AS BIGINT) AS shard
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY b, doc_id
+             ROWS UNBOUNDED PRECEDING)
+""")
+def q_doc_shards_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus sharding: greedy prefix packing into ~2000-token
+    shards per source over a deterministic hash order — every output shard
+    feeds the trainer a near-uniform token count."""
+    from .operators.sampling import shard_by_token_budget
+    from .operators.text import _match_count, WS_TOKEN_PATTERN
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
+    return shard_by_token_budget(scored, budget=2000)
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
                  "o_orderdate", "o_orderpriority")
 

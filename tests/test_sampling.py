@@ -121,3 +121,53 @@ def test_mixture_plan_math(spark):
     again = apply_mixture_plan(docs, plan)
     assert sorted(r["doc_id"] for r in sampled.select("doc_id").collect()) \
         == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_quality_weighted_sample_properties(spark):
+    """Higher quality → higher keep rate; deterministic; subset-stable."""
+    from graph_database_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+    from graph_database_spark.operators.text import quality_col
+    scored = _docs(spark).select(
+        "doc_id", quality_col(F.col("text")).alias("quality"))
+    kept = quality_weighted_sample(scored, base_rate=0.9)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in
+               quality_weighted_sample(scored.repartition(7),
+                                       base_rate=0.9).collect())
+    assert a == b and 0 < len(a) < scored.count()
+    # rate 0 keeps nothing; quality=1 docs under rate 1 all kept
+    assert quality_weighted_sample(scored, base_rate=0.0).count() == 0
+
+
+def test_shard_by_token_budget_packs_uniformly(spark):
+    from graph_database_spark.operators.sampling import (
+        shard_by_token_budget,
+    )
+    from graph_database_spark.operators.text import (
+        WS_TOKEN_PATTERN, _match_count,
+    )
+    scored = _docs(spark).select(
+        "doc_id", "source",
+        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
+    shards = shard_by_token_budget(scored, budget=2000)
+    agg = shards.groupBy("source", "shard").agg(
+        F.sum("ws_tokens").alias("tok")).collect()
+    # every shard except possibly each source's last holds ≥ budget
+    # tokens once its first overflowing doc lands, and the exclusive
+    # prefix rule keeps every shard under budget + max_doc_tokens
+    max_doc = scored.agg(F.max("ws_tokens")).first()[0]
+    per_src_last = {r["source"]: max(x["shard"] for x in agg
+                                     if x["source"] == r["source"])
+                    for r in agg}
+    for r in agg:
+        assert r["tok"] < 2000 + max_doc
+        if r["shard"] != per_src_last[r["source"]]:
+            assert r["tok"] + max_doc >= 2000
+    # shards are contiguous 0..last per source
+    by_src = {}
+    for r in agg:
+        by_src.setdefault(r["source"], set()).add(r["shard"])
+    for shs in by_src.values():
+        assert shs == set(range(len(shs)))
