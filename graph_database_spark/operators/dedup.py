@@ -192,8 +192,11 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
     cand_docs = (cand.select(F.col("src").alias("doc_id"))
                  .unionByName(cand.select(F.col("dst").alias("doc_id")))
                  .distinct())
-    ds = _doc_shingles(documents, text_col, n) \
-        .join(cand_docs, "doc_id", "left_semi")
+    # restrict BEFORE shingling: the semi-join cannot push below the
+    # shingle explode on its own, and re-tokenizing the full corpus just
+    # to throw non-candidates away wastes the scan at any scale
+    ds = _doc_shingles(documents.join(cand_docs, "doc_id", "left_semi"),
+                       text_col, n)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     shared = (
@@ -325,8 +328,12 @@ def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
     )
     l_docs = cand.select(F.col("src").alias("doc_id")).distinct()
     r_docs = cand.select(F.col("dst").alias("doc_id")).distinct()
-    ls = _doc_shingles(left, text_col, n).join(l_docs, "doc_id", "left_semi")
-    rs = _doc_shingles(right, text_col, n).join(r_docs, "doc_id", "left_semi")
+    # restrict BEFORE shingling (semi-joins don't push below the explode):
+    # only colliding docs pay the re-tokenization
+    ls = _doc_shingles(left.join(l_docs, "doc_id", "left_semi"),
+                       text_col, n)
+    rs = _doc_shingles(right.join(r_docs, "doc_id", "left_semi"),
+                       text_col, n)
     l_sizes = ls.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
     r_sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dst"))
     shared = (
