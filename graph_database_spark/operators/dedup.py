@@ -81,15 +81,23 @@ def exact_duplicate_groups(documents: DataFrame,
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as an array column (JVM transform, no UDF)."""
-    toks = F.split(F.trim(text), r"\s+")
-    k = F.size(toks) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(shingles)
+    """Distinct n-word shingles as an array column (JVM transform, no UDF).
+
+    The token array is bound as a higher-order-function lambda variable
+    (via a one-element array wrapper) so the regex split runs ONCE per
+    row — inlining it as a plain sub-expression would re-execute the
+    split for every element_at inside the shingle lambda (n per shingle),
+    turning an O(words) derivation into O(words²) regex work.
+    """
+    def _shingles_of(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ))
+    return F.element_at(
+        F.transform(F.array(F.split(F.trim(text), r"\s+")), _shingles_of), 1)
 
 
 def _doc_shingles(documents: DataFrame, text_col: str, n: int,
@@ -141,18 +149,28 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64,
                        n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, minhash array<long>): k permutations approximated by
     minima of universal rehashes of ONE md5 digest per shingle — the
-    standard broadcast-free formulation, one string hash instead of k."""
+    standard broadcast-free formulation, one string hash instead of k.
+
+    Entirely map-side: the shingle array never explodes and the minima
+    come from `array_min(transform(...))` per slot, so signature
+    computation is a pure projection — zero shuffle, which at 100 TB
+    removes the (doc, shingle) exchange that a groupBy formulation pays
+    (the wide derived data stays inside the row it came from).
+    """
     assert num_hashes <= len(MINHASH_A)
-    ds = _doc_shingles(documents, text_col, n) \
-        .withColumn("__h", md5_long(F.col("shingle")) % F.lit(HASH_P))
-    mins = [
-        F.min(_rehash(F.col("__h"), i)).alias(f"h{i}")
+    hashes = F.transform(word_shingles(F.col(text_col), n),
+                         lambda s: md5_long(s) % F.lit(HASH_P))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__hs"), lambda h: _rehash(h, i)))
         for i in range(num_hashes)
-    ]
-    sig = ds.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash"))
+    ])
+    # two-step select: `__hs` is referenced num_hashes times, and Catalyst's
+    # CollapseProject keeps non-cheap duplicated expressions in their own
+    # projection, so the md5s run once per shingle, not once per slot
+    return (spread(documents)
+            .select("doc_id", hashes.alias("__hs"))
+            .filter(F.size("__hs") > 0)  # match groupBy semantics: no rows, no sig
+            .select("doc_id", sig.alias("minhash")))
 
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
