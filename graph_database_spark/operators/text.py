@@ -147,13 +147,18 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     an array column. Guarded to an empty array when the doc has fewer than
     n words: Spark's `sequence(1, 0)` counts DOWN, which would fabricate
     partial grams, while the oracle's generate_series(1, 0) is empty."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    return F.when(k >= 1, F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )).otherwise(F.array().cast("array<string>"))
+    def _grams_of(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )).otherwise(F.array().cast("array<string>"))
+    # bind the token array as a lambda variable so the regex split runs
+    # once per row, not once per element_at inside the gram lambda
+    return F.element_at(
+        F.transform(F.array(F.split(F.trim(F.lower(text)), r"\s+")),
+                    _grams_of), 1)
 
 
 def corpus_top_ngrams(documents: DataFrame, n: int = 2, k: int = 50,
