@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "orders_profile",
     "doc_sample_quality_weighted",
     "doc_shards_by_tokens",
+    "part_recency_popularity",
+    "events_status_history",
+    "events_value_winsorized",
+    "doc_prefix_matches",
 ]
 
 

@@ -25,6 +25,50 @@ def distinct_reach(incidence: DataFrame,
     )
 
 
+#: Exact dyadic half-life weights 1/2^k for k = 0..12 as 16-scale decimal
+#: strings — every value is a finite decimal (2^-12 needs 12 digits), so
+#: weighted sums stay in exact DECIMAL arithmetic in any engine.
+DECAY_WEIGHTS: list[str] = [
+    str(__import__("decimal").Decimal(1) / (2 ** k)) for k in range(13)
+]
+
+
+def recency_decayed_popularity(orders: DataFrame, items: DataFrame,
+                               half_life_days: int = 30) -> DataFrame:
+    """(product_id, n_orders, recency_score): quantity-weighted popularity
+    with a step half-life decay — each elapsed `half_life_days` halves an
+    order's contribution, floored at 1/2^12.
+
+    Engine-exact by construction: the decay factor is element_at into a
+    13-entry DECIMAL literal table (dyadic 1/2^k values are finite
+    decimals), so score = Σ qty·w is pure DECIMAL arithmetic — no pow(),
+    no float summation-order sensitivity, bit-identical in the oracle.
+    The anchor date (corpus max) is a 1-row broadcast join; the fact-side
+    work is one projection + one hash aggregate.
+    """
+    anchor = orders.agg(F.to_date(F.max("o_orderdate")).alias("__anchor"))
+    # DECIMAL(13,12) weights × DECIMAL(12,2) qty → scale-14 product, well
+    # inside every engine's 38-digit cap — exact, no rounding anywhere
+    wtab = F.array(*[F.lit(w).cast("decimal(13,12)")
+                     for w in DECAY_WEIGHTS])
+    k = F.least(
+        F.floor(F.datediff(F.col("__anchor"), F.to_date("o_orderdate"))
+                / half_life_days),
+        F.lit(len(DECAY_WEIGHTS) - 1)).cast("int")
+    weighted = (
+        items.join(orders.select(F.col("o_orderkey").alias("order_id"),
+                                 "o_orderdate"), "order_id")
+        .crossJoin(F.broadcast(anchor))
+        .select("product_id",
+                (F.col("quantity").cast("decimal(12,2)")
+                 * F.element_at(wtab, k + 1)).alias("__w"))
+    )
+    return (weighted.groupBy("product_id")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("__w").cast("double"), 6)
+                  .alias("recency_score")))
+
+
 def order_frequency(items: DataFrame,
                     order_col: str = "order_id",
                     product_col: str = "product_id") -> DataFrame:

@@ -352,3 +352,57 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.col("__n_rows").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_value", "max_value")
+
+
+def status_history(events: DataFrame) -> DataFrame:
+    """(user_id, status, valid_from, valid_to, version): SCD-type-2
+    validity intervals from the event stream — consecutive equal statuses
+    collapse into one interval; `valid_to` is NULL for the current row.
+
+    The change-point detection and interval close are both windows over
+    the SAME (user_id → ts) partitioning, so the whole derivation costs
+    ONE shuffle; ties on ts break by event_id so replays are stable. This
+    is the standard dimension-history builder a warehouse derives from a
+    mutation log — at 100 TB the user_id hash partitioning spreads
+    uniformly (per-user history is tiny; no skew axis).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (events
+               .select("user_id", "event_id", "ts",
+                       F.col("event_type").alias("status"))
+               .withColumn("__prev", F.lag("status").over(w))
+               .filter(F.col("__prev").isNull()
+                       | (F.col("__prev") != F.col("status"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (changed
+            .withColumn("valid_to", F.lead("ts").over(w2))
+            .withColumn("version", F.row_number().over(w2).cast("int"))
+            .select("user_id", "status",
+                    F.col("ts").alias("valid_from"), "valid_to", "version"))
+
+
+def winsorized_value_stats(events: DataFrame,
+                           lo_p: float = 0.05, hi_p: float = 0.95) -> DataFrame:
+    """(event_type, n_events, lo, hi, clipped_sum): outlier-robust value
+    statistics — per-type exact percentile bounds, values clipped into
+    [lo, hi], then an order-exact DECIMAL sum of the clipped values.
+
+    The bounds aggregate is tiny (one row per event_type) and broadcasts
+    back onto the fact scan; bounds and clipped values round to 6dp
+    BEFORE the decimal cast so both engines sum literally identical
+    decimals regardless of partitioning. At 100 TB swap the exact
+    percentile for percentile_approx (the pinned drop-in) — the plan
+    shape is unchanged.
+    """
+    bounds = (events.groupBy("event_type")
+              .agg(F.round(F.expr(f"percentile(value, {lo_p})"), 6).alias("lo"),
+                   F.round(F.expr(f"percentile(value, {hi_p})"), 6).alias("hi")))
+    clipped = F.round(F.least(F.greatest(F.col("value"), F.col("lo")),
+                              F.col("hi")), 6)
+    return (events.join(F.broadcast(bounds), "event_type")
+            .select("event_type", "lo", "hi",
+                    clipped.cast("decimal(24,6)").alias("__c"))
+            .groupBy("event_type", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("__c").cast("double"), 6).alias("clipped_sum"))
+            .select("event_type", "n_events", "lo", "hi", "clipped_sum"))

@@ -2821,6 +2821,112 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=90, rounds=3)
 
 
+@register("part_recency_popularity", """
+WITH anchor AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS a FROM orders),
+w AS (SELECT [CAST('1' AS DECIMAL(13,12)), CAST('0.5' AS DECIMAL(13,12)),
+  CAST('0.25' AS DECIMAL(13,12)), CAST('0.125' AS DECIMAL(13,12)),
+  CAST('0.0625' AS DECIMAL(13,12)), CAST('0.03125' AS DECIMAL(13,12)),
+  CAST('0.015625' AS DECIMAL(13,12)), CAST('0.0078125' AS DECIMAL(13,12)),
+  CAST('0.00390625' AS DECIMAL(13,12)), CAST('0.001953125' AS DECIMAL(13,12)),
+  CAST('0.0009765625' AS DECIMAL(13,12)),
+  CAST('0.00048828125' AS DECIMAL(13,12)),
+  CAST('0.000244140625' AS DECIMAL(13,12))] AS tab),
+rows_w AS (
+  SELECT l.l_partkey AS product_id,
+    CAST(l.l_quantity AS DECIMAL(12,2))
+      * w.tab[CAST(LEAST(FLOOR(CAST(date_diff('day',
+          CAST(o.o_orderdate AS DATE), anchor.a) AS DOUBLE) / 30), 12)
+          AS INT) + 1] AS wq
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  CROSS JOIN anchor CROSS JOIN w)
+SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+  ROUND(CAST(SUM(wq) AS DOUBLE), 6) AS recency_score
+FROM rows_w GROUP BY product_id
+""")
+def q_part_recency_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed popularity (recsys freshness signal the reference's
+    popularity stubs lack): each elapsed 30 days halves an item's
+    contribution, via an exact dyadic DECIMAL weight table — no pow(), no
+    float-sum order sensitivity, so the score is bit-identical across
+    engines and under any AQE re-partitioning."""
+    from .operators.popularity import recency_decayed_popularity
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").alias("quantity"))
+    return recency_decayed_popularity(
+        load_table(spark, sf_dir, "orders"), li)
+
+
+@register("events_status_history", """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  event_type AS status FROM events),
+ch AS (SELECT user_id, event_id, ts, status,
+         LAG(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+       FROM e)
+SELECT user_id, status, ts AS valid_from,
+  LEAD(ts) OVER w AS valid_to,
+  CAST(ROW_NUMBER() OVER w AS INT) AS version
+FROM ch WHERE prev IS NULL OR prev <> status
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_events_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension history from the event log: consecutive equal
+    statuses collapse into validity intervals closed by the next change
+    (valid_to NULL = current). One shuffle — both windows share the
+    (user_id → ts, event_id) partitioning."""
+    from .operators.relational_ext import status_history
+    return status_history(load_table(spark, sf_dir, "events"))
+
+
+@register("events_value_winsorized", """
+WITH b AS (SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events, b.lo, b.hi,
+  ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+                      AS DECIMAL(24,6))) AS DOUBLE), 6) AS clipped_sum
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""")
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust (winsorized) value stats per event type: exact
+    p05/p95 bounds broadcast back over the fact scan, values clipped into
+    the band, DECIMAL-exact sum. At 100 TB the percentile becomes
+    percentile_approx (pinned drop-in) with the same plan shape."""
+    from .operators.relational_ext import winsorized_value_stats
+    return winsorized_value_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("doc_prefix_matches", r"""
+WITH k AS (SELECT doc_id AS id, substr(trim(lower(text)), 1, 64) AS name
+           FROM documents),
+kb AS (SELECT id, name,
+         array_to_string((string_split_regex(name, '\s+'))[1:2], ' ')
+           AS block
+       FROM k)
+SELECT a.id AS src, b.id AS dst,
+  CAST(levenshtein(a.name, b.name) AS INT) AS distance
+FROM kb a JOIN kb b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 24
+""")
+def q_doc_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, block → verify: candidate doc pairs share their
+    first two words (prefix blocking — small near-uniform blocks, no
+    stop-token skew axis), then JVM levenshtein over the 64-char
+    normalized prefix verifies within blocks. The all-pairs edit-distance
+    join this replaces is quadratic in the corpus; this is quadratic only
+    in max block size."""
+    from .operators.entity import blocked_name_matches
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.trim(F.lower(F.col("text"))), 1, 64).alias("title"))
+    return blocked_name_matches(docs, "doc_id", "title",
+                                prefix_tokens=2, max_distance=24)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------

@@ -102,3 +102,80 @@ def test_tfidf_keywords_ranking(spark):
     assert rows[(1, 2)]["tfidf"] == 2.0
     assert rows[(2, 1)]["token"] == "common"
     assert (3, 2) not in rows  # doc3 has a single distinct token
+
+
+def test_status_history_collapses_runs(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.relational_ext import status_history
+    ev = spark.createDataFrame(
+        [(1, 7, DT(2024, 1, 1), "view"),
+         (2, 7, DT(2024, 1, 2), "view"),      # same status → collapses
+         (3, 7, DT(2024, 1, 3), "purchase"),  # change
+         (4, 7, DT(2024, 1, 4), "view"),      # change back
+         (5, 9, DT(2024, 1, 1), "click")],
+        ["event_id", "user_id", "ts", "event_type"])
+    rows = sorted(status_history(ev).collect(),
+                  key=lambda r: (r["user_id"], r["version"]))
+    u7 = [r for r in rows if r["user_id"] == 7]
+    assert [r["status"] for r in u7] == ["view", "purchase", "view"]
+    # intervals chain: each valid_to equals the next valid_from
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert u7[2]["valid_to"] is None          # current row stays open
+    assert [r["version"] for r in u7] == [1, 2, 3]
+    u9 = [r for r in rows if r["user_id"] == 9]
+    assert len(u9) == 1 and u9[0]["valid_to"] is None
+
+
+def test_recency_decay_halves_per_period(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.popularity import (
+        recency_decayed_popularity)
+    orders = spark.createDataFrame(
+        [(1, DT(2024, 3, 1)),   # anchor (most recent)
+         (2, DT(2024, 1, 30)),  # 31 days before → one half-life
+         (3, DT(2014, 1, 1))],  # ancient → floored at 1/2^12
+        ["o_orderkey", "o_orderdate"])
+    items = spark.createDataFrame(
+        [(1, 100, 4.0), (2, 100, 4.0), (3, 200, 4096.0)],
+        ["order_id", "product_id", "quantity"])
+    rows = {r["product_id"]: r
+            for r in recency_decayed_popularity(orders, items).collect()}
+    assert rows[100]["recency_score"] == 4.0 + 2.0   # fresh + one halving
+    assert rows[200]["recency_score"] == 1.0         # 4096 / 2^12 (floor)
+    assert rows[100]["n_items"] == 2
+
+
+def test_winsorized_clips_into_band(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.relational_ext import (
+        winsorized_value_stats)
+    base = [(i, DT(2024, 1, 1), 1, "buy", 10.0, "{}") for i in range(1, 20)]
+    out = [(20, DT(2024, 1, 1), 1, "buy", 10_000.0, "{}"),
+           (21, DT(2024, 1, 1), 1, "buy", -10_000.0, "{}")]
+    ev = spark.createDataFrame(
+        base + out, ["event_id", "ts", "user_id", "event_type", "value",
+                     "props"])
+    r = winsorized_value_stats(ev).collect()[0]
+    assert r["n_events"] == 21
+    # both outliers clip to the p05/p95 bounds: sum stays near 19*10
+    assert r["lo"] >= -10_000.0 and r["hi"] <= 10_000.0
+    assert r["clipped_sum"] == round(19 * 10.0 + r["hi"] + r["lo"], 6)
+
+
+def test_blocked_name_matches_respects_blocks(spark):
+    from graph_database_spark.operators.entity import blocked_name_matches
+    df = spark.createDataFrame(
+        [(1, "navy blue metallic small box"),
+         (2, "navy blue metallic large box"),    # same block, distance 5
+         (3, "navy blue chocolate forest mint"),  # same block, far
+         (4, "rose gold metallic small box")],    # different block
+        ["id", "name"])
+    rows = blocked_name_matches(df, "id", "name",
+                                prefix_tokens=2, max_distance=6).collect()
+    pairs = {(r["src"], r["dst"]): r["distance"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 5
+    # cross-block pair never considered even though names are close
+    assert not any(4 in p for p in pairs)
+    # in-block pair beyond the distance cap is verified away
+    assert (1, 3) not in pairs and (2, 3) not in pairs
