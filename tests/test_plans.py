@@ -238,3 +238,48 @@ def test_profile_single_scan(spark):
     # the formatted dump names each scan once in the tree and once in the
     # node details — count the detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_minhash_signatures_pure_projection(spark):
+    """After the map-side rewrite the signature stage must stay a pure
+    projection: no aggregate, and the only Exchange is the round-robin
+    `spread` repartition (never a hash shuffle of (doc, shingle) rows)."""
+    from graph_database_spark.operators.dedup import minhash_signatures
+    from graph_database_spark.sources.testdata import load_table
+    sig = minhash_signatures(load_table(spark, SF_DIR, "documents"))
+    plan = sig._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "hashpartitioning" not in plan  # only REPARTITION_BY_NUM round-robin
+
+
+def test_recency_popularity_broadcasts_anchor(spark):
+    plan = _formatted_plan(spark, "part_recency_popularity")
+    assert "BroadcastExchange" in plan        # 1-row anchor date
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_broadcasts_bounds(spark):
+    plan = _formatted_plan(spark, "events_value_winsorized")
+    assert "BroadcastExchange" in plan        # per-type p05/p95 bounds
+    # the fact side is scanned twice (bounds + clip) but never self-joined
+    assert "SortMergeJoin" not in plan
+
+
+def test_status_history_single_shuffle(spark):
+    """Both windows share (user_id → ts, event_id); the plan must carry
+    ONE hash exchange on user_id, not one per window."""
+    plan = _formatted_plan(spark, "events_status_history")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Arguments: hashpartitioning(user_id" in plan
+
+
+def test_doc_prefix_matches_equi_join_only(spark):
+    """Blocking must reach the join as an equi key — a fallback to a
+    nested-loop/cartesian verify stage would be the quadratic all-pairs
+    join the operator exists to avoid."""
+    plan = _formatted_plan(spark, "doc_prefix_matches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
