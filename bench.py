@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "events_status_history",
     "events_value_winsorized",
     "doc_prefix_matches",
+    "graph_lpa_communities",
 ]
 
 

@@ -2927,6 +2927,53 @@ def q_doc_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 prefix_tokens=2, max_distance=24)
 
 
+@register("graph_lpa_communities", f"""
+WITH base AS ({_SQL_ITEMS}),
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+l0 AS (SELECT p_partkey AS id, p_partkey AS community FROM part),
+h1 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
+       FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+w1 AS (SELECT id, community FROM h1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         ORDER BY cnt DESC, community ASC) = 1),
+l1 AS (SELECT l0.id, COALESCE(w1.community, l0.community) AS community
+       FROM l0 LEFT JOIN w1 USING (id)),
+h2 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
+       FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+w2 AS (SELECT id, community FROM h2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         ORDER BY cnt DESC, community ASC) = 1)
+SELECT l1.id, COALESCE(w2.community, l1.community) AS community
+FROM l1 LEFT JOIN w2 USING (id)
+""")
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-superstep synchronous label propagation over the
+    support-thresholded (≥3 shared orders) co-occurrence graph —
+    deterministic argmax-by-(count desc, label asc) tie-break, so the
+    oracle can unroll the identical rounds. Fixed iteration budget is
+    the production LPA contract (it oscillates rather than converges);
+    isolated products keep their own label."""
+    from .graphs.traversal import label_propagation
+    items = _items(spark, sf_dir).distinct()  # PK(order, product) invariant
+    pairs = (items.alias("a")
+             .join(items.alias("b"),
+                   (F.col("a.order_id") == F.col("b.order_id"))
+                   & (F.col("a.product_id") < F.col("b.product_id")))
+             .groupBy(F.col("a.product_id").alias("src"),
+                      F.col("b.product_id").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 3)
+             .select("src", "dst"))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    return label_propagation(vertices, pairs, max_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------
