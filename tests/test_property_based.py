@@ -92,3 +92,68 @@ def test_sessionization_gap_property(spark, gaps):
     # n_sessions * 5e-7 of rounding error
     assert row["n_sessions"] * row["avg_events_per_session"] == pytest.approx(
         len(times), abs=1e-4)
+
+
+STATUS_EVENTS = st.lists(
+    st.tuples(st.integers(0, 3),                    # user
+              st.integers(0, 20),                   # day offset
+              st.sampled_from(["a", "b", "c"])),    # status
+    min_size=0, max_size=25)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=STATUS_EVENTS)
+def test_status_history_properties(spark, events):
+    """SCD2 invariants on arbitrary event logs: per user, (1) intervals
+    chain valid_to == next valid_from with exactly one open row, (2) no
+    two consecutive intervals share a status, (3) the interval sequence
+    equals the run-length collapse of the (ts, event_id)-ordered log."""
+    from graph_database_spark.operators.relational_ext import status_history
+    rows = [(i + 1, u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), s)
+            for i, (u, d, s) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, dt.datetime(2024, 1, 1), "a")],
+        ["event_id", "user_id", "ts", "event_type"])
+    if not rows:
+        df = df.limit(0)
+    got: dict[int, list] = {}
+    for r in status_history(df).collect():
+        got.setdefault(r["user_id"], []).append(r)
+    for u, ivs in got.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]
+        assert ivs[-1]["valid_to"] is None
+        assert sum(r["valid_to"] is None for r in ivs) == 1
+    # reference collapse
+    expected: dict[int, list] = {}
+    for eid, u, ts, s in sorted(rows, key=lambda r: (r[2], r[0])):
+        seq = expected.setdefault(u, [])
+        if not seq or seq[-1] != s:
+            seq.append(s)
+    assert {u: [r["status"] for r in ivs] for u, ivs in got.items()} \
+        == {u: seq for u, seq in expected.items() if seq}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                     max_size=40))
+def test_winsorized_bounds_and_sum(spark, vals):
+    """Winsorized stats invariants: lo ≤ hi both inside [min, max];
+    clipped_sum within [n·lo, n·hi] and equal to the plain-Python clip."""
+    from graph_database_spark.operators.relational_ext import (
+        winsorized_value_stats)
+    ts = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, ts, 1, "t", float(v), "{}") for i, v in enumerate(vals)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    r = winsorized_value_stats(df).collect()[0]
+    assert round(min(vals), 6) <= r["lo"] <= r["hi"] <= round(max(vals), 6)
+    expected = round(sum(round(min(max(v, r["lo"]), r["hi"]), 6)
+                         for v in vals), 6)
+    assert r["clipped_sum"] == pytest.approx(expected, abs=1e-6)
+    assert r["n_events"] == len(vals)
