@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "events_value_winsorized",
     "doc_prefix_matches",
     "graph_lpa_communities",
+    "bpe_merge_candidates",
+    "corpus_summary",
 ]
 
 

@@ -209,6 +209,63 @@ def tfidf_keywords(documents: DataFrame, top: int = 3,
             .filter(F.col("rank") <= top))
 
 
+def bpe_merge_candidates(documents: DataFrame, k: int = 50,
+                         text_col: str = "text") -> DataFrame:
+    """(pair, n_occurrences): the top-k adjacent character pairs weighted
+    by word frequency — iteration 1 of BPE tokenizer training (the merge
+    ranking). The full trainer is a driver-side loop around this
+    operator: apply the winning merge to the word list, re-rank, repeat.
+
+    Plan shape for 100 TB: the corpus collapses to the word-frequency
+    table FIRST (vocabulary-sized, zipfian-small relative to the corpus),
+    so the per-word character expansion runs over distinct words, not
+    over every token occurrence. Adjacent pairs come from substr windows
+    (1-based, identical in the oracle); deterministic (count desc, pair
+    asc) top-k via TakeOrderedAndProject.
+    """
+    words = (spread(documents)
+             .select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                       r"\s+")).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)))
+    return (words
+            .filter(F.length("word") >= 2)
+            .select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(k))
+
+
+def corpus_summary(documents: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """(lang, source, n_docs, total_tokens, avg_quality, p50_chars): the
+    data-card / corpus-report primitive — one row per (declared lang ×
+    source) stratum with volume, token mass, mean quality, and median
+    length.
+
+    Every metric is row-local (token count and quality are fused into
+    the scan), so the whole report is ONE corpus scan + one hash
+    aggregate. avg_quality divides a DECIMAL-exact sum of the 6dp-rounded
+    per-doc scores, so the mean is identical under any partitioning.
+    """
+    text = F.col(text_col)
+    per_doc = documents.select(
+        "lang", "source",
+        _match_count(text, WS_TOKEN_PATTERN).alias("__toks"),
+        quality_col(text).cast("decimal(24,6)").alias("__q"),
+        F.length(text).alias("__chars"))
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__toks").alias("total_tokens"),
+                 F.round(F.sum("__q").cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_quality"),
+                 F.round(F.expr("percentile(__chars, 0.5)"), 6)
+                  .alias("p50_chars")))
+
+
 # PII patterns chosen for identical semantics in Java regex (Spark) and
 # RE2 (DuckDB oracle): no backrefs, no lookaround, \b supported by both.
 PII_PATTERNS: dict[str, str] = {

@@ -2974,6 +2974,68 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(vertices, pairs, max_iter=2)
 
 
+@register("bpe_merge_candidates", r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents),
+wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(word) - 1),
+           i -> substr(word, i, 2))) AS pair, freq
+  FROM wf WHERE len(word) >= 2)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT 50
+""")
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration 1: top-50 adjacent character
+    pairs weighted by word frequency. The corpus collapses to the
+    vocabulary-sized word-frequency table before the character
+    expansion, so the quadratic-in-word-length stage runs over distinct
+    words, not token occurrences."""
+    from .operators.text import bpe_merge_candidates
+    return bpe_merge_candidates(load_table(spark, sf_dir, "documents"),
+                                k=50)
+
+
+_SQL_QUALITY = r"""
+ROUND(
+  LEAST(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5
+  + (1.0 - LEAST(
+      len(regexp_extract_all(text, '[.,;:!?]'))
+        / GREATEST(len(regexp_extract_all(text, '\S+')), 1) * 10.0,
+      1.0)) * 0.25
+  + LEAST(
+      len(regexp_extract_all(lower(text),
+          '\b(the|and|of|to|in|is|that|it|was|for)\b'))
+        / GREATEST(len(regexp_extract_all(text, '\S+')), 1) * 5.0,
+      1.0) * 0.25, 6)
+"""
+
+
+@register("corpus_summary", rf"""
+WITH per_doc AS (
+  SELECT lang, source,
+    len(regexp_extract_all(text, '\S+')) AS toks,
+    CAST({_SQL_QUALITY} AS DECIMAL(24,6)) AS q,
+    length(text) AS chars
+  FROM documents)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+  ROUND(quantile_cont(chars, 0.5), 6) AS p50_chars
+FROM per_doc GROUP BY lang, source
+""")
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card corpus report: per (declared lang × source) stratum the
+    doc volume, token mass, DECIMAL-exact mean quality, and median
+    length — all row-local metrics fused into ONE corpus scan + one hash
+    aggregate."""
+    from .operators.text import corpus_summary
+    return corpus_summary(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------

@@ -179,3 +179,28 @@ def test_blocked_name_matches_respects_blocks(spark):
     assert not any(4 in p for p in pairs)
     # in-block pair beyond the distance cap is verified away
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bpe_merge_candidates_weighted_by_word_freq(spark):
+    from graph_database_spark.operators.text import bpe_merge_candidates
+    docs = spark.createDataFrame(
+        [(1, "aab aab ccd"), (2, "aab xz")], ["doc_id", "text"])
+    rows = {r["pair"]: r["n_occurrences"]
+            for r in bpe_merge_candidates(docs, k=10).collect()}
+    # 'aab' occurs 3x -> pairs aa, ab each weigh 3; 'ccd' 1x; 'xz' 1x
+    assert rows["aa"] == 3 and rows["ab"] == 3
+    assert rows["cc"] == 1 and rows["cd"] == 1 and rows["xz"] == 1
+
+
+def test_corpus_summary_values(spark):
+    from graph_database_spark.operators.text import corpus_summary
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en", "s0", 13),
+         (2, "four five", "en", "s0", 9),
+         (3, "six", "fr", "s1", 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    rows = {(r["lang"], r["source"]): r for r in corpus_summary(docs).collect()}
+    en = rows[("en", "s0")]
+    assert en["n_docs"] == 2 and en["total_tokens"] == 5
+    assert en["p50_chars"] == (13 + 9) / 2
+    assert rows[("fr", "s1")]["n_docs"] == 1
