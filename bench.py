@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "graph_lpa_communities",
     "bpe_merge_candidates",
     "corpus_summary",
+    "graph_neighbor_agg",
+    "doc_pack_sequences",
 ]
 
 

@@ -239,3 +239,18 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
              .localCheckpoint())
     return (e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
             .select(F.col("src").alias("id"), "degree"))
+
+
+def neighbor_mean_agg(edges: DataFrame, features: DataFrame,
+                      feature_col: str, out_col: str) -> DataFrame:
+    """(id, degree, <out_col>): 1-layer mean message passing
+    (GraphSAGE-mean shape) — every vertex aggregates its neighbors'
+    feature. ONE edge⋈feature join + one hash aggregate per layer; the
+    feature table is vertex-sized, the join shuffles on the edge key.
+    Stack calls for deeper receptive fields (output of layer k is the
+    feature table of layer k+1)."""
+    return (edges.join(features.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"),
+                 F.round(F.sum(feature_col) / F.count(F.lit(1)), 6)
+                  .alias(out_col)))

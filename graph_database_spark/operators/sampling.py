@@ -206,3 +206,40 @@ def shard_by_token_budget(df: DataFrame, budget: int,
                     / F.lit(budget)).cast("long")
     return df.select(key_col, strata_col, tokens_col,
                      shard.alias("shard"))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   tokens_col: str = "ws_tokens",
+                   strata_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """(key, stratum, tokens, shard, seq_pos, start_offset): sequence
+    packing — `shard_by_token_budget`'s shard assignment plus each
+    document's position and starting token offset WITHIN its shard, i.e.
+    exactly what a trainer needs to concatenate documents into
+    fixed-length sequences with correct attention boundaries.
+
+    Two windows: the per-stratum prefix sum that assigns shards, then a
+    per-(stratum, shard) prefix sum for in-shard offsets. The second
+    repartitions on the finer (stratum, shard) key — strictly more
+    parallel than the first, so the packing step never concentrates a
+    stratum on one task the way a naive global pack would.
+    """
+    from pyspark.sql import Window
+
+    order = (hash_bucket(F.col(key_col)), F.col(key_col))
+    w1 = (Window.partitionBy(strata_col).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(tokens_col).over(w1)
+    with_shard = df.select(
+        key_col, strata_col, tokens_col,
+        F.floor((cum - F.col(tokens_col)).cast("double")
+                / F.lit(budget)).cast("long").alias("shard"))
+    w2 = (Window.partitionBy(strata_col, "shard").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return with_shard.select(
+        key_col, strata_col, tokens_col, "shard",
+        F.row_number().over(
+            Window.partitionBy(strata_col, "shard").orderBy(*order))
+         .cast("int").alias("seq_pos"),
+        (F.sum(tokens_col).over(w2) - F.col(tokens_col)).cast("long")
+         .alias("start_offset"))

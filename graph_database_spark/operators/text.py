@@ -241,15 +241,18 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 50,
 
 def corpus_summary(documents: DataFrame,
                    text_col: str = "text") -> DataFrame:
-    """(lang, source, n_docs, total_tokens, avg_quality, p50_chars): the
-    data-card / corpus-report primitive — one row per (declared lang ×
-    source) stratum with volume, token mass, mean quality, and median
-    length.
+    """(lang, source, n_docs, total_tokens, total_quality, p50_chars):
+    the data-card / corpus-report primitive — one row per (declared lang
+    × source) stratum with volume, token mass, summed quality (mean =
+    total/n, left to the consumer), and median length.
 
     Every metric is row-local (token count and quality are fused into
     the scan), so the whole report is ONE corpus scan + one hash
-    aggregate. avg_quality divides a DECIMAL-exact sum of the 6dp-rounded
-    per-doc scores, so the mean is identical under any partitioning.
+    aggregate. total_quality is the DECIMAL-exact sum of the 6dp-rounded
+    per-doc scores — publishing the sum rather than the mean keeps the
+    column bit-identical across engines (a mean's trailing division can
+    land exactly on a round-half boundary where HALF_UP/HALF_EVEN
+    implementations split).
     """
     text = F.col(text_col)
     per_doc = documents.select(
@@ -260,8 +263,8 @@ def corpus_summary(documents: DataFrame,
     return (per_doc.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__toks").alias("total_tokens"),
-                 F.round(F.sum("__q").cast("double") / F.count(F.lit(1)), 6)
-                  .alias("avg_quality"),
+                 F.round(F.sum("__q").cast("double"), 6)
+                  .alias("total_quality"),
                  F.round(F.expr("percentile(__chars, 0.5)"), 6)
                   .alias("p50_chars")))
 

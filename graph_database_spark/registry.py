@@ -3023,17 +3023,76 @@ WITH per_doc AS (
   FROM documents)
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(toks) AS BIGINT) AS total_tokens,
-  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+  ROUND(CAST(SUM(q) AS DOUBLE), 6) AS total_quality,
   ROUND(quantile_cont(chars, 0.5), 6) AS p50_chars
 FROM per_doc GROUP BY lang, source
 """)
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-card corpus report: per (declared lang × source) stratum the
-    doc volume, token mass, DECIMAL-exact mean quality, and median
+    doc volume, token mass, DECIMAL-exact summed quality, and median
     length — all row-local metrics fused into ONE corpus scan + one hash
     aggregate."""
     from .operators.text import corpus_summary
     return corpus_summary(load_table(spark, sf_dir, "documents"))
+
+
+@register("graph_neighbor_agg", f"""
+WITH {_SQL_COOC_EDGES},
+feat AS (
+  SELECT product_id, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count
+  FROM ({_SQL_ITEMS}) GROUP BY product_id)
+SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS degree,
+  ROUND(SUM(f.order_count) / COUNT(*), 6) AS mean_neighbor_orders
+FROM edges e JOIN feat f ON f.product_id = e.dst
+GROUP BY e.src
+""")
+def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-layer message passing (GraphSAGE-mean shape): every product
+    aggregates its co-occurrence neighbors' order-frequency feature —
+    ONE edge⋈feature join + one hash aggregate per layer, the exact plan
+    a DataFrame GNN feature pipeline stacks. Feature table is
+    vertex-sized; the join shuffles on the edge key only."""
+    items = _items(spark, sf_dir)
+    from .graphs.traversal import neighbor_mean_agg
+    from .operators.cooccurrence import cooccurrence_unordered, symmetrize
+    from .operators.popularity import order_frequency
+    edges = symmetrize(cooccurrence_unordered(items)).select("src", "dst")
+    feat = order_frequency(items).withColumnRenamed("product_id", "id")
+    return neighbor_mean_agg(edges, feat, "order_count",
+                             "mean_neighbor_orders")
+
+
+@register("doc_pack_sequences", rf"""
+WITH t AS (SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+             {_SQL_HASH_BUCKET} AS b
+           FROM documents),
+s AS (
+  SELECT doc_id, source, ws_tokens, b,
+    CAST(FLOOR(CAST(SUM(ws_tokens) OVER w1 - ws_tokens AS DOUBLE) / 2000)
+         AS BIGINT) AS shard
+  FROM t
+  WINDOW w1 AS (PARTITION BY source ORDER BY b, doc_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens, shard,
+  CAST(ROW_NUMBER() OVER w2 AS INT) AS seq_pos,
+  CAST(SUM(ws_tokens) OVER w2 - ws_tokens AS BIGINT) AS start_offset
+FROM s
+WINDOW w2 AS (PARTITION BY source, shard ORDER BY b, doc_id
+              ROWS UNBOUNDED PRECEDING)
+""")
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: shard assignment plus per-document position and
+    starting token offset within the shard — the concatenation layout a
+    trainer needs for fixed-length sequences with correct attention
+    boundaries."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import _match_count, WS_TOKEN_PATTERN
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
+    return pack_sequences(scored, budget=2000)
 
 
 # ---------------------------------------------------------------------------

@@ -81,3 +81,18 @@ def test_integrity_report_clean(graph):
     rep = {r["check"]: r["n_bad"] for r in graph.integrity_report().collect()}
     assert rep == {"duplicate_vertex_ids": 0,
                    "dangling_src": 0, "dangling_dst": 0}
+
+
+def test_neighbor_agg_mean_feature(spark):
+    """1-layer mean message passing on a 3-vertex path graph."""
+    from graph_database_spark.graphs.traversal import neighbor_mean_agg
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"])
+    feat = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 40)], ["id", "order_count"])
+    got = {r["id"]: (r["degree"], r["mean_neighbor_orders"])
+           for r in neighbor_mean_agg(edges, feat, "order_count",
+                                      "mean_neighbor_orders").collect()}
+    assert got[1] == (1, 20.0)
+    assert got[2] == (2, 25.0)   # mean(10, 40)
+    assert got[3] == (1, 20.0)

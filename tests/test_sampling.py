@@ -171,3 +171,27 @@ def test_shard_by_token_budget_packs_uniformly(spark):
         by_src.setdefault(r["source"], set()).add(r["shard"])
     for shs in by_src.values():
         assert shs == set(range(len(shs)))
+
+
+def test_pack_sequences_offsets_chain(spark):
+    from graph_database_spark.operators.sampling import (
+        pack_sequences, shard_by_token_budget)
+    docs = spark.createDataFrame(
+        [(i, "s0" if i % 2 else "s1", 700 + (i % 5) * 100)
+         for i in range(1, 21)],
+        ["doc_id", "source", "ws_tokens"])
+    packed = pack_sequences(docs, budget=2000).collect()
+    # shard assignment agrees with shard_by_token_budget
+    shards = {(r["doc_id"]): r["shard"]
+              for r in shard_by_token_budget(docs, budget=2000).collect()}
+    assert all(r["shard"] == shards[r["doc_id"]] for r in packed)
+    # within each (source, shard): seq_pos is 1..n and offsets chain
+    groups: dict = {}
+    for r in packed:
+        groups.setdefault((r["source"], r["shard"]), []).append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r["seq_pos"])
+        assert [r["seq_pos"] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0]["start_offset"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_offset"] == a["start_offset"] + a["ws_tokens"]
