@@ -91,11 +91,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """
     def _shingles_of(toks: Column) -> Column:
         k = F.size(toks) - (n - 1)
-        return F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        # guard k < 1 explicitly: sequence(1, 0) counts DOWN in Spark, so
+        # an unguarded sub-n-word doc evaluates element_at past the array
+        # (an ANSI runtime error), instead of yielding no shingles
+        return F.when(k >= 1, F.array_distinct(F.transform(
+            F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ))
+        ))).otherwise(F.array().cast("array<string>"))
     return F.element_at(
         F.transform(F.array(F.split(F.trim(text), r"\s+")), _shingles_of), 1)
 

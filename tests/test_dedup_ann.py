@@ -90,3 +90,23 @@ def test_ivf_ann_recall(emb):
     # ~0.0) — the worst case for any ANN index; half the corpus is probed
     # here and the threshold reflects that data reality, not index quality
     assert avg >= 0.6, f"IVF recall@10 {avg:.2f} < 0.6 ({recalls})"
+
+
+def test_short_docs_survive_all_dedup_paths(spark):
+    """Sub-n-word and empty documents must yield zero shingles, not an
+    ANSI element_at error (Spark's sequence(1, 0) counts DOWN, so the
+    unguarded transform walked past the token array)."""
+    from graph_database_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+        word_shingles)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "a b c d e f"),
+         (4, "a b c d e f"), (5, "")],
+        ["doc_id", "text"])
+    sizes = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", F.size(word_shingles(F.col("text"))).alias("s")).collect()}
+    assert sizes == {1: 0, 2: 0, 3: 4, 4: 4, 5: 0}
+    for op in (minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs):
+        pairs = op(df).collect()
+        assert {(r["src"], r["dst"]) for r in pairs} == {(3, 4)}
