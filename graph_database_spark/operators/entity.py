@@ -33,8 +33,9 @@ def blocked_name_matches(df: DataFrame, id_col: str, name_col: str,
     keyed = df.select(
         F.col(id_col).alias("__id"),
         F.col(name_col).alias("__name"),
-        F.concat_ws(" ", *[F.element_at(toks, i + 1)
-                           for i in range(prefix_tokens)]).alias("__block"),
+        # slice (not element_at) tolerates names shorter than the prefix:
+        # they block on their full token list instead of erroring
+        F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("__block"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
