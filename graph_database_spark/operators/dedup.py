@@ -80,27 +80,41 @@ def exact_duplicate_groups(documents: DataFrame,
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as an array column (JVM transform, no UDF).
+def word_grams(text: Column, n: int, lowercase: bool,
+               distinct: bool) -> Column:
+    """Word n-grams of `text` as an array column (JVM transform, no UDF) —
+    the shared core of `word_shingles` (dedup: distinct, case-kept) and
+    `text.word_ngrams` (frequency stats: non-distinct, lowercased).
 
-    The token array is bound as a higher-order-function lambda variable
-    (via a one-element array wrapper) so the regex split runs ONCE per
-    row — inlining it as a plain sub-expression would re-execute the
-    split for every element_at inside the shingle lambda (n per shingle),
-    turning an O(words) derivation into O(words²) regex work.
+    Two load-bearing subtleties, centralized here so they can never
+    drift between call sites:
+    - the token array is bound as a higher-order-function lambda variable
+      (one-element array wrapper), so the regex split runs ONCE per row —
+      inlined it would re-execute per element_at (O(words²) regex work);
+    - k < 1 is guarded explicitly: Spark's sequence(1, 0) counts DOWN, so
+      an unguarded sub-n-word doc evaluates element_at past the array (an
+      ANSI runtime error) instead of yielding no grams.
     """
-    def _shingles_of(toks: Column) -> Column:
+    base = F.trim(F.lower(text)) if lowercase else F.trim(text)
+
+    def _grams_of(toks: Column) -> Column:
         k = F.size(toks) - (n - 1)
-        # guard k < 1 explicitly: sequence(1, 0) counts DOWN in Spark, so
-        # an unguarded sub-n-word doc evaluates element_at past the array
-        # (an ANSI runtime error), instead of yielding no shingles
-        return F.when(k >= 1, F.array_distinct(F.transform(
+        grams = F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ))).otherwise(F.array().cast("array<string>"))
+                " ", *[F.element_at(toks, i + j) for j in range(n)]))
+        if distinct:
+            grams = F.array_distinct(grams)
+        return F.when(k >= 1, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
     return F.element_at(
-        F.transform(F.array(F.split(F.trim(text), r"\s+")), _shingles_of), 1)
+        F.transform(F.array(F.split(base, r"\s+")), _grams_of), 1)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array column."""
+    return word_grams(text, n, lowercase=False, distinct=True)
 
 
 def _doc_shingles(documents: DataFrame, text_col: str, n: int,

@@ -12,6 +12,8 @@ oracle compares values).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -25,17 +27,17 @@ def distinct_reach(incidence: DataFrame,
     )
 
 
-#: Exact dyadic half-life weights 1/2^k for k = 0..12 as 16-scale decimal
-#: strings — every value is a finite decimal (2^-12 needs 12 digits), so
-#: weighted sums stay in exact DECIMAL arithmetic in any engine.
+#: Exact dyadic half-life weights 1/2^k for k = 0..12 as decimal strings —
+#: every value is a finite decimal (2^-12 needs 12 digits), so weighted
+#: sums stay in exact DECIMAL arithmetic in any engine.
 DECAY_WEIGHTS: list[str] = [
-    str(__import__("decimal").Decimal(1) / (2 ** k)) for k in range(13)
+    str(Decimal(1) / (2 ** k)) for k in range(13)
 ]
 
 
 def recency_decayed_popularity(orders: DataFrame, items: DataFrame,
                                half_life_days: int = 30) -> DataFrame:
-    """(product_id, n_orders, recency_score): quantity-weighted popularity
+    """(product_id, n_items, recency_score): quantity-weighted popularity
     with a step half-life decay — each elapsed `half_life_days` halves an
     order's contribution, floored at 1/2^12.
 

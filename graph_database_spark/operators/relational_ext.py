@@ -351,7 +351,10 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                "(col_name, n_nulls, n_distinct, min_value, max_value)"),
         F.col("__n_rows").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
-             "min_value", "max_value")
+             "min_value", "max_value") \
+     .filter(F.col("n_rows") > 0)  # empty table profiles to zero rows
+     # (a global agg always emits one row; SQL's CROSS JOIN form emits
+     # none — align on "no data, no profile" so both engines agree)
 
 
 def status_history(events: DataFrame) -> DataFrame:

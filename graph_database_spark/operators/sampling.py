@@ -69,9 +69,12 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     map-side filter with no shuffle and no RNG state.
     """
     rate = None
-    for stratum, frac in sorted(fractions.items()):
+    # sort on str(key): a NULL stratum (None key, e.g. from a groupBy over
+    # data with missing sources) must not crash the driver-side ordering
+    for stratum, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
         thr = F.lit(int(round(frac * SAMPLE_BUCKETS)))
-        cond = F.col(strata_col) == stratum
+        cond = (F.col(strata_col).isNull() if stratum is None
+                else F.col(strata_col) == stratum)
         rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
     default_thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
     rate = default_thr if rate is None else rate.otherwise(default_thr)
@@ -227,13 +230,10 @@ def pack_sequences(df: DataFrame, budget: int,
     from pyspark.sql import Window
 
     order = (hash_bucket(F.col(key_col)), F.col(key_col))
-    w1 = (Window.partitionBy(strata_col).orderBy(*order)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum(tokens_col).over(w1)
-    with_shard = df.select(
-        key_col, strata_col, tokens_col,
-        F.floor((cum - F.col(tokens_col)).cast("double")
-                / F.lit(budget)).cast("long").alias("shard"))
+    # stage 1 IS shard_by_token_budget — reuse it so the packing layout
+    # can never drift from the shard assignment it annotates
+    with_shard = shard_by_token_budget(df, budget, tokens_col,
+                                       strata_col, key_col)
     w2 = (Window.partitionBy(strata_col, "shard").orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return with_shard.select(

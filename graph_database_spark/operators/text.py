@@ -113,9 +113,14 @@ def repetition_metrics(documents: DataFrame,
     The final join back to the row-local metrics is the only join.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # localCheckpoint: base feeds BOTH the row-local branch and the bigram
+    # explode — without it each branch re-runs the scan + regex tokenize
+    # (the dominant cost at corpus scale); same dual-consumer pattern as
+    # curate_documents
     base = (spread(documents)
             .select("doc_id", toks.alias("w"))
-            .withColumn("n_words", F.size("w")))
+            .withColumn("n_words", F.size("w"))
+            .localCheckpoint())
     bigrams = F.when(
         F.col("n_words") >= 2,
         F.zip_with(
@@ -144,21 +149,9 @@ def repetition_metrics(documents: DataFrame,
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All word n-grams (lowercased, NON-distinct — frequency matters) as
-    an array column. Guarded to an empty array when the doc has fewer than
-    n words: Spark's `sequence(1, 0)` counts DOWN, which would fabricate
-    partial grams, while the oracle's generate_series(1, 0) is empty."""
-    def _grams_of(toks: Column) -> Column:
-        k = F.size(toks) - (n - 1)
-        return F.when(k >= 1, F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )).otherwise(F.array().cast("array<string>"))
-    # bind the token array as a lambda variable so the regex split runs
-    # once per row, not once per element_at inside the gram lambda
-    return F.element_at(
-        F.transform(F.array(F.split(F.trim(F.lower(text)), r"\s+")),
-                    _grams_of), 1)
+    an array column; shares `dedup.word_grams`' binding + guard core."""
+    from .dedup import word_grams
+    return word_grams(text, n, lowercase=True, distinct=False)
 
 
 def corpus_top_ngrams(documents: DataFrame, n: int = 2, k: int = 50,

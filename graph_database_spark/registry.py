@@ -2904,7 +2904,7 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH k AS (SELECT doc_id AS id, substr(trim(lower(text)), 1, 64) AS name
            FROM documents),
 kb AS (SELECT id, name,
-         array_to_string((string_split_regex(name, '\s+'))[1:2], ' ')
+         array_to_string((string_split_regex(trim(name), '\s+'))[1:2], ' ')
            AS block
        FROM k)
 SELECT a.id AS src, b.id AS dst,

@@ -44,6 +44,8 @@ def _as_change_events(scd_rows: DataFrame) -> DataFrame:
 
 
 def _upsert_batch(batch: DataFrame, table_path: str) -> None:
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     events = batch.select("event_id", "ts", "user_id", "event_type")
     try:
@@ -51,7 +53,13 @@ def _upsert_batch(batch: DataFrame, table_path: str) -> None:
         # would race the rewrite of its own input files
         current = spark.read.parquet(table_path) \
             .select(*SCD_COLUMNS).localCheckpoint()
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY a missing table means bootstrap; any other failure must
+        # abort the trigger — falling through would overwrite the whole
+        # dimension with history derived from this batch alone
+        if "PATH_NOT_FOUND" not in str(exc) \
+                and "Path does not exist" not in str(exc):
+            raise
         current = None
     if current is None:
         out = status_history(events)
