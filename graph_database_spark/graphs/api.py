@@ -18,7 +18,7 @@ operation stays a declarative DataFrame plan Catalyst optimizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 class PropertyGraph:
@@ -100,12 +100,22 @@ class PropertyGraph:
 
     def _projection(self, rel_type: str | None) -> DataFrame:
         """Row-stochastic (src, dst, weight) projection: uniform 1/outdeg
-        unless the edge set already carries a `weight` column."""
+        unless the edge set already carries a `weight` column.
+
+        Pre-existing weights are RE-normalized per src after any rel_type
+        filter — weights normalized over all rel_types sum to < 1 on the
+        filtered subgraph, and PageRank would silently leak that mass
+        (vertices keeping some out-edges are not sinks, so nothing
+        redistributes it).
+        """
         e = self.edges
         if rel_type is not None:
             e = e.filter(F.col("rel_type") == rel_type)
         if "weight" in e.columns:
-            return e.select("src", "dst", "weight")
+            w = Window.partitionBy("src")
+            return e.select(
+                "src", "dst",
+                (F.col("weight") / F.sum("weight").over(w)).alias("weight"))
         from ..operators.cooccurrence import row_normalized_adjacency
         counted = e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("count"))
         return row_normalized_adjacency(counted, broadcast_row_sums=True)

@@ -152,7 +152,10 @@ def build_edges(products: DataFrame, categories: DataFrame,
                     F.col("ts"),
                     events["id"].cast("string").alias("event_id"))
         )
-        ev = _lww(ev, ["src", "rel_type", "dst"], "ts")
+        # event_id tiebreak: equal-ts events would otherwise pick a
+        # partitioning-dependent winner (see _lww's docstring warning)
+        ev = _lww(ev, ["src", "rel_type", "dst"], "ts",
+                  tiebreak=["event_id"])
         out = out.unionByName(ev)
     return out
 

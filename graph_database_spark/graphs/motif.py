@@ -84,6 +84,11 @@ def _parse(pattern: str) -> list[dict]:
     edge_names = [t["edge"] for t in terms if t["edge"]]
     if len(edge_names) != len(set(edge_names)):
         raise ValueError("edge variables must be unique")
+    vertex_names = {t["src"] for t in terms} | {t["dst"] for t in terms}
+    clash = vertex_names & set(edge_names)
+    if clash:
+        raise ValueError(
+            f"edge variables collide with vertex variables: {sorted(clash)}")
     return terms
 
 
@@ -104,7 +109,15 @@ def find_motif(edges: DataFrame, pattern: str,
         e = edges
         if t["rel"]:
             e = e.filter(F.col("rel_type") == t["rel"])
-        cols = [F.col("src").alias(t["src"]), F.col("dst").alias(t["dst"])]
+        if t["src"] == t["dst"]:
+            # self-loop term '(x)-[...]->(x)': one bound column + an
+            # src=dst restriction — two same-alias columns would make
+            # every later reference to x ambiguous
+            e = e.filter(F.col("src") == F.col("dst"))
+            cols = [F.col("src").alias(t["src"])]
+        else:
+            cols = [F.col("src").alias(t["src"]),
+                    F.col("dst").alias(t["dst"])]
         if t["edge"]:
             cols.append(F.struct("src", "dst", "rel_type").alias(t["edge"]))
         term_df = e.select(*cols)
@@ -112,7 +125,8 @@ def find_motif(edges: DataFrame, pattern: str,
             result = term_df
             bound |= {t["src"], t["dst"]}
             continue
-        join_keys = [v for v in (t["src"], t["dst"]) if v in bound]
+        join_keys = [v for v in dict.fromkeys((t["src"], t["dst"]))
+                     if v in bound]
         if join_keys:
             result = result.join(term_df, join_keys)
         else:

@@ -96,9 +96,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     sink_flag = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).withColumn("__is_sink", F.lit(True))
+    sink_cols = sink_flag.select("id", "__is_sink")
+    if bcast_state:
+        sink_cols = F.broadcast(sink_cols)
     p = (
         _prep_personalization(verts, personalization, n)
-        .join(F.broadcast(sink_flag.select("id", "__is_sink")), "id", "left")
+        .join(sink_cols, "id", "left")
         .select("id", "p",
                 F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink"))
         .repartition(n_parts, "id").localCheckpoint()
@@ -155,8 +158,9 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
             )
             .localCheckpoint()
         )
-        if check_delta and (it % DELTA_EVERY == DELTA_EVERY - 1
-                            or it == max_iter - 1):
+        if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
+            # (no forced final-iteration probe: the loop exits after
+            # max_iter regardless, so that delta could never be used)
             # NOTE: keep the delta as a join of the two checkpointed
             # frames — carrying a __prev column through the checkpoint
             # adds a third same-iteration reference to `ranks` inside the
@@ -194,6 +198,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     """
     verts = vertices.select("id").distinct()
     n = verts.count()
+    if n == 0:
+        return personalization.select("key").limit(0) \
+            .withColumn("id", F.lit(None).cast("long")) \
+            .withColumn("rank", F.lit(0.0))
     keys = personalization.select("key").distinct()
     edges_mat = edges.select("src", "dst", "weight").localCheckpoint()
     state_rows = n * max(1, keys.count())
@@ -242,8 +250,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
             .join(_b(contrib), ["key", "id"], "left")
         )
         if has_sinks:
+            # sink_ids is |V|-scale in the worst case — honor the same
+            # broadcast threshold as every other state frame
             sink_mass = (
-                active.join(F.broadcast(sink_ids), "id", "left_semi")
+                active.join(_b(sink_ids), "id", "left_semi")
                 .groupBy("key").agg(F.sum("rank").alias("__sink"))
             )
             stepped = stepped.join(sink_mass, "key", "left")

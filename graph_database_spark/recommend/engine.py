@@ -96,13 +96,16 @@ class SparkRecommendationEngine:
                         & (F.col("weight") > 0))
                 .select("product_id"))
 
-    def _seeds(self, customer_id: str) -> DataFrame:
-        """SE3: purchased if non-empty, else interacted — an emptiness
-        if/else, not a union (recommendation.py:48-50)."""
+    def _seed_context(self, customer_id: str) \
+            -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(purchased, interacted, seeds). SE3: seeds = purchased if
+        non-empty, else interacted — an emptiness if/else, not a union
+        (recommendation.py:48-50); purchased/interacted are also needed
+        separately for the exclusion union (SE4)."""
         purchased = self._touched_products(customer_id)
-        if not purchased.isEmpty():
-            return purchased
-        return self._interacted_products(customer_id)
+        interacted = self._interacted_products(customer_id)
+        seeds = purchased if not purchased.isEmpty() else interacted
+        return purchased, interacted, seeds
 
     def _co_occurrence_scores(self, seeds: DataFrame) -> DataFrame:
         """(product_id, score): Σ co-occurrence counts from seeds, seeds
@@ -155,12 +158,14 @@ class SparkRecommendationEngine:
     def recommend_for_customer(self, customer_id: str,
                                top_n: int = 3) -> DataFrame:
         """Q1 (recommendation.py:44-68). Returns (product_id, score,
-        co_occurrence, similarity, personalized_pagerank) — the contribution
-        columns are null when the strategy contributed nothing."""
+        co_occurrence, similarity, personalized_pagerank, global_pagerank)
+        — one column per possible contribution (recommendation.py:18-23's
+        `contributions` mapping), null when the strategy contributed
+        nothing; global_pagerank is non-null only on the empty-seeds
+        fallback (recommendation.py:224-228). Both branches share this
+        schema so per-customer results union cleanly."""
         self._ensure_known_customer(customer_id)
-        purchased = self._touched_products(customer_id)
-        interacted = self._interacted_products(customer_id)
-        seeds = purchased if not purchased.isEmpty() else interacted
+        purchased, interacted, seeds = self._seed_context(customer_id)
         if seeds.isEmpty():
             top = (self.global_pagerank
                    .orderBy(F.desc("rank"), F.asc("id")).limit(top_n))
@@ -202,7 +207,8 @@ class SparkRecommendationEngine:
             combined.withColumn("score", score)
             .orderBy(F.desc("score"), F.asc("product_id"))
             .limit(top_n)
-            .select("product_id", "score", *STRATEGY_WEIGHTS)
+            .select("product_id", "score", *STRATEGY_WEIGHTS,
+                    F.lit(None).cast("double").alias("global_pagerank"))
         )
 
     def strategy_breakdown(self, customer_id: str,
@@ -210,9 +216,7 @@ class SparkRecommendationEngine:
         """Q2 (recommendation.py:70-89): RAW per-strategy scores, top-n
         with exclusion; empty seeds → {"global_pagerank": top-n}."""
         self._ensure_known_customer(customer_id)
-        purchased = self._touched_products(customer_id)
-        interacted = self._interacted_products(customer_id)
-        seeds = purchased if not purchased.isEmpty() else interacted
+        purchased, interacted, seeds = self._seed_context(customer_id)
         if seeds.isEmpty():
             return {"global_pagerank": (
                 self.global_pagerank

@@ -60,7 +60,10 @@ class RecommendationService:
     def recs(self, strategy: str, customer_id: str | None = None,
              limit: int = 10) -> DataFrame:
         """GET /recs — dispatch (tp2/app/main.py:62-89)."""
-        limit = clamp_top_n(limit)
+        # tp2's `limit: int = 10` has NO upper bound (main.py:66) — the
+        # [1,10] clamp belongs to tp1's top_n only (clamp_top_n); here we
+        # just refuse negatives, as Cypher's LIMIT would
+        limit = max(0, limit)
         if strategy == "co_occurrence":
             # ignores customer_id, as the reference does (main.py:92-99)
             return cooccurrence_top_partners(self.items, limit)

@@ -53,6 +53,12 @@ def read_event_stream(spark: SparkSession, events_dir: str,
     raw_probe = _raw_events_read(spark, probe_path)
     ts_is_nanos = dict(raw_probe.dtypes).get("ts") == "bigint"
     if ts_is_nanos:
+        # DELIBERATE session-wide side effect, nanos vintage only: the
+        # flag must stay set for the stream's whole lifetime (micro-batch
+        # reads re-resolve the parquet schema), so it cannot be restored
+        # here. Consequence while set: other nanos-timestamp parquet in
+        # this session also reads ts as int64 — convert via
+        # sources.testdata.load_table, which branches on the dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (spark.readStream.schema(_events_stream_schema(ts_is_nanos))
            .option("pathGlobFilter", glob)

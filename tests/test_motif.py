@@ -89,3 +89,18 @@ def test_bad_patterns(graph):
         find_motif(e, "(a)-[r]->(b); (b)-[r]->(c)")
     with pytest.raises(ValueError, match="empty"):
         find_motif(e, " ; ")
+
+
+def test_self_loop_pattern_matches(spark):
+    """'(x)-[:R]->(x)' must bind one column and restrict to src = dst,
+    not alias two columns to the same name (AMBIGUOUS_REFERENCE)."""
+    from graph_database_spark.graphs.motif import find_motif
+    edges = spark.createDataFrame(
+        [("a", "a", "R"), ("a", "b", "R"), ("b", "b", "S")],
+        ["src", "dst", "rel_type"])
+    rows = find_motif(edges, "(x)-[:R]->(x)").collect()
+    assert [r["x"] for r in rows] == ["a"]
+    # and an edge variable may not reuse a vertex variable's name
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        find_motif(edges, "(x)-[x:R]->(y)")

@@ -77,3 +77,12 @@ def test_sql_runner(spark, toy):
         SELECT COUNT(*) AS n FROM svc_v
     """)
     assert results[-1].first()["n"] == 4
+
+
+def test_recs_limit_above_ten_not_clamped(spark, service):
+    """tp2's `limit: int = 10` has no upper bound (tp2/app/main.py:66) —
+    the [1,10] clamp belongs only to tp1's top_n."""
+    out = service.recs("pagerank", limit=15)
+    # toy catalog has < 15 products; the point is no silent truncation at
+    # 10 — row count equals min(catalog, 15), and asking for 12 ≠ 10 works
+    assert out.count() == min(15, service.tables["products"].count())
