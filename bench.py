@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "embedding_topk_lsh",
     "embedding_topk_ivf",
     "embedding_near_duplicates",
+    "ann_hard_negatives",
     "lang_id",
     "text_quality",
     "token_count",

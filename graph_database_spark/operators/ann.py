@@ -254,6 +254,74 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def hard_negatives(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                   label_col: str = "label",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """(query_id, neighbor_id, cosine): per query, the k most-similar
+    vectors carrying a DIFFERENT label — the hard-negative mining step of
+    contrastive/embedding training (high-similarity, wrong-class examples).
+
+    Default is the exact form: corpus × broadcast(queries) with the label
+    inequality fused into the join filter, so Catalyst prunes same-label
+    rows before the dot product. For 100 TB pass `candidates` — a
+    (query_id, neighbor_id) frame from an LSH bucket join
+    (`lsh_signatures`) or IVF probe — and only those pairs are scored;
+    the label filter still applies engine-side.
+    """
+    from pyspark.sql import Window
+
+    queries = (embeddings
+               .filter(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       F.col(label_col).alias("qlabel")))
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("nvec"),
+                               F.col(label_col).alias("nlabel"))
+    if candidates is None:
+        paired = corpus.crossJoin(F.broadcast(queries))
+    else:
+        paired = (candidates.select("query_id", "neighbor_id")
+                  .join(corpus, "neighbor_id")
+                  .join(F.broadcast(queries), "query_id"))
+    scored = (
+        paired
+        .filter((F.col("neighbor_id") != F.col("query_id"))
+                & (F.col("nlabel") != F.col("qlabel")))
+        .select("query_id", "neighbor_id",
+                _dot(F.col("nvec"), F.col("qvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def hard_negatives_lsh(embeddings: DataFrame, query_ids: list[int],
+                       k: int = 10, dim: int = 64, bits: int = 6,
+                       tables: int = 12, seed: int = 42,
+                       label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Hard negatives with LSH-bucketed candidate generation — the scale
+    path: candidates come from shared (table, bucket) cells instead of the
+    full corpus, then `hard_negatives` label-filters and re-ranks exactly."""
+    sigs = lsh_signatures(embeddings, dim, bits, tables, seed, id_col,
+                          vec_col).localCheckpoint()  # both join sides
+    qsigs = sigs.filter(F.col("id").isin(query_ids)) \
+        .select(F.col("id").alias("query_id"), "table", "bucket")
+    cands = (
+        sigs.join(F.broadcast(qsigs), ["table", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    return hard_negatives(embeddings, query_ids, k, label_col, id_col,
+                          vec_col, candidates=cands)
+
+
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               bits: int = 10, tables: int = 6,
                               dim: int = 64, seed: int = 42,

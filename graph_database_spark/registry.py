@@ -897,6 +897,33 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
 
 
+@register("ann_hard_negatives", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
+""")
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per query vector, the top-10
+    most-similar embeddings with a different label. Exact form registered
+    (the oracle replays it); the LSH-candidate scale path is recall-tested
+    against this baseline in tests/test_dedup_ann.py."""
+    from .operators.ann import hard_negatives
+    out = hard_negatives(load_table(spark, sf_dir, "embeddings"),
+                         query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-ID, quality, tokens, fingerprint) — oracle SQL is
 # generated from the same pattern constants the Spark side compiles in.

