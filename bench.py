@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "embedding_cluster_sizes",
     "domain_mixture_plan",
     "corpus_top_ngrams",
+    "word_heavy_hitters",
     "doc_tfidf_keywords",
     "graph_kcore",
     "orders_profile",

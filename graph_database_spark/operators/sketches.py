@@ -1,0 +1,112 @@
+"""Distributed frequency sketches (beyond-reference, 100 TB curation).
+
+Exact corpus-wide heavy hitters via a two-phase Misra-Gries sketch:
+
+1. **Sketch pass** — every partition maintains at most `k` counters over
+   its token stream (Arrow-batched mapInPandas; per batch a vectorized
+   value_counts merge + the classic MG mass-decrement eviction). A
+   partition holding n_p tokens undercounts any token by at most
+   n_p/(k+1), so the SUMMED partition summaries undercount any token by
+   at most N/(k+1) — the standard mergeability bound.
+2. **Recount pass** — every token whose summed sketch count could still
+   reach the threshold (mg_sum + N/(k+1) >= min_count) is a candidate;
+   candidates (≤ k·partitions rows, in practice far fewer) broadcast
+   back as a semi-join filter and get EXACT counts.
+
+The result is exactly `GROUP BY token HAVING count >= min_count` — the
+sketch only bounds the shuffle: instead of shuffling the full corpus
+vocabulary (the dominant cost of a naive word count at 100 TB), phase 1
+shuffles k rows per partition and phase 2 shuffles only occurrences of
+candidate tokens. The DuckDB oracle runs the naive form; hash-equality
+IS the exactness guarantee, making this a sketch whose approximation
+error is provably repaired, not tolerated.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .util import spread
+
+_SUMMARY_SCHEMA = "token string, mg_count long, part_total long"
+
+
+def _mg_summaries(tokens: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the `token` column.
+
+    Emits (token, mg_count, 0) for each surviving counter plus ONE
+    (NULL, 0, n_p) marker row carrying the partition's token total, so
+    the global N rides out of the same scan instead of needing its own.
+    """
+    budget = k
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            col = pdf["token"]
+            total += len(col)
+            for tok, c in col.value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            over = len(counters) - budget
+            if over > 0:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # subtract the `over`-th smallest count from everyone:
+                # >= `over` counters hit zero and drop, and each decrement
+                # of m touches > budget counters, so the total undercount
+                # mass stays <= n_p and any token's undercount <= n_p/(k+1)
+                m = int(np.partition(vals, over - 1)[over - 1])
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        out = pd.DataFrame({
+            "token": list(counters.keys()) + [None],
+            "mg_count": list(counters.values()) + [0],
+            "part_total": [0] * len(counters) + [total],
+        })
+        yield out
+
+    return tokens.mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
+
+
+def corpus_tokens(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One lowercased whitespace token per row (empty tokens dropped) —
+    the same tokenization the text-analysis oracles replay with DuckDB's
+    string_split_regex(trim(lower(text)), '\\s+')."""
+    return (spread(documents)
+            .select(F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                .alias("token"))
+            .filter(F.col("token") != ""))
+
+
+def heavy_hitters(tokens: DataFrame, min_frac: float,
+                  k: int = 4096) -> DataFrame:
+    """(token, n_occurrences) for every token with frequency >=
+    ceil(min_frac · N), N = total tokens. Exact output, sketch-bounded
+    shuffles (see module docstring). min_frac must exceed 1/(k+1) or the
+    candidate filter cannot prune anything."""
+    summaries = _mg_summaries(tokens, k).localCheckpoint()
+    totals = summaries.agg(
+        F.sum("part_total").alias("n"),
+        # partitions = number of marker rows; slack = Σ n_p/(k+1)
+        F.floor(F.sum("part_total") / (k + 1)).alias("slack"))
+    merged = (summaries.filter(F.col("token").isNotNull())
+              .groupBy("token").agg(F.sum("mg_count").alias("mg")))
+    cands = (
+        merged.crossJoin(F.broadcast(totals))
+        .filter(F.col("mg") + F.col("slack")
+                >= F.ceil(F.lit(min_frac) * F.col("n")))
+        .select("token")
+    )
+    threshold = F.ceil(F.lit(min_frac) * F.col("n"))
+    return (
+        tokens.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals.select("n")))
+        .filter(F.col("n_occurrences") >= threshold)
+        .select("token", "n_occurrences")
+    )

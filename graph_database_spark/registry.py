@@ -2797,6 +2797,25 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=2, k=50)
 
 
+@register("word_heavy_hitters", r"""
+WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tok GROUP BY token
+HAVING COUNT(*) >= (SELECT CEIL(0.02 * total) FROM n)
+""")
+def q_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with >= 2% of all occurrences)
+    via the two-phase Misra-Gries sketch + recount — the oracle runs the
+    naive GROUP BY/HAVING, so the hash-match IS the sketch's exactness
+    guarantee (operators/sketches.py)."""
+    from .operators.sketches import corpus_tokens, heavy_hitters
+    toks = corpus_tokens(load_table(spark, sf_dir, "documents"))
+    return heavy_hitters(toks, min_frac=0.02)
+
+
 @register("doc_tfidf_keywords", r"""
 WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
