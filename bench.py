@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "domain_mixture_plan",
     "corpus_top_ngrams",
     "word_heavy_hitters",
+    "doc_chunk_windows",
     "doc_tfidf_keywords",
     "graph_kcore",
     "orders_profile",

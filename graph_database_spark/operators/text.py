@@ -292,6 +292,44 @@ def pii_redact(documents: DataFrame, text_col: str = "text",
     return documents.withColumn(out_col, clean)
 
 
+def chunk_documents(documents: DataFrame, window: int = 64,
+                    overlap: int = 16,
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens): overlapping token-window
+    chunks — the retrieval/RAG indexing primitive (and the context-window
+    splitter for long-document training).
+
+    Chunk i covers tokens [i·stride, i·stride + window) with
+    stride = window − overlap; the tail chunk may be short; a doc with
+    ≤ overlap tokens still yields exactly one chunk, so no document
+    silently disappears from the index. Everything is a row-local array
+    expression over ONE token-array binding (split once, slice per
+    chunk) — chunking is embarrassingly parallel and adds no shuffle.
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be < window")
+    stride = window - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(stride))
+         .cast("int"))
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    return (
+        documents.select("doc_id", toks.alias("__toks"))
+        .select("doc_id", "__toks", chunk)
+        .select(
+            "doc_id", "chunk_id",
+            F.array_join(
+                F.slice("__toks", F.col("chunk_id") * stride + 1, window),
+                " ").alias("chunk_text"),
+            F.size(F.slice("__toks", F.col("chunk_id") * stride + 1, window))
+             .alias("n_tokens"),
+        )
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """lower + collapse whitespace + trim — the canonical form fingerprints
     and exact-dedup hash over."""

@@ -2797,6 +2797,32 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=2, k=50)
 
 
+@register("doc_chunk_windows", r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+c AS (SELECT doc_id, w,
+             unnest(generate_series(0,
+               GREATEST(1, CAST(CEIL((len(w) - 16) / 48.0) AS INT)) - 1))
+               AS chunk_id
+      FROM d)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                       ' ') AS chunk_text,
+       CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT)
+         AS n_tokens
+FROM c
+""")
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/retrieval chunking: 64-token windows with 16-token overlap
+    (stride 48), one row per chunk, short tail kept, every doc yields at
+    least one chunk. Row-local array expressions — zero shuffle."""
+    from .operators.text import chunk_documents
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           window=64, overlap=16)
+
+
 @register("word_heavy_hitters", r"""
 WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
               FROM documents),
