@@ -142,6 +142,20 @@ def main() -> None:
     except Exception:
         pass
 
+    # Host-speed calibration: a fixed, data-independent workload (hash-sum
+    # over a generated range) timed the same way as the queries. The box
+    # this runs on varies round to round (clock speed, noisy neighbors) and
+    # the swing is routinely 1.5-2x on this rig; dividing query times by
+    # calibration_sec gives a host-normalized number that IS comparable
+    # across rounds. min-of-3 like the queries themselves.
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) as s").write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None or dt < calib else calib
+
     # Steady-state methodology: run every query PASSES times and report the
     # per-query minimum. Pass 1 doubles as the plan-compile/codegen warmup;
     # the min discards transient host-noise bursts (this box shows bursty
@@ -179,6 +193,8 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "methodology": "per-query min over passes (steady-state)",
+        "calibration_sec": round(calib, 3) if calib is not None else None,
+        "calibration_workload": "bit_xor(xxhash64) over range(200M), 32 parts, min of 3",
     }
     if errors:
         out["errors"] = errors

@@ -2975,10 +2975,12 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("doc_prefix_matches", r"""
 WITH k AS (SELECT doc_id AS id, substr(trim(lower(text)), 1, 64) AS name
            FROM documents),
-kb AS (SELECT id, name,
+kb0 AS (SELECT id, name,
          array_to_string((string_split_regex(trim(name), '\s+'))[1:2], ' ')
            AS block
-       FROM k)
+       FROM k),
+hot AS (SELECT block FROM kb0 GROUP BY block HAVING COUNT(*) > 100),
+kb AS (SELECT * FROM kb0 WHERE block NOT IN (SELECT block FROM hot))
 SELECT a.id AS src, b.id AS dst,
   CAST(levenshtein(a.name, b.name) AS INT) AS distance
 FROM kb a JOIN kb b ON a.block = b.block AND a.id < b.id
@@ -2990,13 +2992,17 @@ def q_doc_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-token skew axis), then JVM levenshtein over the 64-char
     normalized prefix verifies within blocks. The all-pairs edit-distance
     join this replaces is quadratic in the corpus; this is quadratic only
-    in max block size."""
+    in max block size — and the oversize-block guard bounds THAT: blocks
+    over 100 members (pair space already 38× from sf0.01→sf0.1 unguarded)
+    are pruned on both sides. Locally exact: max observed block is 14 at
+    sf0.1, so the guard changes nothing at test scale."""
     from .operators.entity import blocked_name_matches
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(F.trim(F.lower(F.col("text"))), 1, 64).alias("title"))
     return blocked_name_matches(docs, "doc_id", "title",
-                                prefix_tokens=2, max_distance=24)
+                                prefix_tokens=2, max_distance=24,
+                                max_block_size=100)
 
 
 @register("graph_lpa_communities", f"""

@@ -181,6 +181,25 @@ def test_blocked_name_matches_respects_blocks(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_blocked_name_matches_prunes_oversized_blocks(spark):
+    from graph_database_spark.operators.entity import blocked_name_matches
+    # 4 members share the degenerate 'the same' prefix; 2 share a rare one
+    rows = [(i, f"the same junk prefix variant {i}") for i in range(4)]
+    rows += [(10, "rare pair alpha"), (11, "rare pair alphb")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = blocked_name_matches(df, "id", "name", prefix_tokens=2,
+                               max_distance=10, max_block_size=3).collect()
+    pairs = {(r["src"], r["dst"]) for r in got}
+    # the oversized block contributes nothing; the small block survives
+    assert pairs == {(10, 11)}
+    # cap above the block size: identical to the unguarded result
+    ung = blocked_name_matches(df, "id", "name", prefix_tokens=2,
+                               max_distance=10).collect()
+    cap = blocked_name_matches(df, "id", "name", prefix_tokens=2,
+                               max_distance=10, max_block_size=100).collect()
+    assert sorted(map(tuple, ung)) == sorted(map(tuple, cap))
+
+
 def test_bpe_merge_candidates_weighted_by_word_freq(spark):
     from graph_database_spark.operators.text import bpe_merge_candidates
     docs = spark.createDataFrame(
