@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "word_heavy_hitters",
     "doc_chunk_windows",
     "doc_tfidf_keywords",
+    "doc_unigram_logprob",
     "graph_kcore",
     "orders_profile",
     "doc_sample_quality_weighted",

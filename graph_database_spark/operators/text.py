@@ -100,6 +100,58 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame, text_col: str = "text",
+                    vocab_size: int = 65536) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): per-document mean token
+    log-probability under the corpus's own Laplace-smoothed unigram
+    language model — the classic cheap perplexity proxy for quality
+    filtering (documents scoring far below the corpus mean are
+    boilerplate/gibberish; far above are degenerate repetition).
+
+    p(t) = (c(t)+1) / (T+U+1) with c = corpus token count, T = total
+    tokens, U = distinct tokens (+1 = the OOV bucket). avg_logprob =
+    mean ln p over the doc's tokens.
+
+    Scale shape: one exploded-token scan builds the count table (vocab-
+    sized, NOT corpus-sized); `ln` is evaluated once per DISTINCT vocab
+    entry, never per token occurrence. The per-token join is against the
+    top-`vocab_size` entries broadcast (the cap bounds the broadcast on
+    an unbounded real-world vocab; tokens past the cap fall into the
+    c=0 OOV floor, and ln(0+1)=0 makes that a coalesce-to-zero, no
+    special case). Per-doc aggregation decimal-sums the 9-dp-rounded
+    per-entry logs, so the result is summation-order-independent and
+    engine-portable (ln runs on exactly-representable integer inputs
+    only; +,*,/ are IEEE-exact in any engine).
+    """
+    toks = (spread(documents)
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # T and U ride along as a broadcast 1-row frame (no driver sync)
+    totals = counts.agg(F.sum("c").alias("__T"),
+                        F.count(F.lit(1)).alias("__U"))
+    vocab = (counts
+             .orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+             .select("tok",
+                     F.round(F.log(F.col("c") + F.lit(1)), 9)
+                      .cast("decimal(12,9)").alias("__logc")))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.coalesce(F.col("__logc"),
+                              F.lit(0).cast("decimal(12,9)"))).alias("__s"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("__s").cast("double") / F.col("n_tokens")
+                    - F.log(F.col("__T") + F.col("__U") + F.lit(1)), 6)
+             .alias("avg_logprob"))
+    )
+
+
 def repetition_metrics(documents: DataFrame,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, n_words, distinct_word_ratio, top_bigram_frac): the

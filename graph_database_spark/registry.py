@@ -2867,6 +2867,35 @@ def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(load_table(spark, sf_dir, "documents"), top=3)
 
 
+@register("doc_unigram_logprob", r"""
+WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+tk AS (SELECT * FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+totals AS (SELECT SUM(c) AS t, COUNT(*) AS u FROM counts),
+vocab AS (SELECT tok, CAST(ROUND(ln(c + 1), 9) AS DECIMAL(12,9)) AS logc
+          FROM counts ORDER BY c DESC, tok ASC LIMIT 65536),
+per_doc AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         SUM(COALESCE(v.logc, CAST(0 AS DECIMAL(12,9)))) AS s
+  FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+  GROUP BY tk.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(s AS DOUBLE) / n_tokens - ln(t + u + 1), 6)
+            AS DOUBLE) AS avg_logprob
+FROM per_doc CROSS JOIN totals
+""")
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean token log-probability
+    under the corpus's own Laplace-smoothed unigram LM — the cheap first
+    screen of quality filtering before any learned classifier. ln is
+    evaluated once per distinct vocab entry (vocab-sized, broadcast),
+    per-doc sums are 9-dp decimals so the value is shuffle-order-proof."""
+    from .operators.text import unigram_logprob
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 @register("graph_kcore", f"""
 WITH {_SQL_COOC_EDGES},
 v1 AS (SELECT src FROM edges GROUP BY src HAVING COUNT(*) >= 90),

@@ -104,6 +104,34 @@ def test_tfidf_keywords_ranking(spark):
     assert (3, 2) not in rows  # doc3 has a single distinct token
 
 
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+    from graph_database_spark.operators.text import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    # corpus: c(a)=2 c(b)=2 c(c)=1, T=5, U=3 → denom ln(5+3+1)=ln 9
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    ln9 = math.log(9)
+    exp1 = (2 * round(math.log(3), 9) + round(math.log(3), 9)) / 3 - ln9
+    exp2 = (round(math.log(3), 9) + round(math.log(2), 9)) / 2 - ln9
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_logprob"] - exp1) < 1e-6
+    assert rows[2]["n_tokens"] == 2
+    assert abs(rows[2]["avg_logprob"] - exp2) < 1e-6
+
+
+def test_unigram_logprob_vocab_cap_floors_oov(spark):
+    from graph_database_spark.operators.text import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "hot hot hot rare")], ["doc_id", "text"])
+    # vocab_size=1 keeps only 'hot'; 'rare' falls to the OOV ln(1)=0 floor
+    capped = {r["doc_id"]: r["avg_logprob"]
+              for r in unigram_logprob(docs, vocab_size=1).collect()}
+    full = {r["doc_id"]: r["avg_logprob"]
+            for r in unigram_logprob(docs).collect()}
+    assert capped[1] < full[1]  # OOV floor can only lower the score
+
+
 def test_status_history_collapses_runs(spark):
     from datetime import datetime as DT
     from graph_database_spark.operators.relational_ext import status_history

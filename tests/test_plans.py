@@ -276,6 +276,16 @@ def test_status_history_single_shuffle(spark):
     assert "Arguments: hashpartitioning(user_id" in plan
 
 
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The per-token vocab join must be broadcast (the cap bounds the
+    vocab side) and the top-V selection must be a TakeOrderedAndProject,
+    never a global sort of the count table."""
+    plan = _formatted_plan(spark, "doc_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_doc_prefix_matches_equi_join_only(spark):
     """Blocking must reach the join as an equi key — a fallback to a
     nested-loop/cartesian verify stage would be the quadratic all-pairs
