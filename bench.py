@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "events_value_histogram",
     "orders_monthly_revenue",
     "events_followup_purchase",
+    "events_copresence",
     "orders_rolling_revenue",
     "revenue_grouping_sets",
     "events_type_counts_salted",

@@ -59,6 +59,50 @@ def interval_followups(events: DataFrame,
             .agg(F.count("r_ts").alias("n_followups")))
 
 
+def temporal_copresence(events: DataFrame,
+                        window_seconds: int = 60) -> DataFrame:
+    """(user_a, user_b, n_copresent): how often two DIFFERENT users have
+    events within `window_seconds` of each other — a pure range join
+    with NO equi key (unlike interval_followups, where user_id rides the
+    join), the shape Spark's join strategies degrade to a nested-loop /
+    cartesian on.
+
+    Spark shape — bin bucketing, the standard scale fix: bucket time
+    into window-sized bins; order every pair by time (earlier event =
+    left), so the later event's bin is the earlier's bin or bin+1;
+    explode the left side into those two bins and the range join becomes
+    a plain equi join on bin (each qualifying pair matches exactly once
+    — the two bin cases are mutually exclusive). All arithmetic is
+    integer microseconds, so both engines compare exactly.
+
+    Scale notes: the shuffle key is the time bin — a flash crowd makes a
+    hot bin, which AQE's skew split spreads; the k² pair blow-up inside
+    one window is inherent to the QUERY's semantics (the answer itself
+    is quadratic in burst density), not to this plan. Doubling the bin
+    width halves bin count but widens the exact-filter band; bin width =
+    window is the sweet spot (≤2 bins per row, minimal false pairs).
+    """
+    w_us = int(window_seconds) * 1_000_000
+    e = events.select("user_id", F.unix_micros("ts").alias("us"))
+    left = e.select(
+        F.col("user_id").alias("l_user"), F.col("us").alias("l_us"),
+        F.explode(F.array(F.floor(F.col("us") / w_us),
+                          F.floor(F.col("us") / w_us) + 1)).alias("bin"))
+    right = e.select(
+        F.col("user_id").alias("r_user"), F.col("us").alias("r_us"),
+        F.floor(F.col("us") / w_us).alias("bin"))
+    pairs = (
+        left.join(right, "bin")
+        .filter((F.col("r_us") - F.col("l_us") >= 1)
+                & (F.col("r_us") - F.col("l_us") <= w_us)
+                & (F.col("l_user") != F.col("r_user")))
+    )
+    return (pairs
+            .groupBy(F.least("l_user", "r_user").alias("user_a"),
+                     F.greatest("l_user", "r_user").alias("user_b"))
+            .agg(F.count(F.lit(1)).alias("n_copresent")))
+
+
 def rolling_monthly_revenue(orders: DataFrame, customer: DataFrame,
                             nation: DataFrame,
                             window_months: int = 3) -> DataFrame:

@@ -1753,6 +1753,25 @@ def q_events_followup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_followups(load_table(spark, sf_dir, "events"))
 
 
+@register("events_copresence", """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+SELECT least(a.user_id, b.user_id) AS user_a,
+       greatest(a.user_id, b.user_id) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_copresent
+FROM e a JOIN e b
+  ON b.us - a.us >= 1 AND b.us - a.us <= 60000000
+     AND a.user_id <> b.user_id
+GROUP BY 1, 2
+""")
+def q_events_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-keyless range self-join (users co-present within 60 s),
+    executed as a bin-bucketed equi join — the oracle states the same
+    thing declaratively (DuckDB's IEJoin handles the inequality)."""
+    from .operators.relational_ext import temporal_copresence
+    return temporal_copresence(load_table(spark, sf_dir, "events"),
+                               window_seconds=60)
+
+
 @register("orders_rolling_revenue", """
 WITH monthly AS (
   SELECT n.n_name, year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mon,

@@ -132,6 +132,39 @@ def test_unigram_logprob_vocab_cap_floors_oov(spark):
     assert capped[1] < full[1]  # OOV floor can only lower the score
 
 
+def test_temporal_copresence_counts_band_pairs(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.relational_ext import (
+        temporal_copresence,
+    )
+    ev = spark.createDataFrame(
+        [(1, 10, DT(2024, 1, 1, 0, 0, 0)),
+         (2, 20, DT(2024, 1, 1, 0, 0, 30)),    # 30s after e1 → pair
+         (3, 20, DT(2024, 1, 1, 0, 1, 0)),     # 60s after e1 → pair (edge)
+         (4, 30, DT(2024, 1, 1, 0, 2, 30)),    # 90s after e3 → no pair
+         (5, 10, DT(2024, 1, 1, 0, 0, 30))],   # same ts as e2, diff user
+        ["event_id", "user_id", "ts"])
+    rows = {(r["user_a"], r["user_b"]): r["n_copresent"]
+            for r in temporal_copresence(ev, 60).collect()}
+    # (10,20): e1-e2 (30s), e1-e3 (exactly 60s), e5-e3 (30s) = 3;
+    # e2-e5 same instant (delta 0) excluded; e2-e3 same user excluded
+    assert rows == {(10, 20): 3}
+
+
+def test_temporal_copresence_crosses_bin_boundary(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.relational_ext import (
+        temporal_copresence,
+    )
+    # 59.5s apart but in adjacent 60s bins (0:59.8 → bin 0, 1:59.3 → bin 1)
+    ev = spark.createDataFrame(
+        [(1, 1, DT(2024, 1, 1, 0, 0, 59, 800000)),
+         (2, 2, DT(2024, 1, 1, 0, 1, 59, 300000))],
+        ["event_id", "user_id", "ts"])
+    rows = temporal_copresence(ev, 60).collect()
+    assert len(rows) == 1 and rows[0]["n_copresent"] == 1
+
+
 def test_status_history_collapses_runs(spark):
     from datetime import datetime as DT
     from graph_database_spark.operators.relational_ext import status_history

@@ -276,6 +276,15 @@ def test_status_history_single_shuffle(spark):
     assert "Arguments: hashpartitioning(user_id" in plan
 
 
+def test_copresence_is_equi_join_on_bins(spark):
+    """The keyless range join must execute as an equi join on time bins —
+    a CartesianProduct / nested-loop fallback is exactly what the bin
+    bucketing exists to avoid."""
+    plan = _formatted_plan(spark, "events_copresence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_unigram_logprob_broadcasts_vocab(spark):
     """The per-token vocab join must be broadcast (the cap bounds the
     vocab side) and the top-V selection must be a TakeOrderedAndProject,
