@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "pagerank_global",
     "connected_components",
+    "connected_components_star",
     "shortest_paths_landmark",
     "motif_cooccurrence_topn",
     "multimodal_resize_plan",

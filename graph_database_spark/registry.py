@@ -1310,6 +1310,28 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 dedupe=False)
 
 
+@register("connected_components_star", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lbl(id, comp) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst
+)
+SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
+""")
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as connected_components (so the same oracle), computed
+    by O(log n)-round large-star/small-star contraction — the variant to
+    reach for when the graph's diameter is unknown or large."""
+    from .graphs.traversal import connected_components_star
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    return connected_components_star(vertices, pairs.select("src", "dst"),
+                                     dedupe=False)
+
+
 @register("shortest_paths_landmark", f"""
 WITH RECURSIVE {_SQL_COOC_EDGES},
 lm AS (SELECT MIN(p_partkey) AS id FROM part),

@@ -52,6 +52,53 @@ def test_toy_cooccurrence_paths(spark, toy):
     assert got == {"P1": 0, "P2": 1, "P4": 2}
 
 
+def test_star_contraction_matches_propagation_crafted(crafted):
+    from graph_database_spark.graphs.traversal import (
+        connected_components_star,
+    )
+    vertices, edges = crafted
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(vertices, edges,
+                                              num_partitions=4).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "e": "e", "f": "e", "g": "g"}
+
+
+def test_star_contraction_matches_propagation_random(spark):
+    import random
+    from graph_database_spark.graphs.traversal import (
+        connected_components, connected_components_star,
+    )
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ve = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    ed = spark.createDataFrame(edges, ["src", "dst"])
+    prop = {r["id"]: r["component"]
+            for r in connected_components(ve, ed).collect()}
+    star = {r["id"]: r["component"]
+            for r in connected_components_star(ve, ed).collect()}
+    assert star == prop
+
+
+def test_star_contraction_closes_long_chain_in_log_rounds(spark):
+    """A 200-vertex path needs ~200 supersteps under min-label
+    propagation; star contraction must close it within a logarithmic
+    round budget — this is the reason the variant exists."""
+    from graph_database_spark.graphs.traversal import (
+        connected_components_star,
+    )
+    n = 200
+    ve = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    ed = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               ["src", "dst"])
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(ve, ed,
+                                              max_rounds=12).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_label_propagation_two_cliques(spark):
     from graph_database_spark.graphs.traversal import label_propagation
     # two 4-cliques joined by one bridge edge — LPA must keep them as
