@@ -38,6 +38,61 @@ def write_range_clustered(df: DataFrame, path: str, cluster_col: str,
     part.sortWithinPartitions(cluster_col).write.mode(mode).parquet(path)
 
 
+def zorder_key(df: DataFrame, col_a: str, col_b: str,
+               bits: int = 16) -> DataFrame:
+    """Append `__zkey`: the Morton (Z-order) interleaving of the two
+    columns' range-normalized bit patterns — the multi-dimensional
+    clustering key (Delta/Iceberg's OPTIMIZE ZORDER idea) that makes
+    zone maps selective on EITHER column, where single-column range
+    clustering helps only its own column.
+
+    Normalization scales (v - lo) into [0, 2^bits) via double division
+    (overflow-safe for any long span; a layout key tolerates the last-ulp
+    wobble), with lo/hi from one tiny aggregate broadcast into the plan
+    (no driver sync). Interleaving is 2·bits shift/mask/or terms, all
+    inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    rng = df.agg(
+        F.min(col_a).alias("__alo"), F.max(col_a).alias("__ahi"),
+        F.min(col_b).alias("__blo"), F.max(col_b).alias("__bhi"))
+    top = (1 << bits) - 1
+
+    def _norm(col: str, lo: str, hi: str):
+        span = F.greatest(F.col(hi).cast("double") - F.col(lo).cast("double"),
+                          F.lit(1.0))
+        return ((F.col(col).cast("double") - F.col(lo).cast("double"))
+                / span * top).cast("long")
+
+    out = df.crossJoin(F.broadcast(rng))
+    ka, kb = _norm(col_a, "__alo", "__ahi"), _norm(col_b, "__blo", "__bhi")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ka, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(kb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return out.withColumn("__zkey", z).drop("__alo", "__ahi",
+                                            "__blo", "__bhi")
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   num_files: int | None = None, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Write `df` as parquet clustered on the Z-order key of two columns:
+    each file covers a small square of the (col_a, col_b) value plane, so
+    a predicate on either column alone — or both — skips most files. The
+    key is dropped before writing; only the layout carries it."""
+    keyed = zorder_key(df, col_a, col_b, bits)
+    if num_files is not None:
+        part = keyed.repartitionByRange(num_files, "__zkey")
+    else:
+        part = keyed.repartitionByRange("__zkey")
+    (part.sortWithinPartitions("__zkey").drop("__zkey")
+     .write.mode(mode).parquet(path))
+
+
 def zone_map(path: str, col: str) -> list[tuple]:
     """[(file, min, max)] for `col` across the dataset's parquet files,
     from footer statistics only — no data pages are read."""

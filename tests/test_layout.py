@@ -46,6 +46,37 @@ def test_range_clustering_prunes_hash_layout_does_not(spark, tmp_path):
     assert overlaps == 0, f"adjacent file ranges overlap: {zm}"
 
 
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Single-column range clustering makes zone maps selective on its
+    own column only; the Z-order layout must prune on EITHER column."""
+    from graph_database_spark.sources.layout import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    single = str(tmp_path / "single")
+    zed = str(tmp_path / "zed")
+    n_files = 16
+    write_range_clustered(li, single, "l_partkey", num_files=n_files)
+    write_zordered(li, zed, "l_partkey", "l_suppkey", num_files=n_files)
+
+    pk = li.agg(F.expr("percentile_approx(l_partkey, 0.5)")).first()[0]
+    sk = li.agg(F.expr("percentile_approx(l_suppkey, 0.5)")).first()[0]
+
+    # partkey-clustered layout: selective on partkey, blind on suppkey
+    assert pruning_fraction(single, "l_partkey", pk) >= 0.6
+    assert pruning_fraction(single, "l_suppkey", sk) == 0.0
+    # z-order: meaningfully selective on BOTH
+    zp = pruning_fraction(zed, "l_partkey", pk)
+    zs = pruning_fraction(zed, "l_suppkey", sk)
+    assert zp >= 0.4, f"zorder pruned only {zp:.2f} on l_partkey"
+    assert zs >= 0.4, f"zorder pruned only {zs:.2f} on l_suppkey"
+    # and the layout key never leaks into the written schema
+    import pyarrow.parquet as pq
+    import os
+    f = next(f for f in os.listdir(zed) if f.endswith(".parquet"))
+    assert "__zkey" not in pq.read_schema(os.path.join(zed, f)).names
+
+
 def test_clustered_read_roundtrip_and_filter(spark, tmp_path):
     li = load_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", F.to_date("l_shipdate").alias("l_shipdate"),
