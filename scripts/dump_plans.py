@@ -72,7 +72,14 @@ SHOWCASE = {
     "events_value_winsorized": "per-type percentile bounds broadcast back "
     "over the fact scan; clipped sum is DECIMAL-exact",
     "doc_prefix_matches": "blocking key is the join key — the levenshtein "
-    "verify runs only inside equal-prefix blocks, never as a nested loop",
+    "verify runs only inside equal-prefix blocks, never as a nested loop; "
+    "oversized blocks pruned before the self-join",
+    "events_copresence": "keyless time-range join rewritten as an equi "
+    "join on window-sized bins (each qualifying pair matches exactly "
+    "once) — no cartesian/nested-loop fallback",
+    "doc_unigram_logprob": "ln evaluated once per distinct vocab entry; "
+    "top-V vocab via TakeOrderedAndProject, broadcast into the token "
+    "join; order-independent decimal sums",
     "bpe_merge_candidates": "corpus collapses to the word-frequency table "
     "BEFORE the character expansion; top-k via TakeOrderedAndProject",
     "corpus_summary": "one corpus scan + one hash aggregate: every "
