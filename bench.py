@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "pagerank_global",
+    "hits_fixed10",
     "connected_components",
     "connected_components_star",
     "shortest_paths_landmark",

@@ -632,6 +632,54 @@ def q_pagerank_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("rank", 6).alias("rank"))
 
 
+# HITS on the bipartite purchase graph, fixed 10 iterations — like
+# pagerank_fixed20, pinning the iteration count makes the whole fixed
+# point SQL-expressible, so the oracle replays Kleinberg's exact update
+# order (a ← normalize₁(Aᵀh), h ← normalize₁(Aa)) as a recursive CTE.
+@register("hits_fixed10", f"""
+WITH RECURSIVE inc AS ({_SQL_INC}),
+hub(iter, id, h) AS (
+  -- CAST: without it DuckDB types h as DECIMAL(2,1) from the literal
+  -- and every normalized value truncates to 0
+  SELECT 0, customer_id, CAST(1.0 AS DOUBLE)
+  FROM (SELECT DISTINCT customer_id FROM inc)
+  UNION ALL
+  SELECT iter, id, h1 / SUM(h1) OVER () AS h
+  FROM (
+    SELECT a.iter, i2.customer_id AS id, SUM(a.a1 / a.sa) AS h1
+    FROM (
+      SELECT p.iter + 1 AS iter, i.product_id,
+             SUM(p.h) AS a1,
+             SUM(SUM(p.h)) OVER () AS sa
+      FROM hub p JOIN inc i ON i.customer_id = p.id
+      WHERE p.iter < 10
+      GROUP BY p.iter, i.product_id
+    ) a JOIN inc i2 ON i2.product_id = a.product_id
+    GROUP BY a.iter, i2.customer_id
+  )
+)
+SELECT 'hub' AS side, id, CAST(ROUND(h, 6) AS DOUBLE) AS score
+FROM hub WHERE iter = 10
+UNION ALL
+SELECT 'authority' AS side, product_id AS id,
+       CAST(ROUND(a1 / sa, 6) AS DOUBLE) AS score
+FROM (SELECT i.product_id, SUM(p.h) AS a1,
+             SUM(SUM(p.h)) OVER () AS sa
+      FROM hub p JOIN inc i ON i.customer_id = p.id
+      WHERE p.iter = 10
+      GROUP BY i.product_id)
+""")
+def q_hits_fixed10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs = customers weighted by how authoritative their baskets are;
+    authorities = products weighted by hub purchases — the bipartite
+    complement to the co-occurrence PageRank (Q7 family)."""
+    from .graphs.hits import bipartite_hits
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    edges = inc.select(F.col("customer_id").alias("src"),
+                       F.col("product_id").alias("dst"))
+    return bipartite_hits(edges, max_iter=10)
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: training-data pipeline operators (dedup, ANN, text).
 # ---------------------------------------------------------------------------

@@ -92,6 +92,40 @@ def test_pagerank_matches_numpy_power_iteration(spark, case):
         assert got[i] == pytest.approx(want[i], abs=1e-8), (case, i)
 
 
+def test_bipartite_hits_matches_numpy(spark):
+    """Independent dense cross-check of graphs/hits.bipartite_hits:
+    a ← normalize₁(Aᵀh), h ← normalize₁(Aa), 10 iterations."""
+    import numpy as np
+    from graph_database_spark.graphs.hits import bipartite_hits
+
+    # 3 hubs × 4 authorities; hub 0 buys everything, authority 3 rare
+    pairs = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1), (2, 1)]
+    A = np.zeros((3, 4))
+    for u, v in pairs:
+        A[u, v] = 1.0
+    h = np.ones(3)
+    for _ in range(10):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    a = A.T @ h
+    a /= a.sum()
+
+    edf = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {(r["side"], r["id"]): r["score"]
+           for r in bipartite_hits(edf, max_iter=10,
+                                   num_partitions=4).collect()}
+    for u in range(3):
+        assert got[("hub", u)] == pytest.approx(h[u], abs=1e-6), u
+    for v in range(4):
+        assert got[("authority", v)] == pytest.approx(a[v], abs=1e-6), v
+    # the all-basket hub dominates; the widely-bought authorities beat
+    # the rare one
+    assert got[("hub", 0)] > got[("hub", 1)] > got[("hub", 2)]
+    assert got[("authority", 1)] > got[("authority", 3)]
+
+
 def test_pagerank_batch_matches_single(spark, toy_graph):
     vertices, adj = toy_graph
     # personalized on seeds {P1} (customer C3's seed set)
