@@ -3312,22 +3312,22 @@ _DRIVER_WINDOW_PRIORITY = [
     "strategy_breakdown_focal", "cooccurrence_weighted",
     # relational / OLAP surface
     "pricing_summary", "revenue_by_nation", "revenue_rollup",
-    "order_priority_pivot", "customer_order_seq", "parts_intersect_nations",
-    "quantity_quantiles",
+    "order_priority_pivot",
     # events domain (every entry here erred in r2 on the loader bug)
     "events_hourly", "events_hourly_gapfill", "sessionization",
     "events_props_stats", "events_asof_order", "pk_violations",
     "events_value_histogram", "event_funnel", "weekly_retention",
-    "events_followup_purchase",
+    "events_followup_purchase", "events_copresence",
     # graph ETL + algorithms (Q6/Q7 + traversal)
     "graph_vertices", "graph_edges", "pagerank_fixed20",
     "ppr_fixed20_batch", "connected_components", "shortest_paths_landmark",
-    "graph_triangle_count",
+    "graph_triangle_count", "hits_fixed10",
     # LLM-pipeline battery: dedup + ANN + text
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_canonical_docs", "dedup_incremental_minhash",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "embedding_near_duplicates", "lang_id", "text_quality",
+    "doc_unigram_logprob",
 ]
 
 
