@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_topk_ivf",
     "embedding_near_duplicates",
     "ann_hard_negatives",
+    "ann_recall_lsh",
     "lang_id",
     "text_quality",
     "token_count",

@@ -352,3 +352,25 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         .select("src", "dst", _dot(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, recall): per-query recall of an approximate top-k
+    result against the exact one — the standard ANN quality metric, run
+    as a query so index parameters (bits, tables, nprobe) are TUNED from
+    measured recall instead of guessed.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames; recall =
+    |approx ∩ exact| / |exact| per query. The frames are k·|queries|
+    rows — tiny next to the corpus — so this adds one broadcast join and
+    one aggregate on top of the two pipelines it grades.
+    """
+    hits = approx.select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("__hit") / F.count(F.lit(1)), 6)
+              .alias("recall"))
+    )

@@ -945,6 +945,41 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
 
 
+@register("ann_recall_lsh", f"""
+WITH bf AS (
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
+),
+lsh AS (SELECT query_id, neighbor_id FROM ({_sql_lsh_topk_oracle()}))
+SELECT bf.query_id,
+       CAST(ROUND(CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+            AS DOUBLE) AS recall
+FROM bf LEFT JOIN lsh USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+""")
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH index against exact brute force, per query —
+    the eval loop that justifies (or retunes) the 12-table×6-bit index
+    configuration; both sides reuse the registered pipelines."""
+    from .operators.ann import (
+        cosine_topk_bruteforce, cosine_topk_lsh, topk_recall,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    return topk_recall(cosine_topk_lsh(emb, query_ids=qids, k=10),
+                       cosine_topk_bruteforce(emb, query_ids=qids, k=10))
+
+
 @register("ann_hard_negatives", """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -144,3 +144,17 @@ def test_short_docs_survive_all_dedup_paths(spark):
     for op in (minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs):
         pairs = op(df).collect()
         assert {(r["src"], r["dst"]) for r in pairs} == {(3, 4)}
+
+
+def test_topk_recall_counts_overlap(spark):
+    from graph_database_spark.operators.ann import topk_recall
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 20), (2, 21)],
+        ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 20), (2, 21)],
+        ["query_id", "neighbor_id"])
+    got = {r["query_id"]: r["recall"]
+           for r in topk_recall(approx, exact).collect()}
+    # q1: 2 of 4 exact neighbors found; q2: both; spurious 99 not counted
+    assert got == {1: 0.5, 2: 1.0}
