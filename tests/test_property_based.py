@@ -157,3 +157,67 @@ def test_winsorized_bounds_and_sum(spark, vals):
                          for v in vals), 6)
     assert r["clipped_sum"] == pytest.approx(expected, abs=1e-6)
     assert r["n_events"] == len(vals)
+
+
+COPRESENCE_EVENTS = st.lists(
+    st.tuples(st.integers(0, 4),            # user
+              st.integers(0, 400)),         # seconds offset
+    min_size=0, max_size=25)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=COPRESENCE_EVENTS)
+def test_temporal_copresence_matches_bruteforce(spark, events):
+    """Bin-bucketed band join vs the O(n²) definition on random event
+    streams: every cross-user pair with 0 < Δt ≤ W, counted once."""
+    from graph_database_spark.operators.relational_ext import (
+        temporal_copresence,
+    )
+    W = 60
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, u, base + dt.timedelta(seconds=s))
+            for i, (u, s) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, base)], ["event_id", "user_id", "ts"])
+    if not rows:
+        df = df.limit(0)
+    got = {(r["user_a"], r["user_b"]): r["n_copresent"]
+           for r in temporal_copresence(df, W).collect()}
+
+    expected: Counter = Counter()
+    for (i, (ua, sa)) in enumerate(events):
+        for (j, (ub, sb)) in enumerate(events):
+            if ua != ub and 1 <= sb - sa <= W:
+                expected[(min(ua, ub), max(ua, ub))] += 1
+    assert got == dict(expected)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=12),
+                      min_size=1, max_size=6))
+def test_unigram_logprob_matches_python_model(spark, texts):
+    """Spark unigram LM vs a plain-Python one on random tiny corpora."""
+    import math
+    from graph_database_spark.operators.text import unigram_logprob
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in unigram_logprob(df).collect()}
+
+    toks_per_doc = {i: [w for w in t.lower().split()] for i, t in docs}
+    counts: Counter = Counter()
+    for ws in toks_per_doc.values():
+        counts.update(ws)
+    T, U = sum(counts.values()), len(counts)
+    for i, ws in toks_per_doc.items():
+        if not ws:
+            assert i not in got
+            continue
+        s = sum(round(math.log(counts[w] + 1), 9) for w in ws)
+        want = round(s / len(ws) - math.log(T + U + 1), 6)
+        n, lp = got[i]
+        assert n == len(ws)
+        assert lp == pytest.approx(want, abs=2e-6)
