@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
     "dedup_simhash",
+    "dedup_winnow_substrings",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
     "embedding_topk_ivf",

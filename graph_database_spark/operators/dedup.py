@@ -388,3 +388,65 @@ def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 16, window: int = 8,
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): winnowed substring fingerprints — the MOSS scheme
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every character k-gram
+    of the whitespace-normalized text, then keep only each sliding
+    window's MINIMUM hash. Guarantees any shared substring of length
+    ≥ k + window − 1 leaves at least one shared fingerprint, while
+    storing ~1/window of the k-gram hashes — substring-LEVEL dedup
+    signal (copied passages), which whole-document MinHash cannot see
+    when the surrounding text differs.
+
+    All JVM-side: one explode over positions (rows ∝ text length — the
+    same order as shingling), `md5_long` portable hashes, and a per-doc
+    sliding MIN window (partitioned by doc_id, so it parallelizes across
+    documents; trailing partial windows included — mirrored exactly by
+    the oracle)."""
+    from pyspark.sql import Window
+
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    grams = (
+        spread(documents)
+        .select("doc_id", s.alias("__s"))
+        .filter(F.length("__s") >= k)
+        .select("doc_id",
+                F.explode(F.sequence(
+                    F.lit(1), F.length("__s") - F.lit(k - 1))).alias("pos"),
+                "__s")
+        .select("doc_id", "pos",
+                md5_long(F.expr(f"substring(__s, pos, {k})")).alias("h"))
+    )
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    return (grams
+            .withColumn("__wm", F.min("h").over(w))
+            .filter(F.col("h") == F.col("__wm"))
+            .select("doc_id", F.col("h").alias("fp"))
+            .distinct())
+
+
+def winnow_pairs(documents: DataFrame, k: int = 16, window: int = 8,
+                 min_shared: int = 10, max_fp_freq: int | None = 20,
+                 text_col: str = "text") -> DataFrame:
+    """(src, dst, shared): doc pairs sharing ≥ min_shared winnowed
+    fingerprints — copied-passage detection. The fingerprint self-join
+    has the same skew axis as the shingle join; `max_fp_freq` drops
+    fingerprints present in more than that many documents (template
+    boilerplate carrying no copy signal), bounding the join at
+    max_fp_freq² per fingerprint."""
+    fps = winnow_fingerprints(documents, k, window, text_col)
+    if max_fp_freq is not None:
+        hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
+               .filter(F.col("__c") > max_fp_freq).select("fp"))
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("doc_id").alias("src"), "fp")
+    b = fps.select(F.col("doc_id").alias("dst"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))

@@ -731,6 +731,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, threshold=0.5, max_shingle_freq=100)
 
 
+@register("dedup_winnow_substrings", r"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                    AS s FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(substr(s, i, 16)), 1, 15)) AS BIGINT)
+               AS h
+      FROM t, unnest(generate_series(1, len(s) - 16 + 1)) AS u(i)
+      WHERE len(s) >= 16),
+w AS (SELECT doc_id, pos, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm
+      FROM g),
+fp0 AS (SELECT DISTINCT doc_id, h FROM w WHERE h = wm),
+hot AS (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) > 20),
+fp AS (SELECT * FROM fp0 WHERE h NOT IN (SELECT h FROM hot))
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 10
+""")
+def q_dedup_winnow_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (copied-passage) dedup via winnowed k-gram
+    fingerprints — catches shared passages whole-document MinHash misses
+    when surrounding text differs. Hot-fingerprint guard ON (doc-freq >
+    20 dropped both sides); finds the same near-dup cluster the n-gram
+    and MinHash paths agree on at sf0.01."""
+    from .operators.dedup import winnow_pairs
+    return winnow_pairs(load_table(spark, sf_dir, "documents"),
+                        k=16, window=8, min_shared=10, max_fp_freq=20)
+
+
 # MinHash/SimHash hashing is engine-portable (operators/dedup.py: one md5
 # per shingle/token + universal rehash mod 2³¹−1), so the oracle replays
 # the exact LSH pipeline — same candidates, same signatures, not just the

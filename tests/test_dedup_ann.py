@@ -158,3 +158,35 @@ def test_topk_recall_counts_overlap(spark):
            for r in topk_recall(approx, exact).collect()}
     # q1: 2 of 4 exact neighbors found; q2: both; spurious 99 not counted
     assert got == {1: 0.5, 2: 1.0}
+
+
+def test_winnowing_detects_copied_passage(spark):
+    """The winnowing guarantee: a shared substring of length ≥ k+w-1
+    leaves at least one shared fingerprint — so a passage copied between
+    otherwise-different documents must produce a candidate pair."""
+    from graph_database_spark.operators.dedup import (
+        winnow_fingerprints, winnow_pairs,
+    )
+    passage = ("the quick brown fox jumps over the lazy dog and keeps "
+               "running through the quiet forest until nightfall arrives")
+    docs = spark.createDataFrame(
+        [(1, "intro alpha beta. " + passage + " closing words one"),
+         (2, "completely different opening text here! " + passage),
+         (3, "no overlap with anything else at all, purely unique "
+             "content about submarine maintenance procedures manual")],
+        ["doc_id", "text"])
+    pairs = {(r["src"], r["dst"]): r["shared"]
+             for r in winnow_pairs(docs, k=16, window=8, min_shared=1,
+                                   max_fp_freq=None).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # fingerprint count ~ |kgrams|/window, not |kgrams|
+    fp = winnow_fingerprints(docs, k=16, window=8)
+    n_fp = fp.count()
+    n_grams = sum(len(" ".join(t.split())) - 15 for _, t in
+                  [(1, "intro alpha beta. " + passage + " closing words one"),
+                   (2, "completely different opening text here! " + passage),
+                   (3, "no overlap with anything else at all, purely unique "
+                       "content about submarine maintenance procedures "
+                       "manual")])
+    assert n_fp < n_grams / 2
