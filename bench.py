@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "connected_components",
     "connected_components_star",
     "shortest_paths_landmark",
+    "sssp_weighted_fixed8",
     "motif_cooccurrence_topn",
     "multimodal_resize_plan",
     "multimodal_frame_sample",

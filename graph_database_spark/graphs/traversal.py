@@ -153,6 +153,51 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
+def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
+                            rounds: int = 8,
+                            num_partitions: int | None = None) -> DataFrame:
+    """(id, landmark, dist): Bellman-Ford relaxation — min-cost paths
+    under non-negative edge weights, the weighted upgrade of
+    `shortest_paths` (which counts hops). edges: (src, dst, weight)
+    directed; pass a symmetric list for undirected semantics.
+
+    FIXED round count: after r rounds `dist` is exact over all paths of
+    ≤ r edges — pinning r makes the whole fixed point replayable by a
+    recursive-CTE oracle (the same contract as pagerank_fixed20), and on
+    a real workload r is the graph's effective weighted diameter. Each
+    round is one edge-join shuffle + one (id, landmark) min-aggregate —
+    float-parity-safe across engines because the only arithmetic is
+    binary IEEE adds along each path (identical association order) and
+    exact MIN comparisons.
+    """
+    edges = edges.select("src", "dst", "weight").localCheckpoint()
+    m = edges.count()
+    n_parts = num_partitions or _iter_partitions(
+        edges.sparkSession.sparkContext, m)
+    bcast_state = m <= _BROADCAST_STATE_ROWS
+    if not bcast_state:
+        edges = edges.repartition(n_parts, "src").localCheckpoint()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
+
+    dist = landmarks.select(
+        F.col("id"), F.col("id").alias("landmark"),
+        F.lit(0.0).alias("dist")).localCheckpoint()
+
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(_b(dist), dist["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), "landmark",
+                    (F.col("dist") + F.col("weight")).alias("dist"))
+        )
+        dist = (dist.unionByName(relaxed)
+                .groupBy("id", "landmark")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist
+
+
 def connected_components_star(vertices: DataFrame, edges: DataFrame,
                               max_rounds: int = 30,
                               num_partitions: int | None = None,

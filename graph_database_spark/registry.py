@@ -1470,6 +1470,55 @@ def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_hops=8, dedupe=False)
 
 
+# Weighted SSSP (Bellman-Ford, fixed 8 relaxation rounds) from the
+# min-partkey landmark over the co-occurrence graph with edge cost
+# 1/count (stronger co-occurrence = closer). Float-parity-safe: the
+# only arithmetic is IEEE adds along identically-associated paths plus
+# exact MIN, so the recursive-CTE oracle reproduces values bit-for-bit.
+@register("sssp_weighted_fixed8", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+wpairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT src, dst, CAST(1 AS DOUBLE) / cnt AS w FROM wpairs
+  UNION ALL
+  SELECT dst, src, CAST(1 AS DOUBLE) / cnt FROM wpairs
+),
+lm AS (SELECT MIN(p_partkey) AS id FROM part),
+sp(iter, id, d) AS (
+  SELECT 0, id, CAST(0 AS DOUBLE) FROM lm
+  UNION ALL
+  SELECT u.iter + 1, u.id, MIN(u.d)
+  FROM (
+    SELECT s.iter, s.id, s.d FROM sp s WHERE s.iter < 8
+    UNION ALL
+    SELECT s.iter, e.dst AS id, s.d + e.w AS d
+    FROM sp s JOIN wedges e ON e.src = s.id WHERE s.iter < 8
+  ) u
+  GROUP BY u.iter, u.id
+)
+SELECT id, (SELECT id FROM lm) AS landmark,
+       CAST(ROUND(d, 6) AS DOUBLE) AS dist
+FROM sp WHERE iter = 8
+""")
+def q_sssp_weighted_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted complement to shortest_paths_landmark: min-cost rather
+    than min-hop reachability, cost 1/co-occurrence-count."""
+    from .graphs.traversal import weighted_shortest_paths
+    from .operators.cooccurrence import cooccurrence_unordered, symmetrize
+    wedges = symmetrize(
+        cooccurrence_unordered(_items(spark, sf_dir))
+    ).select("src", "dst", (F.lit(1.0) / F.col("count")).alias("weight"))
+    landmark = (load_table(spark, sf_dir, "part")
+                .agg(F.min("p_partkey").alias("id")))
+    out = weighted_shortest_paths(wedges, landmark, rounds=8)
+    return out.select("id", "landmark", F.round("dist", 6).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # Exact interpolated quantiles (SURVEY §2.4 'Absent': no quantiles in the
 # reference; percentile_approx is the 100 TB drop-in, exact here because

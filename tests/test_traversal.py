@@ -138,3 +138,26 @@ def test_kcore_peel_cascade(spark):
     assert surv == {1: 2, 2: 2, 3: 2}
     one_round = {r["id"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
     assert one_round == {1, 2, 3, 4}  # 4 survives until 5's removal lands
+
+
+def test_weighted_sssp_prefers_cheap_multi_hop_path(spark):
+    """Bellman-Ford must pick the 3-edge cost-0.3 path over the direct
+    cost-1.0 edge — the case hop-count BFS gets wrong by design."""
+    from graph_database_spark.graphs.traversal import weighted_shortest_paths
+    edges = spark.createDataFrame(
+        [("a", "d", 1.0),
+         ("a", "b", 0.1), ("b", "c", 0.1), ("c", "d", 0.1),
+         ("d", "e", 0.5)],
+        ["src", "dst", "weight"])
+    landmarks = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["dist"]
+           for r in weighted_shortest_paths(edges, landmarks, rounds=8,
+                                            num_partitions=4).collect()}
+    assert got["a"] == 0.0
+    assert got["d"] == pytest.approx(0.30000000000000004)  # 0.1+0.1+0.1
+    assert got["e"] == pytest.approx(got["d"] + 0.5)
+    # with only 1 relaxation round, the direct edge wins
+    one = {r["id"]: r["dist"]
+           for r in weighted_shortest_paths(edges, landmarks, rounds=1,
+                                            num_partitions=4).collect()}
+    assert one["d"] == 1.0
