@@ -3427,7 +3427,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "strategy_breakdown_focal", "cooccurrence_weighted",
     # relational / OLAP surface
     "pricing_summary", "revenue_by_nation", "revenue_rollup",
-    "order_priority_pivot",
     # events domain (every entry here erred in r2 on the loader bug)
     "events_hourly", "events_hourly_gapfill", "sessionization",
     "events_props_stats", "events_asof_order", "pk_violations",
@@ -3440,6 +3439,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # LLM-pipeline battery: dedup + ANN + text
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_canonical_docs", "dedup_incremental_minhash",
+    "dedup_winnow_substrings",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "embedding_near_duplicates", "lang_id", "text_quality",
     "doc_unigram_logprob",
