@@ -84,13 +84,18 @@ def temporal_copresence(events: DataFrame,
     """
     w_us = int(window_seconds) * 1_000_000
     e = events.select("user_id", F.unix_micros("ts").alias("us"))
+    # integer `div`, not `/`+floor: double division of large epoch-µs
+    # values could misround at an exact bin boundary and break the
+    # "later event is in bin or bin+1" invariant the join relies on.
+    # (`div` truncates toward zero = floor for the non-negative epoch
+    # micros of any post-1970 event stream.)
+    bin_col = F.expr(f"us div {w_us}")
     left = e.select(
         F.col("user_id").alias("l_user"), F.col("us").alias("l_us"),
-        F.explode(F.array(F.floor(F.col("us") / w_us),
-                          F.floor(F.col("us") / w_us) + 1)).alias("bin"))
+        F.explode(F.array(bin_col, bin_col + 1)).alias("bin"))
     right = e.select(
         F.col("user_id").alias("r_user"), F.col("us").alias("r_us"),
-        F.floor(F.col("us") / w_us).alias("bin"))
+        bin_col.alias("bin"))
     pairs = (
         left.join(right, "bin")
         .filter((F.col("r_us") - F.col("l_us") >= 1)
