@@ -124,3 +124,38 @@ def pruning_fraction(path: str, col: str, value) -> float:
         return 0.0
     hit = sum(1 for _, lo, hi in zm if lo <= value <= hi)
     return 1.0 - hit / len(zm)
+
+
+def file_sizes(path: str) -> list[tuple[str, int]]:
+    """[(file, bytes)] for the dataset's parquet files."""
+    return [(n, os.path.getsize(os.path.join(path, n)))
+            for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    cluster_col: str | None = None,
+                    mode: str = "overwrite") -> int:
+    """Rewrite a fragmented parquet dataset into ~target_bytes files;
+    returns the file count written.
+
+    The small-file problem is THE silent scan killer at 100 TB: a
+    1000-executor job over a million 100 KB files pays a task per file
+    (scheduling >> IO) and parquet footers stop fitting the driver. The
+    file count is sized from the dataset's actual ON-DISK bytes (footer
+    walk, no data read) — not row counts, which mispredict by the
+    compression ratio. With `cluster_col` the rewrite goes through
+    repartitionByRange + sortWithinPartitions, so compaction REPAIRS
+    zone-map locality that accumulated small appends destroyed;
+    without, a plain repartition balances bytes.
+    """
+    total = sum(b for _, b in file_sizes(src_path))
+    n_files = max(1, -(-total // int(target_bytes)))
+    df = spark.read.parquet(src_path)
+    if cluster_col is not None:
+        part = (df.repartitionByRange(n_files, cluster_col)
+                .sortWithinPartitions(cluster_col))
+    else:
+        part = df.repartition(n_files)
+    part.write.mode(mode).parquet(dst_path)
+    return n_files

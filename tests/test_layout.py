@@ -88,3 +88,38 @@ def test_clustered_read_roundtrip_and_filter(spark, tmp_path):
     d = li.select(F.max("l_shipdate")).first()[0]
     want = li.filter(F.col("l_shipdate") == d).count()
     assert back.filter(F.col("l_shipdate") == d).count() == want
+
+
+def test_compaction_restores_file_count_and_locality(spark, tmp_path):
+    """Simulated small-append fragmentation: many tiny files, each
+    spanning the full key range (worthless zone maps). Compaction must
+    hit the byte-derived file count and, with a cluster column, restore
+    disjoint per-file ranges."""
+    from graph_database_spark.sources.layout import (
+        compact_parquet, file_sizes,
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("l_shipdate"),
+        "l_quantity")
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    # hash-partitioned tiny files = the accumulated-appends layout
+    li.repartition(64).write.parquet(frag)
+    sizes = file_sizes(frag)
+    assert len(sizes) == 64
+    total = sum(b for _, b in sizes)
+    target = total // 6
+    n = compact_parquet(spark, frag, compacted, target_bytes=target,
+                        cluster_col="l_shipdate")
+    got = file_sizes(compacted)
+    assert len(got) == n <= 8
+    # locality repaired: adjacent file ranges no longer overlap
+    zm = sorted(zone_map(compacted, "l_shipdate"), key=lambda t: t[1])
+    assert sum(1 for a, b in zip(zm, zm[1:]) if a[2] > b[1]) == 0
+    # nothing lost
+    assert spark.read.parquet(compacted).count() == li.count()
+    # fragmented layout prunes nothing; compacted+clustered does
+    dates = sorted(r[0] for r in li.select("l_shipdate").distinct().collect())
+    probe = dates[len(dates) // 2]
+    assert pruning_fraction(frag, "l_shipdate", probe) == 0.0
+    assert pruning_fraction(compacted, "l_shipdate", probe) > 0.0
