@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
     "top_parts_by_revenue",
+    "shipping_priority",
     "revenue_rollup",
     "order_priority_pivot",
     "customer_order_seq",

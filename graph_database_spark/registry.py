@@ -445,6 +445,52 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-stream analytics (batch twins of graph_database_spark.streaming)
 # ---------------------------------------------------------------------------
 
+@register("shipping_priority", """
+SELECT l.l_orderkey AS order_id,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate ASC, order_id ASC
+LIMIT 10
+""")
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment filter broadcast onto
+    orders, date predicates pushed to both parquet scans, top-10 via
+    TakeOrderedAndProject — the canonical fact-to-fact join with
+    dimension pre-filter. Revenue decimal-summed (order-independent)."""
+    cutoff = "1998-06-01"
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit(cutoff).cast("date"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    items = (load_table(spark, sf_dir, "lineitem")
+             .filter(F.col("l_shipdate") > F.lit(cutoff).cast("date"))
+             .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        items.join(orders.join(F.broadcast(cust),
+                               orders["o_custkey"] == cust["c_custkey"]),
+                   items["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_orderkey").alias("order_id"),
+                 "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("order_id"))
+        .limit(10)
+    )
+
+
 @register("events_hourly", """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
