@@ -158,6 +158,38 @@ class PropertyGraph:
         return shortest_paths(e.select("src", "dst"), landmarks,
                               max_hops=max_hops)
 
+    def connected_components_star(self, rel_type: str | None = None,
+                                  max_rounds: int = 30) -> DataFrame:
+        """(id, component) by O(log n)-round star contraction — same
+        answer as connected_components; prefer it when the diameter is
+        unknown or large (graphs/traversal.connected_components_star)."""
+        from .traversal import connected_components_star
+        e = self.edges if rel_type is None \
+            else self.edges.filter(F.col("rel_type") == rel_type)
+        return connected_components_star(self.vertices.select("id"),
+                                         e.select("src", "dst"),
+                                         max_rounds=max_rounds)
+
+    def weighted_shortest_paths(self, landmarks: DataFrame,
+                                rounds: int = 8,
+                                rel_type: str | None = None) -> DataFrame:
+        """(id, landmark, dist): min-cost Bellman-Ford over edge weights
+        (uniform 1/outdeg when the edge set carries none — the same
+        projection page_rank walks)."""
+        from .traversal import weighted_shortest_paths
+        return weighted_shortest_paths(self._projection(rel_type),
+                                       landmarks, rounds=rounds)
+
+    def hits(self, max_iter: int = 10,
+             rel_type: str | None = None) -> DataFrame:
+        """(side, id, score): hubs & authorities over the directed edge
+        set (graphs/hits.bipartite_hits; sides share the vertex space
+        here, scores normalized per side)."""
+        from .hits import bipartite_hits
+        e = self.edges if rel_type is None \
+            else self.edges.filter(F.col("rel_type") == rel_type)
+        return bipartite_hits(e.select("src", "dst"), max_iter=max_iter)
+
     # -- integrity ---------------------------------------------------------
 
     def integrity_report(self) -> DataFrame:

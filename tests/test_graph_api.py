@@ -96,3 +96,24 @@ def test_neighbor_agg_mean_feature(spark):
     assert got[1] == (1, 20.0)
     assert got[2] == (2, 25.0)   # mean(10, 40)
     assert got[3] == (1, 20.0)
+
+
+def test_star_components_match_propagation_on_graph(graph):
+    prop = {r["id"]: r["component"]
+            for r in graph.connected_components().collect()}
+    star = {r["id"]: r["component"]
+            for r in graph.connected_components_star().collect()}
+    assert star == prop
+
+
+def test_api_weighted_paths_and_hits_shapes(graph, spark):
+    lm = graph.vertices.select("id").orderBy("id").limit(1)
+    wsp = graph.weighted_shortest_paths(lm, rounds=4)
+    assert set(wsp.columns) == {"id", "landmark", "dist"}
+    assert wsp.filter(F.col("dist") == 0.0).count() == 1  # the landmark
+    h = graph.hits(max_iter=5, rel_type="CONTAINS").collect()
+    sides = {r["side"] for r in h}
+    assert sides == {"hub", "authority"}
+    for side in sides:  # L1-normalized per side
+        tot = sum(r["score"] for r in h if r["side"] == side)
+        assert abs(tot - 1.0) < 1e-4
