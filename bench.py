@@ -174,10 +174,19 @@ def main() -> None:
     # Fault isolation: one broken query must not take down the whole run —
     # record its error and keep going; the JSON line always prints.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # Soft wall-clock budget: refinement passes (2+) stop once exceeded,
+    # pass 1 ALWAYS completes — every query gets a number, later passes
+    # only tighten them. Keeps the run bounded as the query list grows.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+    run_start = time.perf_counter()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(passes):
+    truncated = False
+    for p in range(passes):
         for name in names:
+            if p > 0 and time.perf_counter() - run_start > budget:
+                truncated = True
+                break
             if name in errors:
                 continue
             t0 = time.perf_counter()
@@ -191,6 +200,8 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt
+        if truncated:
+            break
 
     total = round(sum(times.values()), 3)
     out = {
@@ -204,6 +215,8 @@ def main() -> None:
         "calibration_sec": round(calib, 3) if calib is not None else None,
         "calibration_workload": "bit_xor(xxhash64) over range(200M), 32 parts, min of 3",
     }
+    if truncated:
+        out["refinement_truncated_by_budget_sec"] = budget
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
