@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ann_recall_lsh",
     "lang_id",
     "text_quality",
+    "doc_quality_ecdf",
     "token_count",
     "doc_fingerprint",
     "pagerank_global",

@@ -435,3 +435,30 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
         n=contamination_ngram, text_col=text_col).select("doc_id")
     return (kept.join(contaminated, "doc_id", "left_anti")
             .select("doc_id", "quality", "ws_tokens"))
+
+
+def quality_ecdf(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, quality, quality_pct): each document's EXACT percentile
+    rank (inclusive ECDF) of the quality score — the normalization step
+    before combining heterogeneous signals or thresholding "keep the
+    top X%" in a curation pipeline.
+
+    The naive global rank is a full sort into one ordered partition —
+    the classic scale trap. Here the rank comes from a histogram
+    cum-sum instead: the 6-dp-rounded score has BOUNDED cardinality
+    (≤ 10⁶ distinct values no matter the corpus size), so the cum-sum
+    window runs over a histogram-sized frame and broadcasts back onto
+    the corpus — no row ever sorts globally."""
+    from pyspark.sql import Window
+
+    q = documents.select(
+        "doc_id", quality_col(F.col(text_col)).alias("quality"))
+    hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("quality", F.sum("__c").over(w).alias("__cum"))
+    tot = q.agg(F.count(F.lit(1)).alias("__n"))
+    return (q.join(F.broadcast(cum), "quality")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", "quality",
+                    F.round(F.col("__cum") / F.col("__n"), 6)
+                     .alias("quality_pct")))

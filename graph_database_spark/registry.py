@@ -1142,6 +1142,38 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_quality_ecdf", r"""
+WITH m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS words,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
+         + (1.0 - least(CAST(punct AS DOUBLE) / greatest(words, 1) * 10.0, 1.0)) * 0.25
+         + least(CAST(stop AS DOUBLE) / greatest(words, 1) * 5.0, 1.0) * 0.25, 6)
+      AS DOUBLE) AS quality
+  FROM m
+),
+hist AS (SELECT quality, COUNT(*) AS c FROM q GROUP BY quality),
+cum AS (SELECT quality, SUM(c) OVER (ORDER BY quality) AS cum FROM hist),
+n AS (SELECT COUNT(*) AS n FROM q)
+SELECT q.doc_id, q.quality,
+       CAST(ROUND(CAST(cum.cum AS DOUBLE) / n.n, 6) AS DOUBLE) AS quality_pct
+FROM q JOIN cum USING (quality) CROSS JOIN n
+""")
+def q_doc_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile rank of the quality score WITHOUT a global row
+    sort: the 6-dp score has bounded cardinality, so the rank is a
+    cum-sum over the score histogram broadcast back onto the corpus —
+    the scale-safe form of "keep the top X% by quality"."""
+    from .operators.text import quality_ecdf
+    return quality_ecdf(load_table(spark, sf_dir, "documents"))
+
+
 @register("token_count", r"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,

@@ -284,3 +284,19 @@ def test_corpus_summary_values(spark):
     assert en["n_docs"] == 2 and en["total_tokens"] == 5
     assert en["p50_chars"] == (13 + 9) / 2
     assert rows[("fr", "s1")]["n_docs"] == 1
+
+
+def test_quality_ecdf_is_inclusive_rank(spark):
+    from graph_database_spark.operators.text import quality_ecdf
+    # three quality tiers by length: long (high), medium, short (low) ×2
+    docs = spark.createDataFrame(
+        [(1, "the and of to in is that it was for " * 12),
+         (2, "the and of to in is that it was for"),
+         (3, "tiny text"), (4, "tiny text")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in quality_ecdf(docs).collect()}
+    # ties share the inclusive rank; ordering follows quality
+    assert rows[3]["quality_pct"] == rows[4]["quality_pct"] == 0.5
+    assert rows[2]["quality_pct"] == 0.75
+    assert rows[1]["quality_pct"] == 1.0
+    assert rows[3]["quality"] < rows[2]["quality"] < rows[1]["quality"]
