@@ -164,6 +164,48 @@ def interval_join_stream(events: DataFrame,
     ).select("trigger_id", "user_id", "trigger_ts", "response_ts")
 
 
+def copresence_stream(events: DataFrame,
+                      window_seconds: int = 60,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/relational_ext.temporal_copresence:
+    cross-user event pairs within `window_seconds`, as matched pair rows
+    (append mode; the per-pair count aggregation stays batch, same
+    trade-off as interval_join_stream).
+
+    The batch operator's bin-bucketing is what makes this FEASIBLE as a
+    stream: a keyless time-range stream-stream join would buffer
+    everything against everything, but with the earlier side exploded
+    into (bin, bin+1) the join is an EQUI join on bin — state shards by
+    bin, and the watermark + range condition lets Spark expire each
+    bin's buffer once event time passes it. Same exactly-once pair
+    matching as the batch proof (the two bin cases are mutually
+    exclusive).
+    """
+    w_us = int(window_seconds) * 1_000_000
+    bin_col = F.expr(f"unix_micros(ts) div {w_us}")
+    base = events.select("user_id", "ts")
+    left = (base.withWatermark("ts", watermark)
+            .select(F.col("user_id").alias("l_user"),
+                    F.col("ts").alias("l_ts"),
+                    F.explode(F.array(bin_col, bin_col + 1)).alias("bin")))
+    right = (base.withWatermark("ts", watermark)
+             .select(F.col("user_id").alias("r_user"),
+                     F.col("ts").alias("r_ts"),
+                     bin_col.alias("bin")))
+    return (
+        left.join(
+            right,
+            (left["bin"] == right["bin"])
+            & (right["r_ts"] > left["l_ts"])
+            & (right["r_ts"] <= left["l_ts"]
+               + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+            & (left["l_user"] != right["r_user"]))
+        .select(F.least("l_user", "r_user").alias("user_a"),
+                F.greatest("l_user", "r_user").alias("user_b"),
+                "l_ts", "r_ts")
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str,
                          output_mode: str = "update"):
     """Drive a streaming aggregation to completion against a static

@@ -99,3 +99,24 @@ def test_interval_join_stream_matches_batch_pairs(spark):
     assert len(got) == sum(r["n_followups"] for r in batch)
     assert {r["trigger_id"] for r in got} \
         == {r["event_id"] for r in batch}
+
+
+def test_copresence_stream_matches_batch_pairs(spark):
+    from graph_database_spark.operators.relational_ext import (
+        temporal_copresence,
+    )
+    from graph_database_spark.streaming.events import (
+        copresence_stream, run_stream_to_memory)
+    stream = read_event_stream(spark, SF_DIR)
+    q = run_stream_to_memory(copresence_stream(stream), "scop",
+                             output_mode="append")
+    try:
+        got = spark.sql("SELECT user_a, user_b FROM scop").collect()
+    finally:
+        q.stop()
+    batch = temporal_copresence(
+        load_table(spark, SF_DIR, "events"), 60).collect()
+    # every matched event pair appears exactly once in the stream output
+    assert len(got) == sum(r["n_copresent"] for r in batch)
+    assert {(r["user_a"], r["user_b"]) for r in got} \
+        == {(r["user_a"], r["user_b"]) for r in batch}
