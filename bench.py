@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "part_recency_popularity",
     "events_status_history",
     "events_value_winsorized",
+    "events_value_anomalies",
     "doc_prefix_matches",
     "graph_lpa_communities",
     "bpe_merge_candidates",

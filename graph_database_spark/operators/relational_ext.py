@@ -458,3 +458,33 @@ def winsorized_value_stats(events: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("__c").cast("double"), 6).alias("clipped_sum"))
             .select("event_type", "n_events", "lo", "hi", "clipped_sum"))
+
+
+def value_anomalies(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """(event_id, event_type, value, med, mad): events whose value sits
+    more than k median-absolute-deviations from their type's median —
+    the outlier screen that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts.
+
+    Two grouped exact percentiles (median, then median of |v−med|),
+    each a one-row-per-type aggregate broadcast back onto the fact scan;
+    comparisons are on 6-dp-rounded values so both engines flag the
+    identical set. Types whose MAD is 0 (constant-valued) flag nothing —
+    anything ≠ med there is trivially "anomalous", which is noise, not
+    signal. At 100 TB swap percentile for percentile_approx (the pinned
+    drop-in); the plan shape is unchanged.
+    """
+    med = (events.groupBy("event_type")
+           .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.round(F.abs(F.col("value") - F.col("med")), 6)
+                    .alias("__ad")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.round(F.expr("percentile(__ad, 0.5)"), 6).alias("mad")))
+    stats = med.join(mad, "event_type")
+    return (events.join(F.broadcast(stats), "event_type")
+            .filter((F.col("mad") > 0)
+                    & (F.round(F.abs(F.col("value") - F.col("med")), 6)
+                       > k * F.col("mad")))
+            .select("event_id", "event_type", "value", "med", "mad"))

@@ -1832,6 +1832,31 @@ def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).alias("n_green")))
 
 
+@register("events_value_anomalies", """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ROUND(ABS(e.value - m.med), 6) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND ROUND(ABS(e.value - m.med), 6) > 3.0 * d.mad
+""")
+def q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median/MAD instead of mean/stddev, so the
+    threshold is not dragged by the outliers it hunts. Both percentile
+    aggregates collapse to one row per event_type and broadcast back."""
+    from .operators.relational_ext import value_anomalies
+    return value_anomalies(load_table(spark, sf_dir, "events"), k=3.0)
+
+
 @register("events_value_histogram", """
 SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n,

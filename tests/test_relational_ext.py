@@ -120,3 +120,22 @@ def test_copresence_stream_matches_batch_pairs(spark):
     assert len(got) == sum(r["n_copresent"] for r in batch)
     assert {(r["user_a"], r["user_b"]) for r in got} \
         == {(r["user_a"], r["user_b"]) for r in batch}
+
+
+def test_value_anomalies_median_mad(spark):
+    from datetime import datetime as DT
+    from graph_database_spark.operators.relational_ext import value_anomalies
+    ts = DT(2024, 1, 1)
+    # 'view': values 1..9 (med 5, mad 2) plus one 100 outlier;
+    # 'flat': constant → mad 0 → never flags
+    rows = [(i, 1, ts, "view", float(v), "{}")
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9])]
+    rows += [(100, 1, ts, "view", 100.0, "{}")]
+    rows += [(200 + i, 1, ts, "flat", 7.0, "{}") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"])
+    got = {r["event_id"]: r for r in value_anomalies(ev, k=3.0).collect()}
+    # med(view)=5.5 (10 values incl. 100), deviations |v-5.5|:
+    # .5,1.5,2.5,3.5,4.5,.5,1.5,2.5,3.5,94.5 → mad 2.5; cutoff 7.5 → only 100
+    assert set(got) == {100}
+    assert got[100]["med"] == 5.5 and got[100]["mad"] == 2.5
