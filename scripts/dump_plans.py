@@ -77,6 +77,16 @@ SHOWCASE = {
     "events_copresence": "keyless time-range join rewritten as an equi "
     "join on window-sized bins (each qualifying pair matches exactly "
     "once) — no cartesian/nested-loop fallback",
+    "shipping_priority": "TPC-H Q3 shape: segment + both date predicates "
+    "pushed into the scans, dimension broadcast, top-10 via "
+    "TakeOrderedAndProject",
+    "doc_quality_ecdf": "exact percentile ranks with NO global row sort — "
+    "cum-sum over the bounded score histogram, broadcast back",
+    "events_value_anomalies": "median and MAD each collapse to one row "
+    "per type and broadcast back onto the fact scan",
+    "dedup_winnow_substrings": "per-doc sliding-min window (partitioned "
+    "by doc_id), fingerprint self-join guarded by hot-fingerprint "
+    "anti-join",
     "doc_unigram_logprob": "ln evaluated once per distinct vocab entry; "
     "top-V vocab via TakeOrderedAndProject, broadcast into the token "
     "join; order-independent decimal sums",
