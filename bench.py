@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "doc_split_assignment",
     "doc_sample_stratified",
+    "doc_sample_exact_n",
     "decontaminate_ngram",
     "documents_curated",
     "doc_repetition",

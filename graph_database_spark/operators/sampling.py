@@ -243,3 +243,28 @@ def pack_sequences(df: DataFrame, budget: int,
          .cast("int").alias("seq_pos"),
         (F.sum(tokens_col).over(w2) - F.col(tokens_col)).cast("long")
          .alias("start_offset"))
+
+
+def stratified_exact_n(df: DataFrame, n_per_stratum: int,
+                       strata_col: str = "source",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministically —
+    the eval-set builder (fraction-based sampling yields a BINOMIAL
+    count; an eval set needs exactly n per domain, reproducibly).
+
+    Rows rank by the portable md5 hash of their key (a stable "random"
+    order no reshuffle can change; key ties broken by the key itself),
+    and each stratum keeps its first n. The rank window partitions by
+    stratum — per-stratum state, never a global sort. A stratum far
+    hotter than the rest serializes its own sort only; for pathological
+    hot strata pre-filter with `stratified_sample` at a few × n/|stratum|
+    to shrink the window input, then take exact-n here.
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(F.col(key_col).cast("string"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(h.asc(), F.col(key_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))

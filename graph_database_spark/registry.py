@@ -2822,6 +2822,25 @@ def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(docs).select("doc_id", "split")
 
 
+@register("doc_sample_exact_n", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 20
+""")
+def q_doc_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per source, deterministic under any partitioning
+    (portable md5 rank) — the eval-set builder; fraction sampling can't
+    promise exact counts."""
+    from .operators.sampling import stratified_exact_n
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_n(docs, 20, strata_col="source")
+
+
 @register("doc_sample_stratified", f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, {_SQL_HASH_BUCKET} AS b FROM documents)

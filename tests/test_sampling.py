@@ -195,3 +195,19 @@ def test_pack_sequences_offsets_chain(spark):
         assert rows[0]["start_offset"] == 0
         for a, b in zip(rows, rows[1:]):
             assert b["start_offset"] == a["start_offset"] + a["ws_tokens"]
+
+
+def test_stratified_exact_n_counts_and_determinism(spark):
+    from graph_database_spark.operators.sampling import stratified_exact_n
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = stratified_exact_n(df, 5, strata_col="source").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 5          # exactly n
+    assert by["tiny"] == {100, 101, 102}  # short stratum keeps all
+    # deterministic under repartition
+    again = stratified_exact_n(df.repartition(7), 5,
+                               strata_col="source").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
