@@ -422,10 +422,15 @@ def winnow_fingerprints(documents: DataFrame, k: int = 16, window: int = 8,
     )
     w = (Window.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(0, window - 1))
+    # True winnowing keeps the MIN of every window; the fingerprint set is
+    # exactly the distinct per-window minima. (Filtering positions where
+    # h == window-min instead — a previous version of this code — selects
+    # only hashes minimal in the window STARTING at their own position, a
+    # strict subset that loses the shared-substring guarantee: a descending
+    # hash run selects nothing mid-document.)
     return (grams
             .withColumn("__wm", F.min("h").over(w))
-            .filter(F.col("h") == F.col("__wm"))
-            .select("doc_id", F.col("h").alias("fp"))
+            .select("doc_id", F.col("__wm").alias("fp"))
             .distinct())
 
 

@@ -789,7 +789,7 @@ w AS (SELECT doc_id, pos, h,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm
       FROM g),
-fp0 AS (SELECT DISTINCT doc_id, h FROM w WHERE h = wm),
+fp0 AS (SELECT DISTINCT doc_id, wm AS h FROM w),
 hot AS (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) > 20),
 fp AS (SELECT * FROM fp0 WHERE h NOT IN (SELECT h FROM hot))
 SELECT a.doc_id AS src, b.doc_id AS dst,

@@ -190,3 +190,33 @@ def test_winnowing_detects_copied_passage(spark):
                        "content about submarine maintenance procedures "
                        "manual")])
     assert n_fp < n_grams / 2
+
+
+def test_winnowing_matches_bruteforce_window_minima(spark):
+    """winnow_fingerprints must equal the textbook definition — the set of
+    per-window minima over k-gram hashes — replicated here in pure Python.
+    Regression for a bug where only hashes minimal in the window STARTING
+    at their own position were kept (a strict subset: a descending hash
+    run selected nothing, and selection depended on text after a shared
+    region, breaking the MOSS guarantee)."""
+    import hashlib
+    from graph_database_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 16, 8
+    texts = [(1, "the quick brown fox jumps over the lazy dog repeatedly "
+                 "until the sun sets behind distant snowy mountain peaks"),
+             (2, "short but still long enough for several k-gram windows"),
+             (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii")]
+
+    def fps(text):
+        s = " ".join(text.lower().split())
+        hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+              for i in range(len(s) - k + 1)]
+        # trailing partial windows included, mirroring rowsBetween(0, w-1)
+        return {min(hs[i:i + w]) for i in range(len(hs))}
+
+    expected = {(d, fp) for d, t in texts for fp in fps(t)}
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {(r["doc_id"], r["fp"])
+           for r in winnow_fingerprints(docs, k=k, window=w).collect()}
+    assert got == expected
