@@ -234,6 +234,7 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
         edges.sparkSession.sparkContext, m)
 
     prev = None
+    converged = False
     for _ in range(max_rounds):
         # full neighborhoods: both directions of the current edge set
         sym = e.unionByName(
@@ -272,11 +273,32 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
                        or prev.join(small, ["a", "b"], "left_anti").limit(1)
                        .count() > 0)
             if not changed:
+                converged = True
                 break
         prev = small
 
+    if not converged:
+        # max_rounds exhausted before the star fixed point: each vertex's
+        # min DIRECT star neighbor would be a silently wrong label here.
+        # Finish exactly with min-label propagation over the CONTRACTED
+        # star set — star rounds preserve connectivity and only ever
+        # re-parent toward smaller ids, and the contracted forest is both
+        # far smaller and far shallower than the input, so the bounded
+        # propagation pass is cheap and closes in ≤ remaining tree height.
+        contracted_vs = (e.select(F.col("src").alias("id"))
+                         .unionByName(e.select(F.col("dst").alias("id")))
+                         .distinct())
+        labels = connected_components(contracted_vs, e,
+                                      num_partitions=n_parts,
+                                      dedupe=True)
+        return (vertices.select("id").distinct()
+                .join(labels.withColumnRenamed("component", "__c"),
+                      "id", "left")
+                .select("id", F.coalesce(F.col("__c"), F.col("id"))
+                        .alias("component")))
+
     # at the fixed point every non-root has exactly one star edge to its
-    # component min; the min-agg is defensive for the max_rounds cutoff
+    # component min
     roots = e.groupBy(F.col("src").alias("id")) \
         .agg(F.min("dst").alias("__c"))
     return (vertices.select("id").distinct()

@@ -127,9 +127,18 @@ def pruning_fraction(path: str, col: str, value) -> float:
 
 
 def file_sizes(path: str) -> list[tuple[str, int]]:
-    """[(file, bytes)] for the dataset's parquet files."""
-    return [(n, os.path.getsize(os.path.join(path, n)))
-            for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+    """[(relative_path, bytes)] for the dataset's parquet files, walking
+    partitionBy subdirectories recursively — a flat listdir here would
+    return [] for a hive-partitioned dataset and make compact_parquet
+    size the rewrite from total=0 (everything into one file)."""
+    out = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                out.append((os.path.relpath(full, path),
+                            os.path.getsize(full)))
+    return sorted(out)
 
 
 def compact_parquet(spark, src_path: str, dst_path: str,

@@ -123,3 +123,18 @@ def test_compaction_restores_file_count_and_locality(spark, tmp_path):
     probe = dates[len(dates) // 2]
     assert pruning_fraction(frag, "l_shipdate", probe) == 0.0
     assert pruning_fraction(compacted, "l_shipdate", probe) > 0.0
+
+
+def test_file_sizes_walks_partitioned_datasets(spark, tmp_path):
+    """file_sizes must see parquet files under partitionBy subdirectories;
+    a flat listing returned [] and made compact_parquet size the rewrite
+    from total=0."""
+    from graph_database_spark.sources.layout import file_sizes
+
+    part = str(tmp_path / "byregion")
+    load_table(spark, SF_DIR, "nation").write.partitionBy(
+        "n_regionkey").parquet(part)
+    sizes = file_sizes(part)
+    assert len(sizes) >= 5  # one or more files per region
+    assert all(b > 0 for _, b in sizes)
+    assert any("n_regionkey=" in name for name, _ in sizes)

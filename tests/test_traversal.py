@@ -99,6 +99,24 @@ def test_star_contraction_closes_long_chain_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_contraction_exact_when_round_budget_exhausted(spark):
+    """max_rounds too small to reach the star fixed point must still
+    return EXACT component labels (via the propagation fallback over the
+    contracted edge set), never each vertex's min direct neighbor in the
+    partially-contracted graph."""
+    from graph_database_spark.graphs.traversal import (
+        connected_components_star,
+    )
+    n = 64
+    ve = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    ed = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               ["src", "dst"])
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(ve, ed,
+                                              max_rounds=2).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_label_propagation_two_cliques(spark):
     from graph_database_spark.graphs.traversal import label_propagation
     # two 4-cliques joined by one bridge edge — LPA must keep them as
