@@ -70,11 +70,13 @@ class PropertyGraph:
 
     # -- queries -----------------------------------------------------------
 
-    def find(self, pattern: str) -> DataFrame:
+    def find(self, pattern: str, allow_cartesian: bool = False) -> DataFrame:
         """Cypher-shaped motif match, e.g.
-        '(p1)<-[:CONTAINS]-(o)-[:CONTAINS]->(p2)' (graphs/motif.py)."""
+        '(p1)<-[:CONTAINS]-(o)-[:CONTAINS]->(p2)' (graphs/motif.py).
+        Disconnected patterns raise unless allow_cartesian=True."""
         from .motif import find_motif
-        return find_motif(self.edges, pattern, vertices=self.vertices)
+        return find_motif(self.edges, pattern, vertices=self.vertices,
+                          allow_cartesian=allow_cartesian)
 
     def degrees(self, direction: str = "out",
                 rel_type: str | None = None) -> DataFrame:

@@ -93,15 +93,53 @@ def _parse(pattern: str) -> list[dict]:
 
 
 def find_motif(edges: DataFrame, pattern: str,
-               vertices: DataFrame | None = None) -> DataFrame:
+               vertices: DataFrame | None = None,
+               allow_cartesian: bool = False) -> DataFrame:
     """Match `pattern` against the edge DataFrame (src, dst, rel_type, …).
 
     Returns a DataFrame with a column per named vertex variable (the
     vertex id) and per named edge variable (struct of the edge row). When
     `vertices` is given, vertex variables join against it so patterns
     can't bind ids absent from the vertex table.
+
+    A pattern term sharing no vertex variable with the terms before it
+    is a DISCONNECTED pattern — Cypher semantics make that a cartesian
+    product, which at scale is almost always a typo'd variable name, so
+    it raises unless `allow_cartesian=True` is passed explicitly.
     """
     terms = _parse(pattern)
+
+    # Greedy connectivity ordering: always join next a term sharing a
+    # variable with what's already bound (inner joins commute, so this
+    # never changes the answer — it only avoids building a cartesian
+    # product for patterns that are connected but written out of order,
+    # e.g. 'a→b; c→d; b→c'). Only when NO remaining term connects is the
+    # pattern truly disconnected.
+    ordered: list[dict] = []
+    remaining = list(terms)
+    pre_bound: set[str] = set()
+    while remaining:
+        idx = next((i for i, t in enumerate(remaining)
+                    if not pre_bound
+                    or t["src"] in pre_bound or t["dst"] in pre_bound),
+                   None)
+        if idx is None:
+            if not allow_cartesian:
+                t = remaining[0]
+                raise ValueError(
+                    f"pattern term ({t['src']})-->({t['dst']}) shares no "
+                    f"vertex variable with any connected term — a "
+                    f"disconnected pattern is a cartesian product (bound "
+                    f"so far: "
+                    f"{sorted(v for v in pre_bound if not v.startswith('__anon'))})"
+                    f". Check for a typo'd variable name, or pass "
+                    f"allow_cartesian=True if the product is intended.")
+            idx = 0
+        t = remaining.pop(idx)
+        ordered.append(t)
+        pre_bound |= {t["src"], t["dst"]}
+    terms = ordered
+
     result: DataFrame | None = None
     bound: set[str] = set()
 
@@ -130,6 +168,8 @@ def find_motif(edges: DataFrame, pattern: str,
         if join_keys:
             result = result.join(term_df, join_keys)
         else:
+            # unreachable unless allow_cartesian let a disconnected
+            # component through the ordering pre-pass above
             result = result.crossJoin(term_df)
         bound |= {t["src"], t["dst"]}
 

@@ -91,6 +91,20 @@ def test_bad_patterns(graph):
         find_motif(e, " ; ")
 
 
+def test_disconnected_pattern_guard(graph):
+    """A pattern term sharing no variable with earlier terms (usually a
+    typo) must raise rather than silently cross-join; the product is
+    still reachable behind an explicit allow_cartesian=True."""
+    _, e = graph
+    with pytest.raises(ValueError, match="disconnected"):
+        find_motif(e, "(a)-[:PLACED]->(b); (x)-[:CONTAINS]->(y)")
+    n_placed = e.filter(e.rel_type == "PLACED").count()
+    n_contains = e.filter(e.rel_type == "CONTAINS").count()
+    m = find_motif(e, "(a)-[:PLACED]->(b); (x)-[:CONTAINS]->(y)",
+                   allow_cartesian=True)
+    assert m.count() == n_placed * n_contains
+
+
 def test_self_loop_pattern_matches(spark):
     """'(x)-[:R]->(x)' must bind one column and restrict to src = dst,
     not alias two columns to the same name (AMBIGUOUS_REFERENCE)."""
