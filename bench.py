@@ -223,6 +223,20 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The harness stores only a TAIL capture of stdout; the full line above
+    # is ~2.5 kB so its head (including "value") gets sliced off. Emit a
+    # second, compact line LAST so the tail always contains a parseable
+    # record of the headline numbers.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "passes": passes,
+        "calibration_sec": round(calib, 3) if calib is not None else None,
+    }))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", str(cpu_count()))
+        # runtime-settable; without it an externally built session runs at
+        # the 10 MB default and dimension joins the plan tests assume
+        # broadcast would shuffle instead
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # immutable in some deployments; defaults still correct
     return spark

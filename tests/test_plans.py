@@ -302,3 +302,23 @@ def test_doc_prefix_matches_equi_join_only(spark):
     plan = _formatted_plan(spark, "doc_prefix_matches")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tune_session_restores_broadcast_threshold(spark):
+    """tune_session must raise autoBroadcastJoinThreshold on an externally
+    provided session (the driver's session path): at the 10 MB Spark
+    default, dimension joins the other plan tests assume broadcast can
+    degrade to shuffles. Simulated here by resetting the shared session to
+    the default before tuning."""
+    from graph_database_spark.session import tune_session
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(10 * 1024 * 1024))
+        tune_session(spark)
+        assert int(spark.conf.get(key)) == 64 * 1024 * 1024
+        plan = _formatted_plan(spark, "revenue_by_nation")
+        assert plan.count("BroadcastHashJoin") >= 2
+    finally:
+        spark.conf.set(key, original)
