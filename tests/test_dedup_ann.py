@@ -59,7 +59,9 @@ def test_lsh_ann_recall(emb):
     recalls = [len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets]
     avg = sum(recalls) / len(recalls)
-    assert avg >= 0.4, f"ANN recall@10 {avg:.2f} < 0.4 ({recalls})"
+    # (bits=4, tables=12) measures 0.74 at sf0.01 / 0.88 at sf0.1; the
+    # floor pins the round-4 retune (the prior 6-bit config sat at ~0.34)
+    assert avg >= 0.6, f"ANN recall@10 {avg:.2f} < 0.6 ({recalls})"
 
 
 def test_bruteforce_cosine_is_exact(emb):
