@@ -462,3 +462,59 @@ def quality_ecdf(documents: DataFrame, text_col: str = "text") -> DataFrame:
             .select("doc_id", "quality",
                     F.round(F.col("__cum") / F.col("__n"), 6)
                      .alias("quality_pct")))
+
+
+def quantile_normalize(documents: DataFrame, text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """(doc_id, source, quality, src_pct, quality_norm): per-source
+    quantile normalization of the quality score — each document's score
+    is replaced by the GLOBAL score at the same percentile its score
+    occupies WITHIN ITS SOURCE. Scores from heterogeneous sources (a
+    web crawl vs curated books) then share one scale, so a single
+    corpus-wide threshold selects the same per-source fraction instead
+    of silently dropping the harder source wholesale.
+
+    Scale shape: same histogram machinery as `quality_ecdf` — the
+    6-dp score has bounded cardinality, so both the per-source ECDF
+    (window over the per-source histogram) and the global quantile
+    function (cum-sum over the pooled histogram) are histogram-sized
+    frames, broadcast back onto the corpus. The percentile→quantile
+    lookup is an inequality join between the TWO HISTOGRAMS (never the
+    corpus): min global score whose ECDF covers the source percentile.
+    No global row sort anywhere. Percentiles compare as exact count
+    ratios (k/n IEEE division is correctly rounded in every engine), so
+    the oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    q = documents.select(
+        "doc_id", F.col(source_col).alias("source"),
+        quality_col(F.col(text_col)).alias("quality"))
+    # per-source inclusive ECDF over the per-source score histogram
+    shist = (q.groupBy("source", "quality")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    ws = (Window.partitionBy("source").orderBy("quality")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    stot = q.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    scum = (shist
+            .select("source", "quality", F.sum("__c").over(ws).alias("__cum"))
+            .join(F.broadcast(stot), "source")
+            .select("source", "quality",
+                    (F.col("__cum") / F.col("__n")).alias("__pct")))
+    # global quantile function from the pooled histogram
+    ghist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("__c"))
+    wg = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    gn = q.agg(F.count(F.lit(1)).alias("__N"))
+    gcum = (ghist
+            .select(F.col("quality").alias("__gq"),
+                    F.sum("__c").over(wg).alias("__gcum"))
+            .crossJoin(F.broadcast(gn))
+            .select("__gq", (F.col("__gcum") / F.col("__N")).alias("__gpct")))
+    # histogram × histogram inequality join: smallest global score whose
+    # cumulative share reaches the within-source percentile
+    mapped = (scum.join(F.broadcast(gcum), F.col("__gpct") >= F.col("__pct"))
+              .groupBy("source", "quality", "__pct")
+              .agg(F.min("__gq").alias("quality_norm")))
+    return (q.join(F.broadcast(mapped), ["source", "quality"])
+            .select("doc_id", "source", "quality",
+                    F.round("__pct", 6).alias("src_pct"),
+                    F.col("quality_norm")))

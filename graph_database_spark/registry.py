@@ -3530,6 +3530,42 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(scored, budget=2000)
 
 
+@register("doc_quality_quantile_norm", rf"""
+WITH q AS (
+  SELECT doc_id, source, CAST({_SQL_QUALITY} AS DOUBLE) AS quality
+  FROM documents),
+shist AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY 1, 2),
+stot AS (SELECT source, COUNT(*) AS n FROM q GROUP BY 1),
+scum AS (
+  SELECT s.source, s.quality,
+         CAST(SUM(s.c) OVER (PARTITION BY s.source ORDER BY s.quality)
+              AS DOUBLE) / t.n AS pct
+  FROM shist s JOIN stot t USING (source)),
+ghist AS (SELECT quality, COUNT(*) AS c FROM q GROUP BY 1),
+gn AS (SELECT COUNT(*) AS n FROM q),
+gcum AS (SELECT quality AS gq,
+                CAST(SUM(c) OVER (ORDER BY quality) AS DOUBLE) / gn.n AS gpct
+         FROM ghist CROSS JOIN gn),
+mapped AS (
+  SELECT sc.source, sc.quality, sc.pct, MIN(gc.gq) AS quality_norm
+  FROM scum sc JOIN gcum gc ON gc.gpct >= sc.pct
+  GROUP BY 1, 2, 3)
+SELECT q.doc_id, q.source, q.quality,
+       CAST(ROUND(m.pct, 6) AS DOUBLE) AS src_pct,
+       m.quality_norm
+FROM q JOIN mapped m USING (source, quality)
+""")
+def q_doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization: each document's quality score
+    becomes the GLOBAL score at its within-source percentile, putting
+    heterogeneous sources on one comparable scale before corpus-wide
+    thresholding. Histogram-sized frames throughout (per-source ECDF,
+    pooled quantile function, histogram×histogram inequality join) — no
+    global row sort at any corpus size."""
+    from .operators.text import quantile_normalize
+    return quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering
 # ---------------------------------------------------------------------------

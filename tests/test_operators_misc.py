@@ -300,3 +300,35 @@ def test_quality_ecdf_is_inclusive_rank(spark):
     assert rows[2]["quality_pct"] == 0.75
     assert rows[1]["quality_pct"] == 1.0
     assert rows[3]["quality"] < rows[2]["quality"] < rows[1]["quality"]
+
+
+def test_quantile_normalize_aligns_sources(spark):
+    """Quantile normalization must map each source's rank-r score onto
+    the pooled distribution's rank-matched score: two sources with the
+    same internal ordering but shifted scales end up on one scale."""
+    from graph_database_spark.operators.text import quantile_normalize
+
+    stop10 = "the and of to in is that it was for "
+    # stopword-only text of w<100 words scores w/100·0.5 + 0.5 — six
+    # distinct, non-saturating scores; books shifted uniformly higher
+    docs = spark.createDataFrame(
+        [(1, "web", stop10 * 3), (2, "web", stop10 * 2),
+         (3, "web", "tiny text"),
+         (4, "books", stop10 * 9), (5, "books", stop10 * 6),
+         (6, "books", stop10 * 4)],
+        ["doc_id", "source", "text"])
+    rows = {r["doc_id"]: r for r in quantile_normalize(docs).collect()}
+    # within each source the percentiles are 1/3, 2/3, 1
+    assert rows[3]["src_pct"] == rows[6]["src_pct"] == 0.333333  # round 6dp
+    assert rows[1]["src_pct"] == rows[4]["src_pct"] == 1.0
+    # rank-matched docs from the two sources land on the SAME global
+    # quantile, even though their raw scores differ
+    for a, b in [(1, 4), (2, 5), (3, 6)]:
+        assert rows[a]["quality_norm"] == rows[b]["quality_norm"]
+    # the normalized value is the pooled score at that percentile — the
+    # top of every source maps to the global maximum
+    gmax = max(r["quality"] for r in rows.values())
+    assert rows[1]["quality_norm"] == rows[4]["quality_norm"] == gmax
+    # normalization preserves within-source ordering
+    assert (rows[6]["quality_norm"] < rows[5]["quality_norm"]
+            < rows[4]["quality_norm"])
