@@ -28,11 +28,82 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .util import spread
 
 _SUMMARY_SCHEMA = "token string, mg_count long, part_total long"
+
+# Mersenne prime 2³¹−1 (see operators/dedup.py): (a·h + b) mod P stays
+# under 2⁶² for h, a < P — overflow-safe in every engine.
+CMS_P = 2_147_483_647
+_rng = np.random.RandomState(6174)
+#: Universal-hash coefficients for the count-min depth rows, fixed seed —
+#: shared with the DuckDB oracle SQL (registry embeds them as literals).
+CMS_A: list[int] = [int(x) for x in _rng.randint(1, CMS_P, size=8)]
+CMS_B: list[int] = [int(x) for x in _rng.randint(0, CMS_P, size=8)]
+del _rng
+
+
+def _md5_long(col: Column) -> Column:
+    """60-bit non-negative hash, engine-portable (operators/dedup.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _cms_slots(token: Column, depth: int, width: int) -> Column:
+    """array<long> of the token's slot per depth row d: universal hash of
+    the md5 base, mod width."""
+    base = _md5_long(token) % F.lit(CMS_P)
+    return F.array(*[
+        ((F.lit(CMS_A[d]) * base + F.lit(CMS_B[d])) % F.lit(CMS_P))
+        % F.lit(width)
+        for d in range(depth)])
+
+
+def count_min_sketch(tokens: DataFrame, depth: int = 4,
+                     width: int = 2048) -> DataFrame:
+    """(depth, slot, n): the count-min sketch of the `token` column — the
+    APPROXIMATE drop-in beside exact Misra-Gries `heavy_hitters` for when
+    even k·partitions of candidate recount is too big (streaming ingest,
+    per-shard cardinality far above k).
+
+    The sketch IS a groupBy: every occurrence increments counter
+    (d, h_d(token)) for each of `depth` universal hash rows, so the whole
+    structure is one posexplode (depth rows per token) + one count
+    aggregate with map-side combine — the shuffle is bounded by
+    depth·width rows PER PARTITION regardless of corpus size or
+    vocabulary. Order-independent by construction, hence mergeable
+    across partitions/streams (sum) and deterministic under any
+    partitioning — which is also why the classic conservative-update
+    variant is NOT used here: its per-increment state makes the result
+    depend on row order within a partition, breaking both mergeability
+    and reproducible (oracle-comparable) output.
+
+    Estimates (`cms_estimate`) satisfy est ≥ true always, and
+    est − true ≤ e/width · N with probability 1 − e^(−depth) per token
+    (Cormode & Muthukrishnan, J. Algorithms '05)."""
+    return (tokens
+            .select(F.posexplode(
+                _cms_slots(F.col("token"), depth, width))
+                .alias("depth", "slot"))
+            .groupBy("depth", "slot")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, depth: int = 4,
+                 width: int = 2048) -> DataFrame:
+    """(token, n_cms) for each probe token: min over depth rows of the
+    sketch counter at the token's slot. The sketch (≤ depth·width rows)
+    broadcasts; probing never rescans the corpus."""
+    slots = (probes
+             .select("token",
+                     F.posexplode(_cms_slots(F.col("token"), depth, width))
+                     .alias("depth", "slot")))
+    return (slots
+            .join(F.broadcast(sketch), ["depth", "slot"], "left")
+            .groupBy("token")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .alias("n_cms")))
 
 
 def _mg_summaries(tokens: DataFrame, k: int) -> DataFrame:

@@ -3170,6 +3170,80 @@ def q_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, min_frac=0.02)
 
 
+def _sql_cms_oracle() -> str:
+    from .operators.sketches import CMS_A, CMS_B, CMS_P
+    depth, width = 4, 2048
+    a = ", ".join(str(x) for x in CMS_A[:depth])
+    b = ", ".join(str(x) for x in CMS_B[:depth])
+    probes = ", ".join(f"'{w}'" for w in _CMS_PROBES)
+    return rf"""
+WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+slots AS (
+  SELECT token, d, ((a * h + b) % {CMS_P}) % {width} AS slot
+  FROM (SELECT token,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                 % {CMS_P} AS h
+        FROM tok),
+       (SELECT unnest(range(0, {depth})) AS d,
+               unnest([{a}]) AS a, unnest([{b}]) AS b)),
+sketch AS (SELECT d, slot, COUNT(*) AS n FROM slots GROUP BY 1, 2),
+probes AS (SELECT unnest([{probes}]) AS token),
+pslots AS (
+  SELECT token, d, ((a * h + b) % {CMS_P}) % {width} AS slot
+  FROM (SELECT token,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                 % {CMS_P} AS h
+        FROM probes),
+       (SELECT unnest(range(0, {depth})) AS d,
+               unnest([{a}]) AS a, unnest([{b}]) AS b)),
+est AS (
+  SELECT p.token, MIN(COALESCE(s.n, 0)) AS n_cms
+  FROM pslots p LEFT JOIN sketch s ON s.d = p.d AND s.slot = p.slot
+  GROUP BY 1),
+exact AS (SELECT token, COUNT(*) AS n_exact FROM tok
+          WHERE token IN ({probes}) GROUP BY 1)
+SELECT p.token, CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(est.n_cms AS BIGINT) AS n_cms
+FROM probes p LEFT JOIN exact e USING (token) JOIN est USING (token)
+"""
+
+
+_CMS_PROBES = ["join", "hash", "row", "batch", "scan", "customer",
+               "column", "filter", "merge", "vector",
+               "zzz-token-absent-from-corpus"]
+
+
+@register("word_counts_cms", _sql_cms_oracle())
+def q_word_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch probe counts beside exact counts for a fixed
+    token list — the mergeable APPROXIMATE counter for when even the
+    Misra-Gries k·partitions recount is too big. The oracle replays the
+    identical sketch (same md5 base + universal hashes mod width), so
+    the hash-match pins the sketch construction bit-for-bit; the n_exact
+    column displays the (bounded) overcount. Sketch shuffle ≤
+    depth·width rows per partition at any corpus size; probing
+    broadcasts the ≤ depth·width-row sketch."""
+    from .operators.sketches import (
+        cms_estimate, corpus_tokens, count_min_sketch,
+    )
+    toks = corpus_tokens(load_table(spark, sf_dir, "documents"))
+    toks = toks.localCheckpoint()  # reused: sketch build + exact recount
+    sketch = count_min_sketch(toks, depth=4, width=2048)
+    probes = toks.sparkSession.createDataFrame(
+        [(w,) for w in _CMS_PROBES], ["token"])
+    est = cms_estimate(sketch, probes, depth=4, width=2048)
+    exact = (toks.join(F.broadcast(probes), "token", "left_semi")
+             .groupBy("token").agg(F.count(F.lit(1)).alias("__ne")))
+    return (probes
+            .join(exact, "token", "left")
+            .join(est, "token")
+            .select("token",
+                    F.coalesce(F.col("__ne"), F.lit(0)).alias("n_exact"),
+                    F.col("n_cms")))
+
+
 @register("doc_tfidf_keywords", r"""
 WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

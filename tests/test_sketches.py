@@ -50,3 +50,51 @@ def test_mg_summaries_respect_counter_budget(spark):
     assert sum(m["part_total"] for m in markers) == toks.count()
     # every partition's surviving counter set is within budget
     assert len(per_part_tokens) <= k * len(markers)
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The count-min guarantees, asserted over the FULL vocabulary at
+    sf0.01: est >= true for every token (deterministic), and the
+    overcount stays within the e/width * N analysis bound — per token
+    with probability 1 - e^(-depth) ~ 0.98, so the tail is checked at
+    the 98th percentile and the mean far below the bound."""
+    import math
+
+    from graph_database_spark.operators.sketches import (
+        cms_estimate, count_min_sketch,
+    )
+
+    depth, width = 4, 256
+    # vocabulary (10k) >> width (256) forces heavy slot collisions — the
+    # regime the bound is about; the test corpus's ~31-token vocabulary
+    # would never collide at any realistic width
+    n_total = 100_000
+    toks = (spark.range(n_total)
+            .select(F.concat(F.lit("tok"),
+                             (F.col("id") % 10_000).cast("string"))
+                    .alias("token"))
+            .localCheckpoint())
+    sketch = count_min_sketch(toks, depth=depth, width=width)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms_estimate(sketch, exact.select("token"), depth=depth,
+                       width=width)
+    rows = exact.join(est, "token").collect()
+    assert len(rows) == 10_000
+    overcounts = sorted(r["n_cms"] - r["n_true"] for r in rows)
+    assert overcounts[0] >= 0, "CMS must never undercount"
+    eps_n = math.e / width * n_total
+    p98 = overcounts[int(0.98 * (len(overcounts) - 1))]
+    assert p98 <= eps_n, f"98th-pct overcount {p98} > eN bound {eps_n:.1f}"
+    mean = sum(overcounts) / len(overcounts)
+    assert mean <= depth * n_total / width, (
+        f"mean overcount {mean:.1f} above the depth*N/width expectation")
+    # and on the real corpus the estimates must remain upper bounds
+    ctoks = corpus_tokens(
+        load_table(spark, "/root/testdata/sf0.01", "documents"))
+    ctoks = ctoks.localCheckpoint()
+    csk = count_min_sketch(ctoks, depth=4, width=2048)
+    cex = ctoks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    crows = (cex.join(cms_estimate(csk, cex.select("token"),
+                                   depth=4, width=2048), "token")
+             .collect())
+    assert all(r["n_cms"] >= r["n_true"] for r in crows)
