@@ -124,14 +124,17 @@ class PropertyGraph:
 
     def page_rank(self, damping: float = 0.85, tol: float = 1e-6,
                   max_iter: int = 50, rel_type: str | None = None,
-                  personalization: DataFrame | None = None) -> DataFrame:
+                  personalization: DataFrame | None = None,
+                  init_ranks: DataFrame | None = None) -> DataFrame:
         """(id, rank) with tp1's exact semantics (uniform dangling
-        redistribution, L1 convergence — graphs/pagerank.py)."""
+        redistribution, L1 convergence — graphs/pagerank.py).
+        `init_ranks` warm-starts from a previous run's output — the
+        incremental path after appending edges."""
         from .pagerank import pagerank
         return pagerank(self.vertices.select("id"),
                         self._projection(rel_type),
                         personalization=personalization, damping=damping,
-                        tol=tol, max_iter=max_iter)
+                        tol=tol, max_iter=max_iter, init_ranks=init_ranks)
 
     def connected_components(self, rel_type: str | None = None,
                              max_iter: int = 50) -> DataFrame:

@@ -73,10 +73,21 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
              personalization: DataFrame | None = None,
              damping: float = 0.85, tol: float = 1e-6,
              max_iter: int = 50,
-             num_partitions: int | None = None) -> DataFrame:
+             num_partitions: int | None = None,
+             init_ranks: DataFrame | None = None,
+             with_iterations: bool = False) -> DataFrame:
     """vertices: (id); edges: (src, dst, weight) row-stochastic per src.
 
-    Returns (id, rank). Semantics identical to tp1 `_run_pagerank`.
+    Returns (id, rank) — or ((id, rank), iterations_run) when
+    `with_iterations=True`. Semantics identical to tp1 `_run_pagerank`.
+
+    `init_ranks` ((id, rank)) warm-starts the iteration — the 100 TB
+    answer to "1% of edges were appended, don't recompute from 1/N":
+    the damped iteration is a contraction with a UNIQUE fixed point, so
+    ANY starting vector converges to the same ranks; starting from
+    yesterday's ranks just starts geometrically closer. Vertices absent
+    from init_ranks (newly appeared) start at 1/N; initial mass need not
+    sum to 1 — the (1−d) restart term re-normalizes it geometrically.
     """
     verts = vertices.select("id").distinct()
     n = verts.count()
@@ -110,8 +121,18 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         # pre-partition edges by src once; every iteration's join reuses it
         edges = edges.repartition(n_parts, "src").localCheckpoint()
 
-    ranks = p.select("id", "__is_sink", F.lit(1.0 / n).alias("rank")) \
-        .localCheckpoint()
+    if init_ranks is None:
+        ranks = p.select("id", "__is_sink", F.lit(1.0 / n).alias("rank")) \
+            .localCheckpoint()
+    else:
+        prev = init_ranks.select("id", F.col("rank").alias("__r0"))
+        if bcast_state:
+            prev = F.broadcast(prev)
+        ranks = (p.join(prev, "id", "left")
+                 .select("id", "__is_sink",
+                         F.coalesce(F.col("__r0"), F.lit(1.0 / n))
+                          .alias("rank"))
+                 .localCheckpoint())
     # a graph with no dangling vertices keeps sink mass identically 0 —
     # detect once and drop the per-iteration sink aggregate + crossJoin
     # from the plan entirely (the common case for co-occurrence graphs,
@@ -178,7 +199,10 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         ranks = new_ranks
         if check_delta and delta is not None and delta < tol:
             break
-    return ranks.select("id", "rank")
+    out = ranks.select("id", "rank")
+    if with_iterations:
+        return out, it + 1
+    return out
 
 
 def pagerank_batch(vertices: DataFrame, edges: DataFrame,
