@@ -221,3 +221,54 @@ def test_unigram_logprob_matches_python_model(spark, texts):
         n, lp = got[i]
         assert n == len(ws)
         assert lp == pytest.approx(want, abs=2e-6)
+
+
+def test_skew_caps_bound_pair_fanout(spark):
+    """Adversarial skew fixtures: the caps are the only thing standing
+    between these inputs and a quadratic pair explosion, so this test
+    FAILS if either cap is removed.
+
+    (a) one power customer with 5,000 products: the capped incidence
+        must contribute at most C(m,2) pair rows, not C(5000,2)≈12.5M;
+    (b) one stop-shingle present in EVERY document: the doc-frequency
+        guard must drop it, leaving zero candidate pairs instead of
+        C(n_docs,2)."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.operators.dedup import ngram_jaccard_pairs
+    from graph_database_spark.operators.similarity import (
+        cap_products_per_customer, jaccard_pairs,
+    )
+
+    # --- (a) power customer -------------------------------------------
+    m = 128
+    power = [("whale", p) for p in range(5000)]
+    normal = [(f"c{c}", p) for c in range(20) for p in range(c, c + 3)]
+    inc = spark.createDataFrame(power + normal,
+                                ["customer_id", "product_id"])
+    capped = cap_products_per_customer(inc, m)
+    # the documented bound: every customer contributes C(min(k, m), 2)
+    per_customer = {r["customer_id"]: r["n"] for r in
+                    capped.groupBy("customer_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_customer["whale"] == m
+    bound = sum(n * (n - 1) // 2 for n in per_customer.values())
+    pairs = (capped.alias("a")
+             .join(capped.alias("b"),
+                   (F.col("a.customer_id") == F.col("b.customer_id"))
+                   & (F.col("a.product_id") < F.col("b.product_id")))
+             .count())
+    assert pairs == bound <= m * (m - 1) // 2 + 20 * 3
+    # and the full operator stays well under the uncapped 12.5M pairs
+    out = jaccard_pairs(capped.distinct())
+    assert out.count() <= bound
+
+    # --- (b) stop-shingle in every doc --------------------------------
+    stop = "lorem ipsum dolor"
+    docs = spark.createDataFrame(
+        [(i, f"{stop} unique{i}a unique{i}b unique{i}c unique{i}d")
+         for i in range(150)],
+        ["doc_id", "text"])
+    guarded = ngram_jaccard_pairs(docs, n=3, threshold=0.01,
+                                  max_shingle_freq=100)
+    assert guarded.count() == 0  # C(150,2)=11,175 without the guard
