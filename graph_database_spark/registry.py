@@ -3652,31 +3652,42 @@ def q_doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
+# ROUND-4 ROTATION: rounds 1-3 gave 65 distinct entries external rows;
+# this window keeps 10 canaries (flagship, Q1 composite, the events
+# battery that erred in r2, plus the two entries whose semantics CHANGED
+# this round — dedup_winnow_substrings's corrected winnowing and
+# embedding_topk_lsh's retuned index) and fills the remaining 40 slots
+# with entries that have never received a driver correctness row
+# (38 rotated in + the 2 new round-4 entries).
 _DRIVER_WINDOW_PRIORITY = [
-    # §2 co-occurrence / recommendation core (J1-J4, A1/A6, Q1-Q4)
-    "cooccurrence_topn", "cooccurrence_pairs", "adjacency_row_norm",
-    "event_weights_by_user", "incidence_pairs", "distinct_reach",
-    "order_frequency", "similarity_jaccard_topk", "customer_cf",
-    "seed_expansion", "recommend_batch", "recommend_focal_blend",
-    "strategy_breakdown_focal", "cooccurrence_weighted",
-    # relational / OLAP surface
-    "pricing_summary", "revenue_by_nation", "revenue_rollup",
-    # events domain (every entry here erred in r2 on the loader bug)
-    "events_hourly", "events_hourly_gapfill", "sessionization",
-    "events_props_stats", "events_asof_order", "pk_violations",
-    "events_value_histogram", "event_funnel", "weekly_retention",
-    "events_followup_purchase", "events_copresence",
-    # graph ETL + algorithms (Q6/Q7 + traversal)
-    "graph_vertices", "graph_edges", "pagerank_fixed20",
-    "ppr_fixed20_batch", "connected_components", "shortest_paths_landmark",
-    "graph_triangle_count", "hits_fixed10",
-    # LLM-pipeline battery: dedup + ANN + text
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_canonical_docs", "dedup_incremental_minhash",
-    "dedup_winnow_substrings",
-    "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
-    "embedding_near_duplicates", "lang_id", "text_quality",
-    "doc_unigram_logprob",
+    # canaries
+    "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
+    "sessionization", "events_asof_order", "graph_edges",
+    "pagerank_fixed20", "dedup_minhash_lsh",
+    "dedup_winnow_substrings", "embedding_topk_lsh",
+    # new this round
+    "doc_quality_quantile_norm", "word_counts_cms",
+    # relational / OLAP — never driver-checked
+    "shipping_priority", "revenue_grouping_sets", "nation_revenue_share",
+    "customer_rfm", "fk_orphans", "customer_value_deciles",
+    "order_baskets", "orders_profile",
+    # events — never driver-checked
+    "events_type_counts_salted", "events_sliding_counts",
+    "events_status_history", "events_value_winsorized",
+    "events_value_anomalies",
+    # graph algorithms — never driver-checked
+    "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
+    "graph_lpa_communities", "graph_neighbor_agg",
+    # ANN / embeddings — never driver-checked
+    "ann_recall_lsh", "embedding_cluster_sizes", "multimodal_features",
+    # sampling / curation battery — never driver-checked
+    "doc_split_assignment", "doc_sample_stratified", "doc_sample_exact_n",
+    "doc_sample_quality_weighted", "doc_shards_by_tokens",
+    "domain_mixture_plan", "doc_pack_sequences", "decontaminate_ngram",
+    "documents_curated", "doc_repetition", "pii_scan", "doc_quality_ecdf",
+    # text analysis — never driver-checked
+    "corpus_top_ngrams", "word_heavy_hitters", "doc_tfidf_keywords",
+    "doc_prefix_matches", "bpe_merge_candidates",
 ]
 
 

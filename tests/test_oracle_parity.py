@@ -84,15 +84,21 @@ def test_driver_window_covers_priority_queries():
     pin the window so high-value entries never silently rotate out."""
     window = list(entrymod.queries())[:50]
     must_cover = {
-        # composites (Q1/Q2) and the events domain that erred in round 2
-        "recommend_focal_blend", "strategy_breakdown_focal",
-        "event_weights_by_user", "events_hourly", "sessionization",
-        "events_props_stats", "events_asof_order", "pk_violations",
-        "events_value_histogram", "event_funnel", "weekly_retention",
-        # dedup/ANN battery
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_incremental_minhash", "embedding_topk_lsh",
-        "embedding_topk_ivf",
+        # round-4 rotation canaries: flagship, Q1 composite, events-battery
+        # representatives (erred in r2), and the two entries whose
+        # semantics changed in round 4
+        "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
+        "sessionization", "events_asof_order", "graph_edges",
+        "pagerank_fixed20", "dedup_minhash_lsh",
+        "dedup_winnow_substrings", "embedding_topk_lsh",
+        # new round-4 entries must get external rows immediately
+        "doc_quality_quantile_norm", "word_counts_cms",
+        # VERDICT r3 explicitly asked for first driver rows on these
+        "shipping_priority", "sssp_weighted_fixed8",
+        "connected_components_star", "graph_kcore",
+        "graph_lpa_communities", "word_heavy_hitters",
+        "doc_sample_exact_n", "multimodal_features", "ann_recall_lsh",
+        "doc_quality_ecdf", "events_value_anomalies",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
