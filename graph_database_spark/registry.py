@@ -3237,8 +3237,8 @@ def q_word_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (toks.join(F.broadcast(probes), "token", "left_semi")
              .groupBy("token").agg(F.count(F.lit(1)).alias("__ne")))
     return (probes
-            .join(exact, "token", "left")
-            .join(est, "token")
+            .join(F.broadcast(exact), "token", "left")
+            .join(F.broadcast(est), "token")
             .select("token",
                     F.coalesce(F.col("__ne"), F.lit(0)).alias("n_exact"),
                     F.col("n_cms")))
