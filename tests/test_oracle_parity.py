@@ -1,17 +1,21 @@
 """Local replica of the driver's correctness gate: run every queries()
-entry at sf0.001 and compare against its DuckDB oracle_sql() twin —
-row-count, column names, and order-insensitive values."""
+entry and compare against its DuckDB oracle_sql() twin — row-count,
+column names, and order-insensitive values. Defaults to sf0.001 for
+speed; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 to replay the
+driver's exact scale before a window rotation."""
 
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                        "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
