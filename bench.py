@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "corpus_summary",
     "graph_neighbor_agg",
     "doc_pack_sequences",
+    "doc_quality_quantile_norm",
+    "word_counts_cms",
 ]
 
 

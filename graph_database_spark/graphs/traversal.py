@@ -382,8 +382,12 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     Scale shape: per round, one degree aggregate plus two src/dst
     semi-joins, all keyed on vertex id; localCheckpoint truncates lineage
     so the plan stays flat across rounds (same Pregel discipline as CC).
+    The input is checkpointed ONCE up front: round 1 otherwise computes
+    the incoming edge lineage twice (once under the degree aggregate,
+    once under the restricted-edge checkpoint) — measurable when the
+    input is an expensive expansion like the co-occurrence pair join.
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").localCheckpoint()
     for _ in range(rounds):
         keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                 .filter(F.col("deg") >= k)
