@@ -2453,6 +2453,46 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"))
 
 
+@register("graph_clustering_coeff", f"""
+WITH base AS ({_SQL_ITEMS}),
+e AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY 1),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+pv AS (
+  SELECT id, COUNT(*) AS n_tri FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+  CAST(COALESCE(pv.n_tri, 0) AS BIGINT) AS triangles,
+  CAST(ROUND(CASE WHEN d.degree >= 2
+       THEN 2.0 * COALESCE(pv.n_tri, 0) / (d.degree * (d.degree - 1))
+       ELSE 0.0 END, 6) AS DOUBLE) AS clustering
+FROM deg d LEFT JOIN pv ON pv.id = d.id
+""")
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the ≥2-support
+    co-occurrence graph — the per-vertex refinement of
+    graph_triangle_count's census (graphs/traversal.local_clustering):
+    one oriented wedge join, each triangle crediting its three
+    corners."""
+    from .graphs.traversal import local_clustering
+    items = _items(spark, sf_dir)
+    e = (cooccurrence_unordered(items)
+         .filter(F.col("count") >= 2)
+         .select("src", "dst"))
+    return local_clustering(e)
+
+
 # ---------------------------------------------------------------------------
 # Event-sequence analytics: funnel + retention (the product-analytics
 # queries an events table exists to answer; both deterministic

@@ -179,3 +179,17 @@ def test_weighted_sssp_prefers_cheap_multi_hop_path(spark):
            for r in weighted_shortest_paths(edges, landmarks, rounds=1,
                                             num_partitions=4).collect()}
     assert one["d"] == 1.0
+
+
+def test_local_clustering_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 3-4: corners of the triangle score 1.0
+    (or 1/3 where the pendant dilutes), the pendant scores 0."""
+    from graph_database_spark.graphs.traversal import local_clustering
+    ed = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    got = {r["id"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in local_clustering(ed).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, 0.333333)
+    assert got[4] == (1, 0, 0.0)
