@@ -267,15 +267,19 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
             .localCheckpoint()
         )
         e = small.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        n_small = small.count()  # cheap: small is checkpointed
         if prev is not None:
-            changed = (small.join(prev, ["a", "b"], "left_anti").limit(1)
-                       .count() > 0
-                       or prev.join(small, ["a", "b"], "left_anti").limit(1)
-                       .count() > 0)
+            # equal-size pre-check skips both anti-join probes on every
+            # still-contracting round (sizes differ); when sizes match,
+            # equal cardinality + one empty anti-join ⟹ set equality, so
+            # the second-direction probe is never needed at all
+            changed = (n_small != n_prev
+                       or small.join(prev, ["a", "b"], "left_anti")
+                       .limit(1).count() > 0)
             if not changed:
                 converged = True
                 break
-        prev = small
+        prev, n_prev = small, n_small
 
     if not converged:
         # max_rounds exhausted before the star fixed point: each vertex's
