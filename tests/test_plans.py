@@ -322,3 +322,30 @@ def test_tune_session_restores_broadcast_threshold(spark):
         assert plan.count("BroadcastHashJoin") >= 2
     finally:
         spark.conf.set(key, original)
+
+
+def test_quantile_norm_histogram_frames_broadcast(spark):
+    """The percentile→quantile lookup must be histogram×histogram with
+    broadcast (never corpus-sized), the corpus scan pruned to the two
+    referenced columns, and the only single-partition exchanges the
+    bounded-cardinality histogram cum-sums."""
+    plan = _formatted_plan(spark, "doc_quality_quantile_norm")
+    assert "BroadcastNestedLoopJoin" in plan  # gpct >= pct histogram join
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    # column pruning: unreferenced document columns never reach any scan
+    assert reads and all(
+        "lang" not in r and "n_chars" not in r for r in reads)
+    # global row sort of the corpus would appear as a Sort over the scan
+    # without a partition key; the only SinglePartition exchanges feed the
+    # two histogram windows
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_cms_sketch_combines_map_side_and_broadcasts(spark):
+    """The count-min build must partial-aggregate before the exchange
+    (shuffle ≤ depth·width rows per partition) and the probe join must
+    broadcast the sketch, not shuffle the corpus again."""
+    plan = _formatted_plan(spark, "word_counts_cms")
+    assert "partial_count" in plan  # map-side combine on (depth, slot)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
