@@ -488,3 +488,57 @@ def value_anomalies(events: DataFrame, k: float = 3.0) -> DataFrame:
                     & (F.round(F.abs(F.col("value") - F.col("med")), 6)
                        > k * F.col("mad")))
             .select("event_id", "event_type", "value", "med", "mad"))
+
+
+def hourly_value_interpolated(events: DataFrame) -> DataFrame:
+    """(hour, event_type, observed, value): gap-filled hourly mean value
+    per event type with LINEAR INTERPOLATION across missing hours (edge
+    gaps carry the nearest observed value) — the resample+interpolate
+    shape time-series stores provide, built from the same complete-spine
+    pattern as events_hourly_gapfill.
+
+    Scale shape: the only fact-sized pass is the hourly aggregate
+    (DECIMAL-exact sums so the mean is engine-reproducible); the spine is
+    |hours|·|types| rows from a 1-row bounds aggregate, and the
+    neighbor-lookup windows run per event_type over that spine — never
+    over raw events. Interpolation weights are row-index ratios (exact
+    integer arithmetic into one double division), so the oracle matches
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    bounds = events.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                        F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine = bounds.select(F.explode(F.expr(
+        "sequence(h0, h1, interval 1 hour)")).alias("hour"))
+    types = events.select("event_type").distinct()
+    hourly = (events
+              .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+              .agg((F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double") / F.count(F.lit(1))).alias("__v")))
+    base = (spine.crossJoin(types)
+            .join(hourly, ["hour", "event_type"], "left"))
+
+    w = Window.partitionBy("event_type").orderBy("hour")
+    idx = F.row_number().over(w)
+    base = base.select("hour", "event_type", "__v", idx.alias("__i"))
+    wp = (Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(0, Window.unboundedFollowing))
+    prev_v = F.last("__v", ignorenulls=True).over(wp)
+    prev_i = F.last(F.when(F.col("__v").isNotNull(), F.col("__i")),
+                    ignorenulls=True).over(wp)
+    next_v = F.first("__v", ignorenulls=True).over(wn)
+    next_i = F.first(F.when(F.col("__v").isNotNull(), F.col("__i")),
+                     ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v)
+                   * (F.col("__i") - prev_i) / (next_i - prev_i)))
+    return base.select(
+        "hour", "event_type",
+        F.col("__v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("value"))

@@ -2761,6 +2761,63 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).alias("n")))
 
 
+@register("events_hourly_interp", """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT s.hour, t.event_type, h.v,
+         ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY s.hour) AS i
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+),
+nb AS (
+  SELECT hour, event_type, v, i,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+      OVER wp AS pi,
+    first_value(v IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+      OVER wn AS ni
+  FROM base
+  WINDOW
+    wp AS (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hour, event_type, v IS NOT NULL AS observed,
+  CAST(ROUND(CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (i - pi) / (ni - pi)
+  END, 6) AS DOUBLE) AS value
+FROM nb
+""")
+def q_events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean value per event type with linear
+    interpolation across missing hours (edges carry the nearest observed
+    value) — the resample+interpolate shape of a time-series store
+    (operators/relational_ext.hourly_value_interpolated). Spine windows
+    never touch raw events; the hourly aggregate is the only fact-sized
+    pass."""
+    from .operators.relational_ext import hourly_value_interpolated
+    return hourly_value_interpolated(load_table(spark, sf_dir, "events"))
+
+
 @register("strategy_breakdown_focal", f"""
 WITH base AS ({_SQL_ITEMS}),
 inc AS ({_SQL_INC}),

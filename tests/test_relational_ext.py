@@ -139,3 +139,32 @@ def test_value_anomalies_median_mad(spark):
     # .5,1.5,2.5,3.5,4.5,.5,1.5,2.5,3.5,94.5 → mad 2.5; cutoff 7.5 → only 100
     assert set(got) == {100}
     assert got[100]["med"] == 5.5 and got[100]["mad"] == 2.5
+
+
+def test_hourly_interpolation_linear_and_edges(spark):
+    """Observed h0=1.0 and h4=5.0 interpolate 2/3/4 across the gap; a
+    type observed once carries its value across every edge hour."""
+    import datetime as dt
+
+    from graph_database_spark.operators.relational_ext import (
+        hourly_value_interpolated,
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "a", 1.0, None),
+        (2, t0 + dt.timedelta(hours=4), 1, "a", 5.0, None),
+        (3, t0 + dt.timedelta(hours=2), 1, "b", 7.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["event_type"], r["hour"].hour): (r["observed"], r["value"])
+           for r in hourly_value_interpolated(ev).collect()}
+    assert got[("a", 0)] == (True, 1.0)
+    assert got[("a", 1)] == (False, 2.0)
+    assert got[("a", 2)] == (False, 3.0)
+    assert got[("a", 3)] == (False, 4.0)
+    assert got[("a", 4)] == (True, 5.0)
+    assert got[("b", 2)] == (True, 7.0)
+    for h in (0, 1, 3, 4):  # edge gaps carry the nearest observation
+        assert got[("b", h)] == (False, 7.0)
