@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "doc_quality_quantile_norm",
     "word_counts_cms",
+    "graph_clustering_coeff",
+    "events_hourly_interp",
 ]
 
 
