@@ -73,6 +73,10 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     from graph_database_spark.sources.testdata import load_table
     from pyspark.sql import functions as F
 
+    # NOTE: restore the captured value, never conf.unset — unset falls
+    # back to Spark's hardcoded 10 MB default, not the session's 64 MB,
+    # silently degrading every broadcast assertion that runs after
+    original_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         orders = load_table(spark, SF_DIR, "orders").select(
@@ -90,7 +94,8 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert "Exchange" not in plan
         assert j.count() > 0
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       original_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
 
