@@ -382,3 +382,37 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
         .agg(F.round(F.count("__hit") / F.count(F.lit(1)), 6)
               .alias("recall"))
     )
+
+
+def topk_ndcg(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, ndcg): NDCG of an approximate top-k ranking against the
+    exact one — recall's rank-aware complement (a hit at position 1 is
+    worth more than one at position k, so two indexes with equal recall
+    can still rank very differently).
+
+    Both inputs are (query_id, neighbor_id, cosine) top-k frames.
+    Relevance is binary (neighbor ∈ exact top-k); positions come from the
+    same deterministic ordering the top-k operators emit (cosine DESC,
+    neighbor ASC). Per-position gains 1/log2(pos+1) are rounded to 9 dp
+    before DECIMAL summation — the repo's cross-engine convention for
+    transcendental outputs (log is not correctly-rounded in every
+    engine), making the 6-dp result oracle-exact. Frames are k·|queries|
+    rows; one broadcast join + two tiny aggregates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    gain = F.round(1.0 / F.log2(F.row_number().over(w) + 1), 9) \
+        .cast("decimal(20,9)")
+    a = approx.select("query_id", "neighbor_id", gain.alias("__g"))
+    e = exact.select("query_id", "neighbor_id", gain.alias("__ig"))
+    dcg = (a.join(F.broadcast(e.select("query_id", "neighbor_id")),
+                  ["query_id", "neighbor_id"], "left_semi")
+           .groupBy("query_id").agg(F.sum("__g").alias("__dcg")))
+    idcg = e.groupBy("query_id").agg(F.sum("__ig").alias("__idcg"))
+    return (idcg.join(dcg, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("__dcg"),
+                                       F.lit(0).cast("decimal(20,9)"))
+                            .cast("double")
+                    / F.col("__idcg").cast("double"), 6).alias("ndcg")))

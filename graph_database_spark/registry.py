@@ -1059,6 +1059,59 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cosine_topk_bruteforce(emb, query_ids=qids, k=10))
 
 
+@register("ann_ndcg_lsh", f"""
+WITH bf0 AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+           AS cosine
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)) q
+  WHERE e.vec_id <> q.query_id
+),
+bf AS (SELECT query_id, neighbor_id, cosine FROM bf0
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) <= 10),
+lsh AS (SELECT query_id, neighbor_id, cosine
+        FROM ({_sql_lsh_topk_oracle()})),
+bfr AS (
+  SELECT query_id, neighbor_id,
+    CAST(ROUND(1.0 / log2(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) + 1), 9)
+      AS DECIMAL(20,9)) AS ig
+  FROM bf),
+lshr AS (
+  SELECT query_id, neighbor_id,
+    CAST(ROUND(1.0 / log2(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) + 1), 9)
+      AS DECIMAL(20,9)) AS g
+  FROM lsh),
+dcg AS (SELECT l.query_id, SUM(l.g) AS d FROM lshr l
+        JOIN bfr b USING (query_id, neighbor_id) GROUP BY 1),
+idcg AS (SELECT query_id, SUM(ig) AS i FROM bfr GROUP BY 1)
+SELECT i.query_id,
+  CAST(ROUND(CAST(COALESCE(d.d, 0) AS DOUBLE) / CAST(i.i AS DOUBLE), 6)
+    AS DOUBLE) AS ndcg
+FROM idcg i LEFT JOIN dcg d USING (query_id)
+""")
+def q_ann_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the LSH index against exact brute force — recall's
+    rank-aware complement (operators/ann.topk_ndcg): equal-recall indexes
+    can still rank hits very differently. Both rankings order by
+    6-dp-rounded cosine (then neighbor id) so the position assignment is
+    engine-exact."""
+    from .operators.ann import (
+        cosine_topk_bruteforce, cosine_topk_lsh, topk_ndcg,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    r6 = lambda df: df.select(  # noqa: E731
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    return topk_ndcg(r6(cosine_topk_lsh(emb, query_ids=qids, k=10)),
+                     r6(cosine_topk_bruteforce(emb, query_ids=qids, k=10)))
+
+
 @register("ann_hard_negatives", """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -222,3 +222,29 @@ def test_winnowing_matches_bruteforce_window_minima(spark):
     got = {(r["doc_id"], r["fp"])
            for r in winnow_fingerprints(docs, k=k, window=w).collect()}
     assert got == expected
+
+
+def test_topk_ndcg_known_rankings(spark):
+    """Perfect ranking scores 1.0; a single hit placed first scores
+    1/IDCG; an empty approximation scores 0."""
+    import math
+
+    from graph_database_spark.operators.ann import topk_ndcg
+
+    exact = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0),
+         (2, 20, 3.0), (2, 21, 2.0), (2, 22, 1.0),
+         (3, 30, 1.0)],
+        ["query_id", "neighbor_id", "cosine"])
+    approx = spark.createDataFrame(
+        # q1 perfect; q2 only exact-rank-3 neighbor, placed first; q3 miss
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0),
+         (2, 22, 9.0), (2, 99, 8.0), (2, 98, 7.0),
+         (3, 77, 5.0)],
+        ["query_id", "neighbor_id", "cosine"])
+    got = {r["query_id"]: r["ndcg"]
+           for r in topk_ndcg(approx, exact).collect()}
+    assert got[1] == 1.0
+    idcg = sum(round(1 / math.log2(i + 1), 9) for i in (1, 2, 3))
+    assert got[2] == round(round(1 / math.log2(2), 9) / idcg, 6)
+    assert got[3] == 0.0
