@@ -334,6 +334,10 @@ def test_quantile_norm_histogram_frames_broadcast(spark):
     broadcast (never corpus-sized), the corpus scan pruned to the two
     referenced columns, and the only single-partition exchanges the
     bounded-cardinality histogram cum-sums."""
+    # other test modules cache the documents table; a cache hit swaps the
+    # pruned FileScan for a full-schema InMemoryRelation and breaks the
+    # pruning assertion, so pin the plan to the real scan
+    spark.catalog.clearCache()
     plan = _formatted_plan(spark, "doc_quality_quantile_norm")
     assert "BroadcastNestedLoopJoin" in plan  # gpct >= pct histogram join
     reads = [l for l in plan.split("\n") if "ReadSchema" in l]
