@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "word_counts_cms",
     "graph_clustering_coeff",
     "events_hourly_interp",
+    "ann_ndcg_lsh",
 ]
 
 
