@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "graph_clustering_coeff",
     "events_hourly_interp",
     "ann_ndcg_lsh",
+    "embedding_topk_int8",
 ]
 
 

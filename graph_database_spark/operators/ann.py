@@ -416,3 +416,54 @@ def topk_ndcg(approx: DataFrame, exact: DataFrame) -> DataFrame:
                                        F.lit(0).cast("decimal(20,9)"))
                             .cast("double")
                     / F.col("__idcg").cast("double"), 6).alias("ndcg")))
+
+
+def quantize_embeddings(embeddings: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, scale, qvec): symmetric per-vector int8 quantization —
+    scale = max|x|/127, qᵢ = round(xᵢ/scale) ∈ [-127, 127].
+
+    THE memory/IO lever for ANN at 100 TB: a float32 embedding column
+    shrinks 4× (byte-values + one float scale per vector), which is the
+    difference between an index that fits executor memory and one that
+    thrashes. Quantization is pure rational arithmetic + round — fully
+    deterministic and engine-portable (the oracle replays it exactly)."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return embeddings.select(F.col(id_col).alias("id"),
+                             scale.alias("scale"), q.alias("qvec"))
+
+
+def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, qcos): top-k by int8-quantized cosine —
+    scale_a·scale_b·Σ qaᵢ·qbᵢ with the inner sum in exact integer
+    arithmetic. Per-element quantization error ≤ scale/2, so ranking
+    against float cosine degrades only for near-tied neighbors; the
+    standard production shape re-ranks the quantized top-m exactly
+    (compose with `cosine_topk_bruteforce` over the m candidates)."""
+    from pyspark.sql import Window
+
+    qz = quantize_embeddings(embeddings, id_col, vec_col)
+    queries = (qz.filter(F.col("id").isin(query_ids))
+               .select(F.col("id").alias("query_id"),
+                       F.col("scale").alias("qscale"),
+                       F.col("qvec").alias("qq")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qq"),
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (qz.crossJoin(F.broadcast(queries))
+              .filter(F.col("id") != F.col("query_id"))
+              .select("query_id", F.col("id").alias("neighbor_id"),
+                      F.round(F.col("scale") * F.col("qscale")
+                              * dot.cast("double"), 6).alias("qcos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -1059,6 +1059,44 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cosine_topk_bruteforce(emb, query_ids=qids, k=10))
 
 
+@register("embedding_topk_int8", """
+WITH qz AS (
+  SELECT vec_id,
+    CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale,
+    list_transform(embedding,
+      x -> CAST(ROUND(CAST(x AS DOUBLE)
+                / CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)
+           AS INT)) AS qvec
+  FROM (SELECT vec_id, embedding,
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, scale AS qscale, qvec AS qq
+      FROM qz WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, z.vec_id AS neighbor_id,
+    CAST(ROUND(z.scale * q.qscale
+      * CAST(list_sum(list_transform(list_zip(z.qvec, q.qq),
+             p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+        AS DOUBLE), 6) AS DOUBLE) AS qcos
+  FROM qz z CROSS JOIN q
+  WHERE z.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, qcos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY qcos DESC, neighbor_id ASC) <= 10
+""")
+def q_embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8-quantized cosine (operators/ann.quantize_embeddings
+    + cosine_topk_int8) — the 4×-smaller index representation for
+    memory-bound ANN at scale; integer inner products, per-vector float
+    scales, oracle replays the quantization exactly."""
+    from .operators.ann import cosine_topk_int8
+    return cosine_topk_int8(load_table(spark, sf_dir, "embeddings"),
+                            query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 @register("ann_ndcg_lsh", f"""
 WITH bf0 AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -248,3 +248,29 @@ def test_topk_ndcg_known_rankings(spark):
     idcg = sum(round(1 / math.log2(i + 1), 9) for i in (1, 2, 3))
     assert got[2] == round(round(1 / math.log2(2), 9) / idcg, 6)
     assert got[3] == 0.0
+
+
+def test_int8_quantized_ranking_tracks_float(emb):
+    """Symmetric int8 quantization must preserve the float top-k almost
+    exactly (per-element error <= scale/2), and the quantized scores must
+    sit within the Cauchy-Schwarz error band of the true cosines."""
+    import numpy as np
+
+    from graph_database_spark.operators.ann import (
+        cosine_topk_bruteforce, cosine_topk_int8,
+    )
+    qids = [0, 1, 2, 3, 4]
+    bf_sets, q_sets = {}, {}
+    for r in cosine_topk_bruteforce(emb, qids, k=10).collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = cosine_topk_int8(emb, qids, k=10).collect()
+    for r in rows:
+        q_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf_sets[q] & q_sets[q]) / len(bf_sets[q]) for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # score fidelity: |qcos - cosine| small for the overlapping pairs
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in rows:
+        true = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
+        assert abs(r["qcos"] - true) < 0.02, (r, true)
