@@ -137,13 +137,18 @@ class PropertyGraph:
                         tol=tol, max_iter=max_iter, init_ranks=init_ranks)
 
     def connected_components(self, rel_type: str | None = None,
-                             max_iter: int = 50) -> DataFrame:
+                             max_iter: int = 50,
+                             init_labels: DataFrame | None = None
+                             ) -> DataFrame:
+        """(id, component). init_labels warm-starts from a previous
+        run's output after edge appends (the incremental path)."""
         from .traversal import connected_components
         e = self.edges if rel_type is None \
             else self.edges.filter(F.col("rel_type") == rel_type)
         return connected_components(self.vertices.select("id"),
                                     e.select("src", "dst"),
-                                    max_iter=max_iter)
+                                    max_iter=max_iter,
+                                    init_labels=init_labels)
 
     def label_propagation(self, rel_type: str | None = None,
                           max_iter: int = 10) -> DataFrame:

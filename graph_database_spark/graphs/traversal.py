@@ -77,7 +77,8 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 50,
                          num_partitions: int | None = None,
-                         dedupe: bool = True) -> DataFrame:
+                         dedupe: bool = True,
+                         init_labels: DataFrame | None = None) -> DataFrame:
     """(id, component): undirected connected components by min-label
     propagation — component = smallest vertex id reachable. vertices: (id);
     edges: (src, dst), treated as undirected.
@@ -86,7 +87,22 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     edge shuffle) when the input rows are unique with src<dst or src≠dst
     pairs — the mirror halves are then disjoint by construction and
     duplicates can't exist. Min-propagation is idempotent over
-    duplicates, so this is a planning hint, never a correctness risk."""
+    duplicates, so this is a planning hint, never a correctness risk.
+
+    `init_labels` ((id, component)) warm-starts from a PREVIOUS run's
+    labels after edges were appended — the incremental path: appends only
+    ever MERGE components, so each old label is a vertex id inside the
+    vertex's new component and an upper bound on its new label, and
+    min-propagation from those labels reaches the same fixpoint as a
+    cold start (min over reachable init labels = the new component min).
+    The saving: components UNTOUCHED by the append are already at their
+    fixpoint (zero propagation work — and on a typical incremental batch
+    that is almost all of them, including the high-diameter ones that
+    dominate cold-start superstep counts); only components actually
+    merged by new edges pay propagation, bounded by THEIR diameter.
+    Vertices absent from init_labels (new arrivals) start at their own
+    id. Edge DELETIONS can split components and break the upper-bound
+    invariant — recompute cold for those."""
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))))
@@ -100,8 +116,15 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     if not bcast_state:
         sym = sym.repartition(n_parts, "src").localCheckpoint()
 
-    labels = vertices.select("id", F.col("id").alias("component")) \
-        .repartition(n_parts, "id").localCheckpoint()
+    if init_labels is None:
+        labels = vertices.select("id", F.col("id").alias("component")) \
+            .repartition(n_parts, "id").localCheckpoint()
+    else:
+        prev = init_labels.select("id", F.col("component").alias("__c0"))
+        labels = (vertices.select("id").join(prev, "id", "left")
+                  .select("id", F.coalesce(F.col("__c0"), F.col("id"))
+                          .alias("component"))
+                  .repartition(n_parts, "id").localCheckpoint())
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df

@@ -193,3 +193,43 @@ def test_local_clustering_known_graph(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, 0.333333)
     assert got[4] == (1, 0, 0.0)
+
+
+def test_connected_components_warm_start_after_append(spark):
+    """Incremental CC: warm-starting from yesterday's labels after an
+    edge append gives the exact cold answer, and components untouched by
+    the append are already at their fixpoint — so a superstep budget far
+    below the graph's worst diameter suffices warm where it fails cold."""
+    from graph_database_spark.graphs.traversal import connected_components
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    # a 150-vertex chain (the diameter hog) + two small cliques
+    chain = [(i, i + 1) for i in range(149)]
+    ca, cb = clique(range(200, 206)), clique(range(300, 306))
+    ve = spark.createDataFrame(
+        [(i,) for i in list(range(150)) + list(range(200, 206))
+         + list(range(300, 306))], ["id"])
+    ed_old = spark.createDataFrame(chain + ca + cb, ["src", "dst"])
+    old = connected_components(ve, ed_old, max_iter=200).localCheckpoint()
+    old_labels = {r["id"]: r["component"] for r in old.collect()}
+    assert old_labels[149] == 0 and old_labels[305] == 300
+
+    # append ONE bridge merging the two cliques; the chain is untouched
+    ed_new = spark.createDataFrame(
+        chain + ca + cb + [(205, 300)], ["src", "dst"])
+    expected = {i: 0 for i in range(150)}
+    expected.update({i: 200 for i in list(range(200, 206))
+                     + list(range(300, 306))})
+    # a 20-superstep budget is nowhere near the chain's ~149 diameter:
+    # cold start CANNOT finish the chain...
+    cold_short = {r["id"]: r["component"]
+                  for r in connected_components(ve, ed_new,
+                                                max_iter=20).collect()}
+    assert cold_short != expected
+    # ...but warm start only has to merge the two 6-cliques
+    warm = {r["id"]: r["component"]
+            for r in connected_components(ve, ed_new, init_labels=old,
+                                          max_iter=20).collect()}
+    assert warm == expected
