@@ -15,6 +15,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     shuffle of the narrow input, never of the derived (wide) data.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming:
+        # no rdd/partition introspection on a stream; a round-robin
+        # repartition keeps the stateless per-row operators (signatures,
+        # shingles, features) usable unchanged in streaming pipelines
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

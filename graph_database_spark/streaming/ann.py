@@ -1,0 +1,49 @@
+"""Streaming ANN index maintenance: LSH signatures over an embedding
+ingest stream.
+
+Hyperplane signature assignment is stateless per vector, so the BATCH
+operator (`operators/ann.lsh_signatures`) runs unchanged on a streaming
+DataFrame in append mode — each micro-batch appends its (id, table,
+bucket) rows to the signature table, and because the hyperplanes are
+seed-deterministic closure constants, the accumulated table is
+bit-identical to a batch build over the same vectors (asserted in
+tests/test_streaming_ann.py). That is the incremental-ingest story for
+similarity search: new embeddings become searchable one micro-batch
+after arrival, with zero recompute of the standing index — the same
+shape as the dedup (`streaming/dedup.py`) and sketch
+(`streaming/sketches.py`) twins.
+
+Queries keep using `cosine_topk_lsh`'s candidate join against the
+appended table; IVF would follow the same pattern with periodically
+re-trained centroids (a model-refresh concern, not a streaming one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.ann import lsh_signatures
+
+
+def streaming_lsh_signatures(embeddings: DataFrame, dim: int = 64,
+                             bits: int = 4, tables: int = 12,
+                             seed: int = 42,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket) signature stream — the batch operator applied
+    to a streaming frame (stateless, append-mode safe)."""
+    return lsh_signatures(embeddings, dim, bits, tables, seed,
+                          id_col, vec_col)
+
+
+def run_signature_ingest(signatures: DataFrame, out_path: str,
+                         checkpoint_dir: str):
+    """Append each micro-batch's signatures to the index table; the
+    checkpoint gives exactly-once appends across restarts. Returns the
+    StreamingQuery."""
+    return (signatures.writeStream
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
