@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "events_hourly_interp",
     "ann_ndcg_lsh",
     "embedding_topk_int8",
+    "doc_sample_weighted_exact_n",
 ]
 
 

@@ -268,3 +268,39 @@ def stratified_exact_n(df: DataFrame, n_per_stratum: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
+
+
+#: round(53·ln2, 9) — shared literal with the SQL oracle (transcendental
+#: constants enter both engines as the same decimal, never recomputed).
+_LN2_53 = 36.73680057
+
+
+def weighted_exact_n(df: DataFrame, n_per_stratum: int,
+                     weight_col: str,
+                     strata_col: str = "source",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, sampled WITHOUT
+    replacement with probability proportional to `weight_col` —
+    Efraimidis–Spirakis A-ES reservoir keys (Inf. Process. Lett. '06):
+    rank by u^(1/w) descending, u uniform per row. Completes the
+    sampling battery between `stratified_exact_n` (uniform, exact n) and
+    `quality_weighted_sample` (weighted, binomial n).
+
+    Determinism: u derives from the portable md5 hash of the key
+    (u = (2·(h mod 2⁵²)+1)/2⁵³, integers exact in a double), and the
+    ranking uses ln(u)/w — monotone in u^(1/w) since ln is increasing
+    and the sort handles the negative scale. The single transcendental,
+    ln(odd integer), is rounded to 9 dp (the repo convention), so the
+    oracle replays the exact ranking; ties break on the key column.
+    Per-stratum window, never a global sort — same scale posture as
+    stratified_exact_n."""
+    from pyspark.sql import Window
+
+    h = md5_long(F.col(key_col).cast("string")) % F.lit(4503599627370496)
+    lnu = F.round(F.log(2 * h + 1), 9) - F.lit(_LN2_53)
+    key = lnu / F.col(weight_col)
+    w = (Window.partitionBy(strata_col)
+         .orderBy(key.desc(), F.col(key_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))

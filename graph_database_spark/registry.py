@@ -3031,6 +3031,47 @@ def q_doc_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_n(docs, 20, strata_col="source")
 
 
+@register("doc_sample_weighted_exact_n", r"""
+WITH m AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '\S+')) AS words,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
+         + (1.0 - least(CAST(punct AS DOUBLE) / greatest(words, 1) * 10.0, 1.0)) * 0.25
+         + least(CAST(stop AS DOUBLE) / greatest(words, 1) * 5.0, 1.0) * 0.25, 6)
+      AS DOUBLE) + 0.01 AS weight
+  FROM m),
+k AS (
+  SELECT doc_id, source, weight,
+    (ROUND(ln(2 * (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4503599627370496) + 1), 9)
+     - 36.73680057) / weight AS k
+  FROM q)
+SELECT doc_id, source, CAST(ROUND(weight, 6) AS DOUBLE) AS weight FROM k
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY k DESC, doc_id ASC) <= 5
+""")
+def q_doc_sample_weighted_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, sampled ∝ quality WITHOUT replacement
+    (Efraimidis–Spirakis keys, operators/sampling.weighted_exact_n) —
+    fills the gap between uniform exact-n and binomial quality-weighted
+    sampling: a size-guaranteed eval set that still prefers high-quality
+    documents."""
+    from .operators.sampling import weighted_exact_n
+    from .operators.text import quality_col
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (quality_col(F.col("text")) + F.lit(0.01)).alias("weight"))
+    out = weighted_exact_n(docs, 5, weight_col="weight",
+                           strata_col="source")
+    return out.select("doc_id", "source",
+                      F.round("weight", 6).alias("weight"))
+
+
 @register("doc_sample_stratified", f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, {_SQL_HASH_BUCKET} AS b FROM documents)

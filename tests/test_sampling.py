@@ -211,3 +211,25 @@ def test_stratified_exact_n_counts_and_determinism(spark):
     again = stratified_exact_n(df.repartition(7), 5,
                                strata_col="source").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_weighted_exact_n_counts_and_preference(spark):
+    """Exactly n per stratum; a dominant weight is always selected; the
+    sample is stable under repartitioning (hash keys, not rand())."""
+    from graph_database_spark.operators.sampling import weighted_exact_n
+
+    rows = ([(i, "s1", 0.01) for i in range(50)] + [(999, "s1", 1000.0)]
+            + [(1000 + i, "s2", 1.0) for i in range(3)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = weighted_exact_n(df, 5, weight_col="w", strata_col="source")
+    got = {r["source"]: set() for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]].add(r["doc_id"])
+    assert len(got["s1"]) == 5
+    assert 999 in got["s1"]  # 10^5× the weight ⇒ sampled w.p. ~1
+    assert got["s2"] == {1000, 1001, 1002}  # stratum smaller than n
+    again = {(r["source"], r["doc_id"])
+             for r in weighted_exact_n(df.repartition(13), 5,
+                                       weight_col="w",
+                                       strata_col="source").collect()}
+    assert again == {(s, d) for s, ds in got.items() for d in ds}
