@@ -153,6 +153,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     # tol<0 fixed-iteration mode (the oracle-checked path) never probes.
     check_delta = tol >= 0
     DELTA_EVERY = 3
+    it = -1  # max_iter <= 0 never enters the loop → iteration count 0
     for it in range(max_iter):
         contrib = (
             edges.join(_b(ranks.select("id", "rank")),

@@ -435,18 +435,18 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     Scale shape: triangles come from ONE wedge join + closing-edge check
     on the oriented edge list (each triangle a<b<c found exactly once),
     then each triangle credits its three corners — a union + count
-    keyed on vertex id. Degree is a count over the symmetrized list. On
-    thresholded similarity graphs the edge list is small enough to
-    broadcast (as here); on a full social graph the same plan shuffles
-    on the join keys and the orientation trick still bounds wedge
-    fan-out by the smaller-id endpoint's degree."""
+    keyed on vertex id. Degree is a count over the symmetrized list. No
+    explicit broadcast hint: on thresholded similarity graphs AQE
+    converts the join to broadcast from the measured size; on a full
+    social graph the same plan shuffles on the join keys (a forced
+    broadcast would OOM there) and the orientation trick still bounds
+    wedge fan-out by the smaller-id endpoint's degree."""
     e = edges.select("src", "dst").localCheckpoint()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = (sym.groupBy(F.col("src").alias("id"))
            .agg(F.count(F.lit(1)).alias("degree")))
-    be = F.broadcast(e)
-    ab, bc, ac = e.alias("ab"), be.alias("bc"), be.alias("ac")
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
            .join(ac, (F.col("ac.src") == F.col("ab.src"))
                  & (F.col("ac.dst") == F.col("bc.dst")))

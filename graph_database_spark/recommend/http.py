@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 
 from .service import (
     RecommendationService, UnknownCustomerError, UnknownStrategyError,
-    customer_recommendations,
+    clamp_top_n, customer_recommendations,
 )
 
 
@@ -74,8 +74,9 @@ def _routes(service: RecommendationService, engine) -> dict:
                      "recommendations": _rows(out)}
 
     def cust_strategies(customer_id, params):
-        # tp1 api.py:78-96
-        top_n = int(params.get("top_n", ["3"])[0])
+        # tp1 api.py:78-96; same Query(3, ge=1, le=10) bound as the
+        # recommendations route
+        top_n = clamp_top_n(int(params.get("top_n", ["3"])[0]))
         try:
             breakdown = engine.strategy_breakdown(customer_id, top_n)
         except ValueError as exc:
@@ -117,6 +118,8 @@ def make_handler(service: RecommendationService, engine):
                     status, body = 404, {"detail": "Not Found"}
             except (ValueError, KeyError) as exc:
                 status, body = 422, {"detail": f"bad request: {exc}"}
+            except Exception as exc:  # Spark/Py4J failures → clean 500
+                status, body = 500, {"detail": f"internal error: {exc}"}
             payload = json.dumps(body).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

@@ -3889,34 +3889,31 @@ def q_doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with entries that have never received a driver correctness row
 # (38 rotated in + the 2 new round-4 entries).
 _DRIVER_WINDOW_PRIORITY = [
-    # canaries
+    # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
-    "dedup_winnow_substrings", "embedding_topk_lsh",
-    # new this round
-    "doc_quality_quantile_norm", "word_counts_cms",
-    # relational / OLAP — never driver-checked
-    "shipping_priority", "revenue_grouping_sets", "nation_revenue_share",
-    "customer_rfm", "fk_orphans", "customer_value_deciles",
-    "order_baskets", "orders_profile",
-    # events — never driver-checked
-    "events_type_counts_salted", "events_sliding_counts",
-    "events_status_history", "events_value_winsorized",
-    "events_value_anomalies",
-    # graph algorithms — never driver-checked
-    "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
-    "graph_lpa_communities", "graph_neighbor_agg",
-    # ANN / embeddings — never driver-checked
-    "ann_recall_lsh", "embedding_cluster_sizes", "multimodal_features",
-    # sampling / curation battery — never driver-checked
-    "doc_split_assignment", "doc_sample_stratified", "doc_sample_exact_n",
-    "doc_sample_quality_weighted", "doc_shards_by_tokens",
-    "domain_mixture_plan", "doc_pack_sequences", "decontaminate_ngram",
-    "documents_curated", "doc_repetition", "pii_scan", "doc_quality_ecdf",
-    # text analysis — never driver-checked
-    "corpus_top_ngrams", "word_heavy_hitters", "doc_tfidf_keywords",
-    "doc_prefix_matches", "bpe_merge_candidates",
+    "embedding_topk_lsh", "word_counts_cms",
+    # never driver-checked (r4 late additions) — closes 119/119 coverage
+    "embedding_topk_int8", "ann_ndcg_lsh", "ann_hard_negatives",
+    "orders_rolling_revenue", "supplier_balance_stats",
+    "customers_inactive_since", "events_dow_hour",
+    "graph_degree_histogram", "graph_clustering_coeff",
+    "events_hourly_interp", "doc_sample_weighted_exact_n",
+    "doc_chunk_windows", "part_recency_popularity", "corpus_summary",
+    # last checked r1 — stalest re-confirmations
+    "multimodal_resize_plan", "multimodal_frame_sample",
+    # last checked r2
+    "top_parts_by_revenue", "pagerank_global", "token_count",
+    "doc_fingerprint", "order_priority_pivot", "customer_order_seq",
+    "parts_intersect_nations", "quantity_quantiles", "ppr_batch_focal",
+    "local_supplier_volume", "part_name_tokens", "orders_monthly_revenue",
+    "motif_cooccurrence_topn",
+    # last checked r3 — high-value re-confirmations
+    "cooccurrence_pairs", "similarity_jaccard_topk", "customer_cf",
+    "hits_fixed10", "dedup_exact", "connected_components",
+    "embedding_topk_ivf", "event_funnel", "weekly_retention",
+    "events_copresence", "strategy_breakdown_focal",
 ]
 
 

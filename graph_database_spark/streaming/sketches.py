@@ -16,7 +16,11 @@ the classic "monitor the stream's hot keys with O(1) memory" pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.sketches import _cms_slots
 
@@ -34,16 +38,46 @@ def streaming_cms(tokens: DataFrame, depth: int = 4,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+_POINTER = "CURRENT"
+
+
 def run_streaming_cms(sketch: DataFrame, out_path: str,
                       checkpoint_dir: str):
     """Maintain `out_path` as the current sketch (complete mode — the
     state IS the fixed-size sketch, so a full rewrite per micro-batch is
-    bounded work at any stream volume). Returns the StreamingQuery."""
-    def write_batch(df: DataFrame, _epoch: int) -> None:
-        df.write.mode("overwrite").parquet(out_path)
+    bounded work at any stream volume). Returns the StreamingQuery.
 
+    Publication is atomic: each micro-batch writes `epoch=<n>/` under
+    `out_path`, then swaps the `CURRENT` pointer file with os.replace
+    (atomic on POSIX), so a concurrent probe via `read_current_sketch`
+    never sees a missing or partial sketch — a plain mode('overwrite')
+    rewrite would expose a delete-then-commit window. The previous
+    epoch's directory is kept one swap before deletion so an in-flight
+    reader of the old pointer still finds its files."""
+    def write_batch(df: DataFrame, epoch: int) -> None:
+        epoch_dir = os.path.join(out_path, f"epoch={epoch}")
+        df.write.mode("overwrite").parquet(epoch_dir)
+        fd, tmp = tempfile.mkstemp(dir=out_path, prefix=".ptr-")
+        with os.fdopen(fd, "w") as f:
+            f.write(f"epoch={epoch}")
+        os.replace(tmp, os.path.join(out_path, _POINTER))
+        for name in os.listdir(out_path):  # keep current + previous
+            if (name.startswith("epoch=")
+                    and int(name.split("=", 1)[1]) < epoch - 1):
+                shutil.rmtree(os.path.join(out_path, name),
+                              ignore_errors=True)
+
+    os.makedirs(out_path, exist_ok=True)
     return (sketch.writeStream
             .outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(write_batch)
             .start())
+
+
+def read_current_sketch(spark: SparkSession, out_path: str) -> DataFrame:
+    """Probe-side reader: resolve the atomic `CURRENT` pointer to the
+    published epoch directory."""
+    with open(os.path.join(out_path, _POINTER)) as f:
+        epoch_dir = f.read().strip()
+    return spark.read.parquet(os.path.join(out_path, epoch_dir))

@@ -74,3 +74,29 @@ def test_customer_strategies(server):
 def test_unknown_route_404(server):
     status, _ = _get(f"{server}/definitely/not/a/route")
     assert status == 404
+
+
+def test_strategies_top_n_clamped(server):
+    """tp1 bounds top_n with Query(3, ge=1, le=10) on BOTH customer
+    routes (api.py:66,82); out-of-range values clamp instead of leaking
+    through to the engine."""
+    status, body = _get(f"{server}/customers/C2/strategies?top_n=100")
+    assert status == 200
+    for entries in body["strategies"].values():
+        assert len(entries) <= 10
+    status, body = _get(f"{server}/customers/C2/strategies?top_n=-1")
+    assert status == 200  # clamps to 1, not an engine error
+
+
+def test_internal_errors_are_well_formed_500(server, monkeypatch):
+    """Non-ValueError failures from the Spark-backed handlers must come
+    back as a well-formed HTTP 500 JSON body, not a dropped response."""
+    import graph_database_spark.recommend.http as http_mod
+
+    def boom(df):
+        raise RuntimeError("spark exploded")
+
+    monkeypatch.setattr(http_mod, "_rows", boom)
+    status, body = _get(f"{server}/recs?strategy=co_occurrence")
+    assert status == 500
+    assert "internal error" in body["detail"]

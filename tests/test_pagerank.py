@@ -184,3 +184,14 @@ def test_pagerank_warm_start(spark):
                         init_ranks=cold.localCheckpoint(),
                         with_iterations=True)
     assert it_fp == 3
+
+
+def test_pagerank_zero_iterations(spark):
+    """max_iter=0 with with_iterations=True returns (uniform init, 0)
+    instead of raising on an unbound loop variable."""
+    verts = spark.createDataFrame([(0,), (1,)], ["id"])
+    edges = spark.createDataFrame([(0, 1, 1.0)], ["src", "dst", "weight"])
+    out, iters = pagerank(verts, edges, max_iter=0, with_iterations=True)
+    assert iters == 0
+    ranks = {r["id"]: r["rank"] for r in out.collect()}
+    assert ranks == pytest.approx({0: 0.5, 1: 0.5})

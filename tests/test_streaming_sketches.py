@@ -10,7 +10,7 @@ from graph_database_spark.operators.sketches import (
 )
 from graph_database_spark.sources.testdata import load_table
 from graph_database_spark.streaming.sketches import (
-    run_streaming_cms, streaming_cms,
+    read_current_sketch, run_streaming_cms, streaming_cms,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -40,7 +40,7 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
         q.stop()
 
     streamed = {(r["depth"], r["slot"]): r["n"]
-                for r in spark.read.parquet(out).collect()}
+                for r in read_current_sketch(spark, out).collect()}
     batch = {(r["depth"], r["slot"]): r["n"]
              for r in count_min_sketch(corpus_tokens(docs),
                                        depth=4, width=512).collect()}
@@ -49,7 +49,7 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     # and the maintained sketch answers probes identically
     probes = spark.createDataFrame([("the",), ("and",)], ["token"])
     got = {r["token"]: r["n_cms"]
-           for r in cms_estimate(spark.read.parquet(out), probes,
+           for r in cms_estimate(read_current_sketch(spark, out), probes,
                                  depth=4, width=512).collect()}
     want = {r["token"]: r["n_cms"]
             for r in cms_estimate(
