@@ -337,7 +337,10 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
 def label_propagation(vertices: DataFrame, edges: DataFrame,
                       max_iter: int = 10,
                       num_partitions: int | None = None,
-                      dedupe: bool = True) -> DataFrame:
+                      dedupe: bool = True,
+                      init_labels: DataFrame | None = None,
+                      stop_when_stable: bool = False,
+                      with_iterations: bool = False) -> DataFrame:
     """(id, community) via synchronous label propagation with a
     deterministic tie-break: each superstep every vertex adopts the
     label most frequent among its neighbors, ties broken by the SMALLEST
@@ -350,8 +353,18 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     an argmax-by-(count desc, label asc) window over neighbor label
     histograms — all shuffle-bounded by the edge count. LPA on huge
     graphs typically runs a FIXED small iteration budget (it may
-    oscillate rather than converge), which is the contract here: no
-    convergence probe, exactly max_iter supersteps.
+    oscillate rather than converge), which is the default contract here:
+    no convergence probe, exactly max_iter supersteps.
+
+    `init_labels` ((id, community)) warm-starts from a PREVIOUS run —
+    the incremental-graph pattern shared with pagerank(init_ranks=...)
+    and connected_components(init_labels=...): after a small edge
+    append, yesterday's communities are near the new argmax fixpoint, so
+    with `stop_when_stable=True` (a changed-vertex count probe per
+    superstep — one tiny aggregate on the id-partitioned labels frame)
+    the loop exits after a fraction of the cold budget. Vertices absent
+    from init_labels (new arrivals) start at their own id.
+    `with_iterations=True` additionally returns the superstep count.
     """
     from pyspark.sql import Window
 
@@ -368,15 +381,22 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     if not bcast_state:
         sym = sym.repartition(n_parts, "src").localCheckpoint()
 
-    labels = vertices.select("id", F.col("id").alias("community")) \
-        .repartition(n_parts, "id").localCheckpoint()
+    if init_labels is None:
+        labels = vertices.select("id", F.col("id").alias("community"))
+    else:
+        prev = init_labels.select("id", F.col("community").alias("__c0"))
+        labels = (vertices.select("id").join(prev, "id", "left")
+                  .select("id", F.coalesce(F.col("__c0"), F.col("id"))
+                           .alias("community")))
+    labels = labels.repartition(n_parts, "id").localCheckpoint()
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
 
     w = (Window.partitionBy("id")
          .orderBy(F.desc("cnt"), F.asc("community")))
-    for _ in range(max_iter):
+    it = -1  # max_iter <= 0 never enters the loop → superstep count 0
+    for it in range(max_iter):
         hist = (
             sym.join(_b(labels), labels["id"] == sym["src"])
             .groupBy(F.col("dst").alias("id"), "community")
@@ -386,13 +406,24 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
                   .withColumn("__rn", F.row_number().over(w))
                   .filter("__rn = 1")
                   .select("id", F.col("community").alias("n_comm")))
-        labels = (
+        updated = (
             labels.join(_b(winner), "id", "left")
-            .select("id", F.coalesce(F.col("n_comm"), F.col("community"))
-                     .alias("community"))
+            .select("id",
+                    F.coalesce(F.col("n_comm"), F.col("community"))
+                     .alias("community"),
+                    (F.col("n_comm").isNotNull()
+                     & (F.col("n_comm") != F.col("community")))
+                    .alias("__chg"))
             .repartition(n_parts, "id")
             .localCheckpoint()
         )
+        stable = (stop_when_stable
+                  and updated.filter("__chg").limit(1).count() == 0)
+        labels = updated.drop("__chg")
+        if stable:
+            break
+    if with_iterations:
+        return labels, it + 1
     return labels
 
 

@@ -390,22 +390,28 @@ def topk_ndcg(approx: DataFrame, exact: DataFrame) -> DataFrame:
     worth more than one at position k, so two indexes with equal recall
     can still rank very differently).
 
-    Both inputs are (query_id, neighbor_id, cosine) top-k frames.
-    Relevance is binary (neighbor ∈ exact top-k); positions come from the
-    same deterministic ordering the top-k operators emit (cosine DESC,
-    neighbor ASC). Per-position gains 1/log2(pos+1) are rounded to 9 dp
-    before DECIMAL summation — the repo's cross-engine convention for
-    transcendental outputs (log is not correctly-rounded in every
-    engine), making the 6-dp result oracle-exact. Frames are k·|queries|
-    rows; one broadcast join + two tiny aggregates."""
+    Both inputs are (query_id, neighbor_id, <score>) top-k frames; the
+    score column is whichever of cosine/qcos the frame carries (the int8
+    variant emits `qcos`). Relevance is binary (neighbor ∈ exact
+    top-k); positions come from the same deterministic ordering the
+    top-k operators emit (score DESC, neighbor ASC). Per-position gains
+    1/log2(pos+1) are rounded to 9 dp before DECIMAL summation — the
+    repo's cross-engine convention for transcendental outputs (log is
+    not correctly-rounded in every engine), making the 6-dp result
+    oracle-exact. Frames are k·|queries| rows; one broadcast join + two
+    tiny aggregates."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    gain = F.round(1.0 / F.log2(F.row_number().over(w) + 1), 9) \
-        .cast("decimal(20,9)")
-    a = approx.select("query_id", "neighbor_id", gain.alias("__g"))
-    e = exact.select("query_id", "neighbor_id", gain.alias("__ig"))
+    def _gain(df: DataFrame):
+        score = next(c for c in ("cosine", "qcos", "score")
+                     if c in df.columns)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score), F.asc("neighbor_id"))
+        return F.round(1.0 / F.log2(F.row_number().over(w) + 1), 9) \
+            .cast("decimal(20,9)")
+
+    a = approx.select("query_id", "neighbor_id", _gain(approx).alias("__g"))
+    e = exact.select("query_id", "neighbor_id", _gain(exact).alias("__ig"))
     dcg = (a.join(F.broadcast(e.select("query_id", "neighbor_id")),
                   ["query_id", "neighbor_id"], "left_semi")
            .groupBy("query_id").agg(F.sum("__g").alias("__dcg")))

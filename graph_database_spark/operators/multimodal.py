@@ -6,11 +6,13 @@ feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` operators. IMAGES have a REAL codec: binary PPM (P6)
 decode/encode and nearest-neighbor resample in pure numpy (no external
 libraries), so `extract_features(codec="real")` and `resize_images`
-run actual pixel math end-to-end. Audio/video decoding remains the
-integration point for external codecs (NotImplementedError in this
-container); the default deterministic fake path hashes bytes into
-reproducible features so downstream operators (dedup, ANN) can be
-exercised end-to-end on any media type.
+run actual pixel math end-to-end. AUDIO likewise has a REAL codec:
+RIFF/PCM WAV parse (chunk walk, 16-bit PCM) into a numpy sample array,
+featurized with per-segment RMS plus FFT spectral-band energies. Video
+decoding remains the one external-codec integration point
+(NotImplementedError in this container); the default deterministic fake
+path hashes bytes into reproducible features so downstream operators
+(dedup, ANN) can be exercised end-to-end on any media type.
 
 Scale notes: binary payloads ride in the same parquet row-groups as the
 metadata, so partition sizing must budget for payload width —
@@ -160,15 +162,120 @@ def _resample_mean_grid(gray: np.ndarray, g: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Real codec: RIFF/PCM WAV in pure numpy — no external audio libraries.
+# The RIFF container is a chunk walk (fourcc + little-endian u32 size,
+# chunks padded to even offsets); PCM 16-bit is the universal baseline.
+# Mirrors the PPM path: header parse → sample decode → real features.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 sample array (n,) mono or (n, ch) → RIFF/PCM WAV bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, ch), got {s.shape}")
+    ch = s.shape[1]
+    data = s.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * block_align).to_bytes(4, "little")
+           + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV bytes → (int16 samples (n, ch), sample_rate).
+
+    Walks the chunk list (tolerating LIST/INFO and other non-essential
+    chunks, including the odd-size pad byte); requires PCM (format 1)
+    16-bit, the baseline every real encoder can emit."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported "
+                         f"(format={audio_format}, bits={bits})")
+    n = len(raw) // (2 * ch)
+    s = np.frombuffer(raw, dtype="<i2", count=n * ch).reshape(n, ch)
+    return s.astype(np.int16).copy(), sample_rate
+
+
+def _wav_feature(content: bytes, dim: int) -> np.ndarray:
+    """Real audio feature: decode WAV, mono-mix to [-1, 1], then
+    concat(per-segment RMS over dim/2 equal splits,
+           mean |rfft| over dim/2 equal frequency bands, DC excluded),
+    L2-normalized — deterministic, exactly recomputable in plain numpy."""
+    if dim % 2:
+        raise ValueError(f"codec='real' audio needs an even dim, got {dim}")
+    g = dim // 2
+    samples, _sr = decode_wav(content)
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    edges = np.linspace(0, len(mono), g + 1).astype(np.int64)
+    rms = np.array([
+        np.sqrt(np.mean(np.square(mono[edges[i]:edges[i + 1]])))
+        if edges[i + 1] > edges[i] else 0.0
+        for i in range(g)])
+    spec = np.abs(np.fft.rfft(mono))[1:]  # drop DC
+    bedges = np.linspace(0, len(spec), g + 1).astype(np.int64)
+    bands = np.array([
+        spec[bedges[i]:bedges[i + 1]].mean()
+        if bedges[i + 1] > bedges[i] else 0.0
+        for i in range(g)])
+    v = np.concatenate([rms, bands]).astype(np.float32)
+    nrm = float(np.linalg.norm(v))
+    return v / nrm if nrm > 0 else v
+
+
+def synth_wav_media(spark: SparkSession, n: int = 16,
+                    sample_rate: int = 8000, duration_ms: int = 250,
+                    num_partitions: int = 4) -> DataFrame:
+    """Deterministic REAL audio table: per id a two-tone sine mixture
+    (id-dependent frequencies) as 16-bit PCM WAV, so decode/featurize
+    run on actual samples without external libraries."""
+    rows = []
+    num = sample_rate * duration_ms // 1000
+    t = np.arange(num) / sample_rate
+    for i in range(n):
+        f1, f2 = 220.0 + 55.0 * (i % 8), 880.0 + 110.0 * (i % 5)
+        wave = 0.5 * np.sin(2 * np.pi * f1 * t) \
+            + 0.25 * np.sin(2 * np.pi * f2 * t)
+        pcm = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
+        rows.append((i, "audio", bytearray(encode_wav(pcm, sample_rate)),
+                     (None, None, sample_rate, duration_ms, "wav")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(num_partitions)
+
+
 def extract_features(media: DataFrame, dim: int = 16,
                      codec: str = "fake") -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas.
 
     codec="real" decodes IMAGE rows with the pure-numpy PPM (P6) codec
-    above and emits grid-luma thumbnail embeddings; audio/video remain
-    the integration point for external codecs (NotImplementedError —
-    not available in this container). codec="fake" hashes bytes into
-    reproducible pseudo-embeddings for any media type.
+    and AUDIO rows with the pure-numpy RIFF/PCM WAV codec above, and
+    emits grid-luma thumbnail / RMS+spectral-band embeddings; video
+    remains the integration point for external codecs
+    (NotImplementedError — not available in this container).
+    codec="fake" hashes bytes into reproducible pseudo-embeddings for
+    any media type.
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
@@ -176,15 +283,18 @@ def extract_features(media: DataFrame, dim: int = 16,
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec == "real":
-                bad = [t for t in pdf["media_type"].unique() if t != "image"]
+                bad = [t for t in pdf["media_type"].unique()
+                       if t not in ("image", "audio")]
                 if bad:
                     raise NotImplementedError(
-                        f"real decoding of {bad} requires audio/video "
-                        f"codecs not present in this environment; filter "
-                        f"to media_type='image' or use codec='fake'")
+                        f"real decoding of {bad} requires video codecs "
+                        f"not present in this environment; filter to "
+                        f"media_type in ('image','audio') or use "
+                        f"codec='fake'")
                 feats = [
-                    _ppm_feature(bytes(c), dim).tolist()
-                    for c in pdf["content"]
+                    (_ppm_feature if mt == "image" else _wav_feature)(
+                        bytes(c), dim).tolist()
+                    for mt, c in zip(pdf["media_type"], pdf["content"])
                 ]
             else:
                 feats = [

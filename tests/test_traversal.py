@@ -233,3 +233,48 @@ def test_connected_components_warm_start_after_append(spark):
             for r in connected_components(ve, ed_new, init_labels=old,
                                           max_iter=20).collect()}
     assert warm == expected
+
+
+def test_label_propagation_warm_start(spark):
+    """Incremental LPA (VERDICT r4 #7): warm-starting from a previous
+    run's communities after a small vertex/edge append must reach the
+    same stable labeling in a fraction of the cold superstep count. The
+    graph is a chain of 4-cliques sharing a vertex — synchronous LPA
+    CONVERGES there (unlike paths/bipartite shapes, which oscillate)
+    but the min label still walks one clique per superstep, so the cold
+    count grows with chain length (13 for k=6, verified by offline
+    simulation of the same most-frequent/min-tie rule) while warm only
+    has to absorb the appended vertex (2 supersteps: assign + verify)."""
+    from graph_database_spark.graphs.traversal import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    base = []
+    for j in range(6):  # cliques [1..4], [4..7], ..., [16..19]
+        base += clique(list(range(3 * j + 1, 3 * j + 5)))
+    n = 19
+    v_old = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                  "id long")
+    e_old = spark.createDataFrame(base, "src long, dst long")
+    prev, it_prev = label_propagation(
+        v_old, e_old, max_iter=30, stop_when_stable=True,
+        with_iterations=True)
+    prev = prev.localCheckpoint()
+    assert it_prev >= 8  # the slow case is actually slow
+
+    # append one vertex glued to the far end of the chain (~5% growth)
+    v_new = spark.createDataFrame([(i,) for i in range(1, n + 2)],
+                                  "id long")
+    e_new = spark.createDataFrame(base + [(n, n + 1), (n - 1, n + 1)],
+                                  "src long, dst long")
+    cold, it_cold = label_propagation(
+        v_new, e_new, max_iter=30, stop_when_stable=True,
+        with_iterations=True)
+    warm, it_warm = label_propagation(
+        v_new, e_new, max_iter=30, stop_when_stable=True,
+        init_labels=prev, with_iterations=True)
+    assert it_warm <= max(3, it_cold // 3), (it_warm, it_cold)
+    c = sorted(map(tuple, cold.collect()))
+    w = sorted(map(tuple, warm.collect()))
+    assert c == w
