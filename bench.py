@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "multimodal_features",
+    "multimodal_video_motion",
+    "multimodal_frame_extract",
     "doc_split_assignment",
     "doc_sample_stratified",
     "doc_sample_exact_n",

@@ -8,11 +8,17 @@ decode/encode and nearest-neighbor resample in pure numpy (no external
 libraries), so `extract_features(codec="real")` and `resize_images`
 run actual pixel math end-to-end. AUDIO likewise has a REAL codec:
 RIFF/PCM WAV parse (chunk walk, 16-bit PCM) into a numpy sample array,
-featurized with per-segment RMS plus FFT spectral-band energies. Video
-decoding remains the one external-codec integration point
-(NotImplementedError in this container); the default deterministic fake
-path hashes bytes into reproducible features so downstream operators
-(dedup, ANN) can be exercised end-to-end on any media type.
+featurized with per-segment RMS plus FFT spectral-band energies. VIDEO
+has a REAL codec too: YUV4MPEG2 (.y4m, the mjpegtools uncompressed
+interchange format — header tokens + per-FRAME planar YUV 4:2:0/4:4:4)
+decoded into (frames, H, W, 3) RGB, featurized as a time-mean luma
+thumbnail, with frame extraction (`extract_frames` → PPM stills) and a
+per-transition motion profile. What remains external is COMPRESSED
+codecs (JPEG/MP3/H.264 et al. need real codec libraries not present in
+this container) — each modality's raw baseline format is fully decoded
+here. The default deterministic fake path hashes bytes into
+reproducible features so downstream operators (dedup, ANN) can be
+exercised end-to-end on any payload.
 
 Scale notes: binary payloads ride in the same parquet row-groups as the
 metadata, so partition sizing must budget for payload width —
@@ -246,6 +252,163 @@ def _wav_feature(content: bytes, dim: int) -> np.ndarray:
     return v / nrm if nrm > 0 else v
 
 
+# ---------------------------------------------------------------------------
+# Real codec: YUV4MPEG2 (.y4m) in pure numpy — no external video libraries.
+# The mjpegtools interchange format: one ASCII header line of tagged tokens
+# (W width, H height, F fps num:den, C colorspace, X comments), then per
+# frame a "FRAME...\n" marker followed by raw planar YUV. 4:2:0 stores
+# full-res Y plus half-res Cb/Cr (2x2 siting, "C420jpeg"); 4:4:4 is
+# unsubsampled. Color math is the public JPEG/JFIF full-range YCbCr matrix.
+# ---------------------------------------------------------------------------
+
+_RGB2YCC = np.array([[0.299, 0.587, 0.114],
+                     [-0.168736, -0.331264, 0.5],
+                     [0.5, -0.418688, -0.081312]])
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    ycc = rgb.astype(np.float64) @ _RGB2YCC.T
+    ycc[..., 1:] += 128.0
+    return np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1,
+               colorspace: str = "C420jpeg") -> bytes:
+    """(n, H, W, 3) uint8 RGB frames → YUV4MPEG2 bytes.
+
+    C420jpeg (default) subsamples chroma 2x2 by plane mean (H and W must
+    be even); C444 keeps full-resolution chroma (lossless up to the ±1
+    YCbCr rounding)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError(f"expected (n, H, W, 3), got {f.shape}")
+    n, h, w = f.shape[:3]
+    if colorspace.startswith("C420") and (h % 2 or w % 2):
+        raise ValueError("C420 needs even frame dimensions")
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (w, h, fps_num, fps_den, colorspace.encode())]
+    ycc = _rgb_to_ycbcr(f)
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(ycc[i, :, :, 0].tobytes())
+        for c in (1, 2):
+            plane = ycc[i, :, :, c]
+            if colorspace.startswith("C420"):
+                quad = plane.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
+                plane = np.rint(quad.mean(axis=(1, 3))).astype(np.uint8)
+            out.append(plane.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
+    """YUV4MPEG2 bytes → ((n, H, W, 3) uint8 RGB, fps_num, fps_den).
+
+    Parses the tagged header tokens (unknown tags, X comments, and
+    per-FRAME parameters are skipped per the spec), walks the FRAME
+    list, nearest-upsamples 4:2:0 chroma, and inverts the JPEG-range
+    YCbCr matrix."""
+    eol = data.find(b"\n")
+    if eol < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps_num, fps_den, cs = 25, 1, "C420jpeg"
+    for tok in data[9:eol].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = val.split(b":")
+            fps_num, fps_den = int(fn), int(fd)
+        elif tag == b"C":
+            cs = tok.decode()
+    if not w or not h:
+        raise ValueError("missing W/H header tokens")
+    if cs.startswith("C420"):
+        cw, chh = w // 2, h // 2
+    elif cs.startswith("C444"):
+        cw, chh = w, h
+    else:
+        raise ValueError(f"unsupported colorspace {cs}")
+    ysz, csz = w * h, cw * chh
+    pos, frames = eol + 1, []
+    while pos < len(data):
+        feol = data.find(b"\n", pos)
+        if feol < 0 or not data[pos:pos + 5] == b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = feol + 1
+        if pos + ysz + 2 * csz > len(data):
+            raise ValueError("truncated frame payload")
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w)
+        cb = np.frombuffer(data, np.uint8, csz, pos + ysz).reshape(chh, cw)
+        cr = np.frombuffer(
+            data, np.uint8, csz, pos + ysz + csz).reshape(chh, cw)
+        if cs.startswith("C420"):
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)
+        frames.append(_ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1)))
+        pos += ysz + 2 * csz
+    return np.stack(frames), fps_num, fps_den
+
+
+def _y4m_feature(content: bytes, dim: int) -> np.ndarray:
+    """Real video feature: decode Y4M, per-frame ITU-R 601 luma, then the
+    g×g grid means of the TIME-MEAN luma (g = √dim — the temporal-average
+    thumbnail), scaled to [0,1] and L2-normalized. Same contract as the
+    image path, so one dim serves mixed-modality batches and the vectors
+    land in the same ANN plumbing."""
+    g = int(round(dim ** 0.5))
+    if g * g != dim:
+        raise ValueError(f"codec='real' needs a square dim, got {dim}")
+    frames, _fn, _fd = decode_y4m(content)
+    luma = (frames[..., 0] * 0.299 + frames[..., 1] * 0.587
+            + frames[..., 2] * 0.114).mean(axis=0)
+    cells = _resample_mean_grid(luma, g)
+    v = (cells / 255.0).reshape(dim).astype(np.float32)
+    nrm = float(np.linalg.norm(v))
+    return v / nrm if nrm > 0 else v
+
+
+def synth_y4m_media(spark: SparkSession, n: int = 8, width: int = 32,
+                    height: int = 24, num_frames: int = 10,
+                    fps: int = 10, num_partitions: int = 4) -> DataFrame:
+    """Deterministic REAL video table: per id a gradient background with a
+    bright vertical stripe that MOVES one step per frame (id-dependent
+    speed), so decode / frame-extract / motion analysis run on actual
+    moving pixels without external libraries."""
+    rows = []
+    y, x = np.mgrid[0:height, 0:width]
+    base = np.stack([
+        (x * 255 // max(width - 1, 1)),
+        (y * 255 // max(height - 1, 1)),
+        np.zeros_like(x),
+    ], axis=2).astype(np.uint8)
+    for i in range(n):
+        frames = []
+        for f in range(num_frames):
+            img = base.copy()
+            img[:, :, 2] = (i * 37) % 256
+            stripe = (i + f * (1 + i % 3)) % width
+            img[:, stripe, :] = 255
+            frames.append(img)
+        content = encode_y4m(np.stack(frames), fps_num=fps)
+        duration_ms = num_frames * 1000 // fps
+        rows.append((i, "video", bytearray(content),
+                     (width, height, None, duration_ms, "y4m")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(num_partitions)
+
+
 def synth_wav_media(spark: SparkSession, n: int = 16,
                     sample_rate: int = 8000, duration_ms: int = 250,
                     num_partitions: int = 4) -> DataFrame:
@@ -269,31 +432,28 @@ def extract_features(media: DataFrame, dim: int = 16,
                      codec: str = "fake") -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas.
 
-    codec="real" decodes IMAGE rows with the pure-numpy PPM (P6) codec
-    and AUDIO rows with the pure-numpy RIFF/PCM WAV codec above, and
-    emits grid-luma thumbnail / RMS+spectral-band embeddings; video
-    remains the integration point for external codecs
-    (NotImplementedError — not available in this container).
+    codec="real" decodes IMAGE rows with the pure-numpy PPM (P6) codec,
+    AUDIO rows with the pure-numpy RIFF/PCM WAV codec, and VIDEO rows
+    with the pure-numpy YUV4MPEG2 codec above, emitting grid-luma
+    thumbnail / RMS+spectral-band / time-mean-luma-grid embeddings.
+    Compressed payloads (JPEG/MP3/H.264 …) need codec libraries not in
+    this container and raise the decoder's ValueError.
     codec="fake" hashes bytes into reproducible pseudo-embeddings for
     any media type.
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
+    real = {"image": _ppm_feature, "audio": _wav_feature,
+            "video": _y4m_feature}
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec == "real":
-                bad = [t for t in pdf["media_type"].unique()
-                       if t not in ("image", "audio")]
+                bad = [t for t in pdf["media_type"].unique() if t not in real]
                 if bad:
-                    raise NotImplementedError(
-                        f"real decoding of {bad} requires video codecs "
-                        f"not present in this environment; filter to "
-                        f"media_type in ('image','audio') or use "
-                        f"codec='fake'")
+                    raise ValueError(f"unknown media_type values {bad}")
                 feats = [
-                    (_ppm_feature if mt == "image" else _wav_feature)(
-                        bytes(c), dim).tolist()
+                    real[mt](bytes(c), dim).tolist()
                     for mt, c in zip(pdf["media_type"], pdf["content"])
                 ]
             else:
@@ -365,10 +525,78 @@ def synth_ppm_media(spark: SparkSession, n: int = 16,
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(num_partitions)
 
 
+def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """ACTUAL frame extraction from Y4M video rows — the executed form of
+    `frame_sample`: decode → pick the nearest frame at each every_ms
+    tick → re-encode each still as PPM, inside one Arrow-batched
+    mapInPandas. Returns (media_id, frame_index, ts_ms, content) where
+    content is a PPM payload `decode_ppm`/`resize_images` can consume —
+    the classic video→image handoff of a frame-captioning pipeline."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ])
+
+    def do_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, outs = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames, fn, fd = decode_y4m(bytes(c))
+                dur_ms = len(frames) * 1000 * fd // fn
+                for ts in range(0, dur_ms, every_ms):
+                    fi = min(ts * fn // (1000 * fd), len(frames) - 1)
+                    ids.append(mid)
+                    idxs.append(int(fi))
+                    tss.append(ts)
+                    outs.append(bytearray(encode_ppm(frames[fi])))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_index": pd.Series(idxs, dtype="int32"),
+                                "ts_ms": pd.Series(tss, dtype="int32"),
+                                "content": outs})
+
+    return (media.filter(F.col("media_type") == "video")
+            .mapInPandas(do_extract, out_schema))
+
+
+def motion_profile(media: DataFrame) -> DataFrame:
+    """Per-transition motion signal from decoded Y4M video: for each
+    consecutive frame pair, the mean absolute luma delta (0–255 scale) —
+    the standard scene-cut / static-clip detector a video curation
+    pipeline thresholds on. Returns (media_id, frame_index, motion)
+    where frame_index is the LATER frame of the pair."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("motion", FloatType(), False),
+    ])
+
+    def do_motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mots = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames, _fn, _fd = decode_y4m(bytes(c))
+                luma = (frames[..., 0] * 0.299 + frames[..., 1] * 0.587
+                        + frames[..., 2] * 0.114)
+                delta = np.abs(np.diff(luma, axis=0)).mean(axis=(1, 2))
+                for i, d in enumerate(delta, start=1):
+                    ids.append(mid)
+                    idxs.append(i)
+                    mots.append(float(d))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_index": pd.Series(idxs, dtype="int32"),
+                                "motion": pd.Series(mots, dtype="float32")})
+
+    return (media.filter(F.col("media_type") == "video")
+            .mapInPandas(do_motion, out_schema))
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame, computed from
-    duration metadata (JVM-side sequence — the decode of actual frames is
-    the stubbed codec step)."""
+    duration metadata only (JVM-side sequence, no decode) — the cheap
+    planning twin of `extract_frames`, for sizing a sampling job before
+    touching payload bytes."""
     video = media.filter(F.col("media_type") == "video")
     idx = F.explode(F.sequence(
         F.lit(0), F.floor(F.col("meta.duration_ms") / every_ms).cast("int")))

@@ -764,3 +764,100 @@ def q_embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
              emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
                 .select("embedding").collect()]
     return kmeans_cluster_stats(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec video battery (beyond-reference): deterministic solid-gray
+# YUV4MPEG2 clips keyed off documents.doc_id. Solid frames survive the
+# RGB→YCbCr→4:2:0→RGB round trip EXACTLY (gray ⇒ Y = v, Cb = Cr = 128,
+# and chroma means of a constant plane are that constant), so the decoded
+# luma — and therefore motion deltas and PPM still sizes — are pure
+# integer arithmetic DuckDB replays in full.
+# ---------------------------------------------------------------------------
+
+def _solid_y4m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """40 clips: clip i is nf=6+i%5 frames of solid gray
+    v(i, f) = 20 + (37 i + 23 f²) mod 200 at (8+2(i%4))×(10+2(i%3)),
+    10 fps — built as real Y4M bytes inside Arrow-batched mapInPandas."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_y4m
+
+    ids = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40).select("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, mts, contents, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h, nf = 8 + 2 * (i % 4), 10 + 2 * (i % 3), 6 + i % 5
+                frames = np.stack([
+                    np.full((h, w, 3), 20 + (37 * i + 23 * f * f) % 200,
+                            dtype=np.uint8)
+                    for f in range(nf)])
+                mids.append(i)
+                mts.append("video")
+                contents.append(bytearray(encode_y4m(frames, fps_num=10)))
+                metas.append({"width": w, "height": h, "sample_rate": None,
+                              "duration_ms": nf * 100, "format": "y4m"})
+            yield pd.DataFrame({"media_id": pd.Series(mids, dtype="int64"),
+                                "media_type": mts, "content": contents,
+                                "meta": metas})
+
+    return ids.mapInPandas(build, MEDIA_SCHEMA)
+
+
+@register("multimodal_video_motion", """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 40),
+trans AS (
+  SELECT media_id,
+         UNNEST(GENERATE_SERIES(1, 5 + CAST(media_id % 5 AS INT)))
+           AS frame_index
+  FROM ids)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       CAST(ABS(((37 * media_id + 23 * frame_index * frame_index) % 200)
+              - ((37 * media_id + 23 * (frame_index - 1) * (frame_index - 1))
+                 % 200)) AS DOUBLE) AS motion
+FROM trans
+""")
+def q_multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition motion over REAL decoded Y4M frames. Solid gray
+    frames make the decoded luma exactly v(i, f), so motion is exactly
+    |v(i,f) − v(i,f−1)| — integers that survive the float32 cast, giving
+    a full-value cross-engine hash despite a real pixel pipeline."""
+    from ..operators.multimodal import motion_profile
+    return (motion_profile(_solid_y4m_media(spark, sf_dir))
+            .select("media_id", "frame_index",
+                    F.col("motion").cast("double").alias("motion")))
+
+
+@register("multimodal_frame_extract", """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + 2 * CAST(doc_id % 4 AS INT) AS w,
+         10 + 2 * CAST(doc_id % 3 AS INT) AS h,
+         6 + CAST(doc_id % 5 AS INT) AS nf
+  FROM documents WHERE doc_id < 40),
+ticks AS (
+  SELECT media_id, w, h,
+         UNNEST(GENERATE_SERIES(0, nf * 100 - 1, 300)) AS ts_ms
+  FROM ids)
+SELECT media_id, CAST(ts_ms // 100 AS INT) AS frame_index,
+       CAST(ts_ms AS INT) AS ts_ms,
+       CAST(9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR))
+            + w * h * 3 AS INT) AS ppm_len
+FROM ticks
+""")
+def q_multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame extraction at 300 ms ticks over REAL decoded Y4M: each still
+    is re-encoded as PPM; the oracle replays the tick→frame mapping and
+    the exact PPM payload size (header digits + w·h·3) — pinning that a
+    real per-frame payload of the right geometry was produced."""
+    from ..operators.multimodal import extract_frames
+    return (extract_frames(_solid_y4m_media(spark, sf_dir), every_ms=300)
+            .select("media_id", "frame_index", "ts_ms",
+                    F.octet_length("content").alias("ppm_len")))

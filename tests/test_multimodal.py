@@ -26,14 +26,121 @@ def test_extract_features_schema_and_determinism(media):
     assert all(len(v) == 16 for v in rows1.values())
 
 
-def test_real_codec_video_still_stubbed(media):
-    """Video decode remains the one external-codec integration point
-    (image and audio now have real pure-numpy codecs)."""
+def test_real_codec_rejects_compressed_payloads(media):
+    """All three modalities now have real pure-numpy baseline codecs;
+    compressed payloads (synth_media fakes claim mp4) must fail loudly
+    at the decoder, not produce garbage features."""
     with pytest.raises(Exception) as ei:
         extract_features(media.filter(F.col("media_type") == "video"),
                          codec="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    assert "YUV4MPEG2" in str(ei.value)
+
+
+def test_y4m_roundtrip_c444_and_c420():
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_y4m, encode_y4m,
+    )
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(3, 6, 8, 3), dtype=np.uint8)
+    # C444: lossless up to the ±2 YCbCr round-trip rounding
+    out, fn, fd = decode_y4m(encode_y4m(frames, fps_num=30, colorspace="C444"))
+    assert (fn, fd) == (30, 1) and out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 2
+    # C420: luma survives subsampling exactly (Y plane is never averaged)
+    gray = np.repeat(rng.randint(0, 256, size=(2, 4, 6, 1), dtype=np.uint8),
+                     3, axis=3)
+    out2, _, _ = decode_y4m(encode_y4m(gray, fps_num=10))
+    assert np.abs(out2.astype(int) - gray.astype(int)).max() <= 3
+    # unknown header tags (Xcomment) and FRAME params are skipped
+    raw = encode_y4m(frames, colorspace="C444")
+    patched = raw.replace(b" Ip ", b" Ip Xskipme ", 1) \
+                 .replace(b"FRAME\n", b"FRAME Ixyz\n", 1)
+    out3, _, _ = decode_y4m(patched)
+    assert (out3 == out).all()
+
+
+def test_real_codec_video_features_match_numpy(spark):
+    """codec='real' on video must equal the plain-numpy computation:
+    Y4M decode -> per-frame luma -> time mean -> 4x4 grid -> /255 -> L2."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_y4m, extract_features, synth_y4m_media,
+    )
+    media = synth_y4m_media(spark, n=4, width=32, height=24, num_frames=6)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in extract_features(media, dim=16, codec="real").collect()}
+    assert len(got) == 4
+    for r in media.collect():
+        frames, _, _ = decode_y4m(bytes(r["content"]))
+        luma = (frames.astype(np.float64)
+                @ np.array([0.299, 0.587, 0.114])).mean(axis=0)
+        cells = np.array([
+            luma[i * 6:(i + 1) * 6, j * 8:(j + 1) * 8].mean()
+            for i in range(4) for j in range(4)])
+        exp = (cells / 255.0).astype(np.float32)
+        exp = exp / np.linalg.norm(exp)
+        assert np.allclose(got[r["media_id"]], exp, atol=1e-6)
+
+
+def test_real_codec_all_three_modalities_one_pass(spark):
+    """One mapInPandas pass must featurize image, audio, and video rows
+    together with a single dim."""
+    from graph_database_spark.operators.multimodal import (
+        synth_ppm_media, synth_wav_media, synth_y4m_media,
+    )
+    mixed = (synth_ppm_media(spark, n=2)
+             .unionByName(synth_wav_media(spark, n=2))
+             .unionByName(synth_y4m_media(spark, n=2)))
+    rows = extract_features(mixed, dim=16, codec="real").collect()
+    assert len(rows) == 6
+    assert {r["media_type"] for r in rows} == {"image", "audio", "video"}
+    assert all(len(r["feature"]) == 16 for r in rows)
+
+
+def test_extract_frames_real_stills(spark):
+    """extract_frames must emit decodable PPM stills whose pixels equal
+    the decoded Y4M frame at each sampled timestamp."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_ppm, decode_y4m, extract_frames, synth_y4m_media,
+    )
+    # 10 frames @ 10 fps = 1000 ms → ticks at 0/250/500/750 ms
+    media = synth_y4m_media(spark, n=2, num_frames=10, fps=10)
+    src = {r["media_id"]: decode_y4m(bytes(r["content"]))[0]
+           for r in media.collect()}
+    out = extract_frames(media, every_ms=250).collect()
+    assert len(out) == 2 * 4
+    for r in out:
+        assert r["frame_index"] == r["ts_ms"] // 100  # 10 fps → 100 ms/frame
+        img = decode_ppm(bytes(r["content"]))
+        assert (img == src[r["media_id"]][r["frame_index"]]).all()
+        assert np.any(img == 255)  # the moving stripe is present
+
+
+def test_motion_profile_moving_vs_static(spark):
+    """The synth stripe moves every frame → every transition has nonzero
+    motion; a static clip (same frame repeated) must profile ~0 — the
+    contract a static-clip filter in a curation pipeline thresholds on."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_y4m, motion_profile, synth_y4m_media,
+    )
+    moving = synth_y4m_media(spark, n=3, num_frames=8)
+    rows = motion_profile(moving).collect()
+    assert len(rows) == 3 * 7
+    assert all(r["motion"] > 0 for r in rows)
+    frame = np.full((10, 8, 3), 77, dtype=np.uint8)
+    static = spark.createDataFrame(
+        [(99, "video", bytearray(encode_y4m(np.stack([frame] * 5))),
+          (8, 10, None, 500, "y4m"))], MEDIA_SCHEMA)
+    srows = motion_profile(static).collect()
+    assert len(srows) == 4
+    assert all(r["motion"] == 0.0 for r in srows)
 
 
 def test_wav_roundtrip_and_chunk_tolerance():
