@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "word_heavy_hitters",
     "doc_chunk_windows",
     "doc_tfidf_keywords",
+    "bm25_topk",
     "doc_unigram_logprob",
     "graph_kcore",
     "orders_profile",

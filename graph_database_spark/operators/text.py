@@ -254,6 +254,62 @@ def tfidf_keywords(documents: DataFrame, top: int = 3,
             .filter(F.col("rank") <= top))
 
 
+def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
+              b: float = 0.75, top: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """(query_id, doc_id, score, rank): Okapi BM25 retrieval — the
+    classic lexical ranking a RAG pipeline runs before (or fused with)
+    embedding ANN. `queries` is (query_id, term), terms lowercase.
+
+    score(q, D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + ½)/(df + ½) + 1) = ln(2N+2) − ln(2df+1),
+    so ln only ever sees exactly-representable integers (engine-portable,
+    same discipline as `unigram_logprob`); per-term scores are rounded to
+    9 dp into DECIMAL sums (order-free), dl/avgdl is expressed as
+    dl·N/T to keep one division.
+
+    Scale shape: ONE corpus explode feeds the (doc, token) tf aggregate;
+    dl and df both derive from tf (no second scan). The query-term set is
+    broadcast and applied BEFORE the df/dl joins, so everything after the
+    tf aggregate is sized by matching terms, not the corpus. Top-k per
+    query is rank-limited (WindowGroupLimit), never a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = (spread(documents)
+            .select("doc_id",
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_tokens"))
+    tf_q = tf.join(F.broadcast(queries.withColumnRenamed("term", "token")),
+                   "token")
+    df = tf_q.select("doc_id", "token").distinct() \
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(2 * F.col("n_docs") + 2)
+                  - F.log(2 * F.col("df") + 1), 9)
+    tfc = (F.col("tf") * (k1 + 1)
+           / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                  * F.col("n_docs")
+                                  / F.col("total_tokens"))))
+    per_term = (tf_q
+                .join(F.broadcast(df), "token")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(totals))
+                .select("query_id", "doc_id",
+                        F.round(idf * tfc, 9).cast("decimal(18,9)")
+                         .alias("s")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (per_term.groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("s").cast("double"), 6).alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top))
+
+
 def bpe_merge_candidates(documents: DataFrame, k: int = 50,
                          text_col: str = "text") -> DataFrame:
     """(pair, n_occurrences): the top-k adjacent character pairs weighted

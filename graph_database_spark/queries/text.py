@@ -757,3 +757,59 @@ def q_doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     global row sort at any corpus size."""
     from ..operators.text import quantile_normalize
     return quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (beyond-reference): Okapi BM25 — the sparse half of a
+# RAG retrieval stack, next to the embedding ANN battery. The fixed query
+# set is part of the entry (a retrieval benchmark run, not a service).
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [(1, "hash"), (1, "join"),
+                 (2, "window"), (2, "agg"), (2, "stream"),
+                 (3, "slow"), (3, "query"), (3, "scan")]
+
+_SQL_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register("bm25_topk", rf"""
+WITH toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+q(query_id, token) AS (VALUES {_SQL_BM25_VALUES}),
+tfq AS (SELECT q.query_id, tf.doc_id, tf.token, tf.tf
+        FROM tf JOIN q USING (token)),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfq GROUP BY 1),
+per AS (
+  SELECT query_id, tfq.doc_id,
+         CAST(ROUND(ROUND(ln(2 * n + 2) - ln(2 * df + 1), 9)
+               * (tf * CAST(2.2 AS DOUBLE)
+                  / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl * n / t))), 9)
+              AS DECIMAL(18,9)) AS s
+  FROM tfq JOIN df USING (token) JOIN dl ON tfq.doc_id = dl.doc_id
+  CROSS JOIN tot),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(SUM(s) AS DOUBLE), 6) AS DOUBLE) AS score
+  FROM per GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+""")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query (k1=1.2, b=0.75) over `documents` —
+    idf via ln on integer inputs only, 9-dp DECIMAL per-term sums, so
+    both engines agree bit-for-bit (same discipline as
+    doc_unigram_logprob). Sparse twin of the embedding_topk_* entries."""
+    from ..operators.text import bm25_topk
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_topk(load_table(spark, sf_dir, "documents"), qdf)

@@ -393,3 +393,16 @@ def test_tfidf_plan_shape(spark):
     assert "BroadcastHashJoin" in plan        # df join is broadcast
     assert "WindowGroupLimit" in plan         # top-3 per doc, rank-limited
     assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row n_docs total
+
+
+def test_bm25_plan_shape(spark):
+    """BM25's scale posture: the 8-term query set and the query-term df
+    are broadcast (everything after the tf aggregate is sized by
+    matching terms, not the corpus), only doc_id+text reach the scan,
+    and the per-query top-10 is rank-limited, never a global sort."""
+    plan = _formatted_plan(spark, "bm25_topk")
+    for r in [l for l in plan.split("\n") if "ReadSchema" in l]:
+        assert "title" not in r and "url" not in r, r
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast NLJ
