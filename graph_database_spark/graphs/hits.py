@@ -28,7 +28,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
                    num_partitions: int | None = None,
                    init_hubs: DataFrame | None = None,
                    tol: float | None = None,
-                   with_iterations: bool = False) -> DataFrame:
+                   with_iterations: bool = False) -> DataFrame | tuple[DataFrame, int]:
     """edges: (src, dst) distinct directed pairs (hub side → authority
     side; the two id spaces are independent). Returns (side, id, score):
     one 'hub' row per distinct src and one 'authority' row per distinct

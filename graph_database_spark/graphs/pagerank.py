@@ -75,7 +75,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
              max_iter: int = 50,
              num_partitions: int | None = None,
              init_ranks: DataFrame | None = None,
-             with_iterations: bool = False) -> DataFrame:
+             with_iterations: bool = False) -> DataFrame | tuple[DataFrame, int]:
     """vertices: (id); edges: (src, dst, weight) row-stochastic per src.
 
     Returns (id, rank) — or ((id, rank), iterations_run) when

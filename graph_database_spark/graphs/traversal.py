@@ -340,7 +340,7 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
                       dedupe: bool = True,
                       init_labels: DataFrame | None = None,
                       stop_when_stable: bool = False,
-                      with_iterations: bool = False) -> DataFrame:
+                      with_iterations: bool = False) -> DataFrame | tuple[DataFrame, int]:
     """(id, community) via synchronous label propagation with a
     deterministic tie-break: each superstep every vertex adopts the
     label most frequent among its neighbors, ties broken by the SMALLEST

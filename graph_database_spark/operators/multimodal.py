@@ -206,6 +206,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if size > len(data) - pos - 8:
+            # don't let a lying size field silently truncate the slice
+            # (fewer samples, no error) — mirror decode_y4m's loud
+            # truncated-payload check (ADVICE r5)
+            raise ValueError(
+                f"truncated chunk {cid!r}: declared {size} bytes, "
+                f"{len(data) - pos - 8} remain")
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -221,6 +228,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported "
                          f"(format={audio_format}, bits={bits})")
+    if ch == 0:
+        raise ValueError("malformed fmt chunk: zero channels")
     n = len(raw) // (2 * ch)
     s = np.frombuffer(raw, dtype="<i2", count=n * ch).reshape(n, ch)
     return s.astype(np.int16).copy(), sample_rate

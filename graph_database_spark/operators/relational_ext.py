@@ -561,7 +561,10 @@ def skew_whale_counts(events: DataFrame, n_salts: int = 16,
     task's memory; AQE's skew split cannot help a hash AGGREGATION
     (only sort-merge joins), which is why the salt is explicit.
     """
-    whale = F.when(F.col("user_id") % 10 == 0, F.lit(1)) \
+    # sentinel -1 lies outside the positive id space, so the whale can
+    # never silently absorb a genuine user's events (ADVICE r5: sentinel
+    # 1 collided with real user 1)
+    whale = F.when(F.col("user_id") % 10 == 0, F.lit(-1)) \
         .otherwise(F.col("user_id")).alias("user_id")
     skewed = events.select(whale, "event_type", "event_id")
     phase1 = (skewed

@@ -195,7 +195,7 @@ def q_events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_skew_whale_counts", """
 WITH skewed AS (
-  SELECT CASE WHEN user_id % 10 = 0 THEN 1 ELSE user_id END AS user_id,
+  SELECT CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS user_id,
          event_type
   FROM events),
 c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events

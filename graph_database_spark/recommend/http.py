@@ -18,6 +18,7 @@ their curl calls unchanged.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -119,7 +120,12 @@ def make_handler(service: RecommendationService, engine):
             except (ValueError, KeyError) as exc:
                 status, body = 422, {"detail": f"bad request: {exc}"}
             except Exception as exc:  # Spark/Py4J failures → clean 500
-                status, body = 500, {"detail": f"internal error: {exc}"}
+                # log server-side only: str(exc) can carry Py4J stack
+                # detail (paths, internal class names) that must not
+                # reach HTTP clients (ADVICE r5)
+                logging.getLogger(__name__).exception(
+                    "unhandled error serving %s: %s", self.path, exc)
+                status, body = 500, {"detail": "internal error"}
             payload = json.dumps(body).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

@@ -66,6 +66,14 @@ def run_streaming_cms(sketch: DataFrame, out_path: str,
                     and int(name.split("=", 1)[1]) < epoch - 1):
                 shutil.rmtree(os.path.join(out_path, name),
                               ignore_errors=True)
+            elif name.startswith(".ptr-"):
+                # a batch that crashed between mkstemp and os.replace
+                # leaves its temp pointer behind forever; sweep stale
+                # ones on each successful swap (ADVICE r5)
+                try:
+                    os.unlink(os.path.join(out_path, name))
+                except OSError:
+                    pass
 
     os.makedirs(out_path, exist_ok=True)
     return (sketch.writeStream

@@ -99,4 +99,7 @@ def test_internal_errors_are_well_formed_500(server, monkeypatch):
     monkeypatch.setattr(http_mod, "_rows", boom)
     status, body = _get(f"{server}/recs?strategy=co_occurrence")
     assert status == 500
-    assert "internal error" in body["detail"]
+    # generic body only: exception text (Py4J stacks, paths) must never
+    # reach the client (ADVICE r5)
+    assert body["detail"] == "internal error"
+    assert "spark exploded" not in str(body)

@@ -163,6 +163,29 @@ def test_wav_roundtrip_and_chunk_tolerance():
     assert sr2 == 8000 and (out2[:, 0] == mono).all()
 
 
+def test_wav_decoder_rejects_malformed_payloads():
+    """A lying chunk size must raise, never silently truncate samples;
+    a zero-channel fmt must be a ValueError, not ZeroDivisionError."""
+    import numpy as np
+    import pytest
+
+    from graph_database_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+    mono = np.arange(40, dtype=np.int16)
+    raw = bytearray(encode_wav(mono, 8000))
+    data_pos = raw.index(b"data")
+    # inflate the declared data-chunk size past the real payload
+    raw[data_pos + 4:data_pos + 8] = (10 ** 6).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(bytes(raw))
+    raw2 = bytearray(encode_wav(mono, 8000))
+    fmt_pos = raw2.index(b"fmt ")
+    raw2[fmt_pos + 10:fmt_pos + 12] = (0).to_bytes(2, "little")  # ch=0
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(raw2))
+
+
 def test_real_codec_audio_features_match_numpy(spark):
     """codec='real' on audio must equal the plain-numpy computation:
     WAV decode -> mono [-1,1] -> 8 segment RMS + 8 spectral bands -> L2."""

@@ -370,7 +370,10 @@ def test_skew_whale_counts_salted_and_broadcast_topn(spark):
     # __salt alias into a _groupingexpression, so match the expression)
     assert "pmod(event_id" in plan
     assert plan.count("HashAggregate") >= 4
-    semi = [l for l in plan.split("\n") if "LeftSemi" in l]
+    # formatted explain echoes the join type in a "Join type: LeftSemi"
+    # node-detail line with no operator name — restrict to tree lines
+    # (operator nodes) so the detail echo can't fail the assertion
+    semi = [l for l in plan.split("\n") if "Join LeftSemi" in l]
     assert semi and all("Broadcast" in l for l in semi), semi
     assert "TakeOrderedAndProject" in plan  # top-20 by total, no global sort
 
