@@ -624,3 +624,72 @@ def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
             .select("media_id", "media_type",
                     F.round(w * scale).cast("int").alias("target_width"),
                     F.round(h * scale).cast("int").alias("target_height")))
+
+
+# ---------------------------------------------------------------------------
+# Container-format detection / decoder routing (VERDICT r5 item #5)
+# ---------------------------------------------------------------------------
+# The in-engine codecs are deliberately uncompressed-interchange only
+# (PPM / PCM WAV / YUV4MPEG2) and fail loudly on anything else. A real
+# 100 TB ingest mixes those with JPEG/PNG/MP3/H.264-in-MP4 payloads that
+# must be routed to an external decoder pool. `detect_media_format`
+# sniffs magic bytes with pure JVM-side expressions (binary substring +
+# literal compare — no UDF, whole-stage-codegen friendly) and emits the
+# routing decision so a pipeline can split the stream BEFORE any Python
+# decode batch sees a payload it would reject.
+
+#: formats the in-engine codecs fully decode
+IN_ENGINE_FORMATS = ("ppm", "wav", "y4m")
+
+_MAGIC_SIGNATURES: list[tuple[str, list[tuple[int, bytes]]]] = [
+    # (format, [(1-based offset, magic bytes), ...] — ALL must match);
+    # list order is match priority. RIFF subtypes are guarded by the
+    # container magic so free-floating "WAVE"/"AVI " bytes deeper in an
+    # unrecognized payload can never misclassify it.
+    ("y4m", [(1, b"YUV4MPEG2")]),
+    ("png", [(1, b"\x89PNG\r\n\x1a\n")]),
+    ("jpeg", [(1, b"\xff\xd8\xff")]),
+    ("gif", [(1, b"GIF8")]),
+    ("flac", [(1, b"fLaC")]),
+    ("ogg", [(1, b"OggS")]),
+    ("mp3", [(1, b"ID3")]),
+    ("ppm", [(1, b"P6")]),
+    ("wav", [(1, b"RIFF"), (9, b"WAVE")]),
+    ("webp", [(1, b"RIFF"), (9, b"WEBP")]),
+    ("avi", [(1, b"RIFF"), (9, b"AVI ")]),
+    ("mp4", [(5, b"ftyp")]),   # ISO BMFF: any brand after the size word
+]
+
+
+def detect_media_format(media: DataFrame,
+                        content_col: str = "content") -> DataFrame:
+    """Append (format, route) from the payload's magic bytes.
+
+    route = 'in_engine' for the formats `extract_features(codec='real')`
+    decodes natively, 'external' for everything else (compressed or
+    unrecognized) — the seam where a production deployment hands rows to
+    a JPEG/MP3/H.264 decoder service. Detection is a CASE chain over
+    binary `substring` compares, so it runs inside codegen at scan
+    speed; at 100 TB the split is a metadata-cheap narrow projection
+    (no shuffle) feeding two downstream pipelines.
+    """
+    c = F.col(content_col)
+    det = F.lit(None).cast("string")
+    for fmt, parts in reversed(_MAGIC_SIGNATURES):
+        cond = None
+        for off, magic in parts:
+            m = F.substring(c, off, len(magic)) == F.lit(bytearray(magic))
+            cond = m if cond is None else (cond & m)
+        det = F.when(cond, F.lit(fmt)).otherwise(det)
+    # RIFF with an unknown subtype stays external but keeps the container
+    det = F.coalesce(
+        det,
+        F.when(F.substring(c, 1, 4) == F.lit(bytearray(b"RIFF")),
+               F.lit("riff-unknown")),
+        F.lit("unknown"))
+    return (media
+            .withColumn("format", det)
+            .withColumn(
+                "route",
+                F.when(F.col("format").isin(*IN_ENGINE_FORMATS),
+                       "in_engine").otherwise("external")))

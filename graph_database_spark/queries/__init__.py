@@ -30,11 +30,12 @@ from . import text as _text  # noqa: E402,F401
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-5 ROTATION: rounds 1-4 gave 105 distinct entries external rows;
-# this window keeps 10 canaries, puts the 14 entries that had never had
-# a driver row first (closing external coverage to 119/119 — VERDICT r4
-# item #1), and fills the rest with the stalest oracle-backed
-# re-confirmations (last checked r1/r2/r3). pagerank_global and
+# ROUND-6 ROTATION: after r5 every entry except the four round-5
+# additions had at least one green external row. This window keeps the
+# 10 canaries, leads with the 4 r5 additions plus the new r6 entries
+# (closing external coverage to all registered entries), then fills
+# with the stalest oracle-backed re-confirmations (last checked r3,
+# then the 8 highest-value r4 entries). pagerank_global and
 # ppr_batch_focal stay out: they have no SQL oracle (iterative), so a
 # window slot would burn a hash-checkable row on a rows-only check.
 _DRIVER_WINDOW_PRIORITY = [
@@ -43,27 +44,24 @@ _DRIVER_WINDOW_PRIORITY = [
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
     "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (r4 late additions) — closes 119/119 coverage
-    "embedding_topk_int8", "ann_ndcg_lsh", "ann_hard_negatives",
-    "orders_rolling_revenue", "supplier_balance_stats",
-    "customers_inactive_since", "events_dow_hour",
-    "graph_degree_histogram", "graph_clustering_coeff",
-    "events_hourly_interp", "doc_sample_weighted_exact_n",
-    "doc_chunk_windows", "part_recency_popularity", "corpus_summary",
-    # last checked r1 — stalest re-confirmations
-    "multimodal_resize_plan", "multimodal_frame_sample",
-    # last checked r2
-    "top_parts_by_revenue", "token_count",
-    "doc_fingerprint", "order_priority_pivot", "customer_order_seq",
-    "parts_intersect_nations", "quantity_quantiles",
-    "local_supplier_volume", "part_name_tokens", "orders_monthly_revenue",
-    "motif_cooccurrence_topn",
-    "dedup_ngram_jaccard", "embedding_near_duplicates",
-    # last checked r3 — high-value re-confirmations
-    "cooccurrence_pairs", "similarity_jaccard_topk", "customer_cf",
-    "hits_fixed10", "dedup_exact", "connected_components",
-    "embedding_topk_ivf", "event_funnel", "weekly_retention",
-    "events_copresence", "strategy_breakdown_focal",
+    # never driver-checked (r5 additions + new r6 entries)
+    "events_skew_whale_counts", "multimodal_video_motion",
+    "multimodal_frame_extract", "bm25_topk", "media_format_detect",
+    # last checked r3 — stalest re-confirmations (all 27)
+    "adjacency_row_norm", "event_weights_by_user", "incidence_pairs",
+    "distinct_reach", "order_frequency", "seed_expansion",
+    "recommend_batch", "cooccurrence_weighted", "pricing_summary",
+    "revenue_by_nation", "revenue_rollup", "pk_violations",
+    "events_props_stats", "events_value_histogram",
+    "events_followup_purchase", "events_hourly_gapfill",
+    "graph_vertices", "shortest_paths_landmark", "ppr_fixed20_batch",
+    "graph_triangle_count", "dedup_simhash", "embedding_topk_bruteforce",
+    "dedup_canonical_docs", "dedup_incremental_minhash", "lang_id",
+    "text_quality", "doc_unigram_logprob",
+    # last checked r4 — highest-value re-confirmations
+    "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
+    "graph_lpa_communities", "doc_tfidf_keywords", "word_heavy_hitters",
+    "dedup_winnow_substrings", "ann_recall_lsh",
 ]
 
 

@@ -861,3 +861,47 @@ def q_multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (extract_frames(_solid_y4m_media(spark, sf_dir), every_ms=300)
             .select("media_id", "frame_index", "ts_ms",
                     F.octet_length("content").alias("ppm_len")))
+
+
+@register("media_format_detect", """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 9 AS INT)
+            WHEN 0 THEN 'ppm'  WHEN 1 THEN 'wav' WHEN 2 THEN 'y4m'
+            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png' WHEN 5 THEN 'mp4'
+            WHEN 6 THEN 'mp3'  WHEN 7 THEN 'unknown'
+            ELSE 'riff-unknown' END AS format,
+       CASE WHEN CAST(doc_id % 9 AS INT) IN (0, 1, 2) THEN 'in_engine'
+            ELSE 'external' END AS route
+FROM documents
+""")
+def q_media_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoder-routing seam (VERDICT r5 #5): payloads carrying REAL magic
+    bytes (PPM/RIFF-WAVE/Y4M in-engine; JPEG/PNG/MP4/MP3 and a junk-
+    subtype RIFF external) are classified by `detect_media_format`'s
+    binary-substring CASE chain — Spark sniffs the actual bytes while the
+    oracle independently states the expected class from the id that chose
+    each prefix, so a wrong sniff (offset, priority, RIFF subtype) breaks
+    the hash."""
+    from ..operators.multimodal import detect_media_format
+    docs = load_table(spark, sf_dir, "documents")
+    prefixes = [
+        b"P6\n4 4\n255\n",                    # 0 ppm
+        b"RIFF\x24\x00\x00\x00WAVEfmt ",      # 1 wav
+        b"YUV4MPEG2 W8 H8 F25:1\n",           # 2 y4m
+        b"\xff\xd8\xff\xe0\x00\x10JFIF",      # 3 jpeg
+        b"\x89PNG\r\n\x1a\n",                 # 4 png
+        b"\x00\x00\x00\x18ftypisom",          # 5 mp4 (ISO BMFF brand)
+        b"ID3\x04\x00",                       # 6 mp3 (ID3v2 tag)
+        b"",                                  # 7 unknown (bare text)
+        b"RIFF\x24\x00\x00\x00JUNKfmt ",      # 8 riff, unknown subtype
+    ]
+    sel = F.col("doc_id") % 9
+    prefix = F.lit(bytearray(prefixes[0]))
+    for i in range(1, 9):
+        prefix = F.when(sel == i, F.lit(bytearray(prefixes[i]))) \
+            .otherwise(prefix)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(prefix, F.encode("text", "utf-8")).alias("content"))
+    return (detect_media_format(media)
+            .select("media_id", "format", "route"))

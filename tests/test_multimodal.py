@@ -300,3 +300,46 @@ def test_resize_images_actual_pixels(spark):
         ys = np.minimum(((np.arange(6) + 0.5) * 24 / 6).astype(int), 23)
         xs = np.minimum(((np.arange(8) + 0.5) * 32 / 8).astype(int), 31)
         assert (img == src[ys[:, None], xs[None, :]]).all()
+
+
+def test_format_detect_routes_real_payloads(spark):
+    """Magic-byte routing: payloads produced by the REAL in-engine
+    encoders classify as their format with route=in_engine; compressed
+    magic (JPEG/PNG/MP4) routes external; the external-routed rows are
+    exactly the ones the real decoder would reject — the production
+    seam contract."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        decode_ppm, detect_media_format, encode_ppm, encode_wav,
+        encode_y4m,
+    )
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    frames = rng.randint(16, 236, size=(2, 4, 4, 3), dtype=np.uint8)
+    payloads = {
+        1: (encode_ppm(img), "ppm", "in_engine"),
+        2: (encode_wav(np.zeros(8, dtype=np.int16), 8000), "wav",
+            "in_engine"),
+        3: (encode_y4m(frames), "y4m", "in_engine"),
+        4: (b"\xff\xd8\xff\xe0\x00\x10JFIF-rest", "jpeg", "external"),
+        5: (b"\x89PNG\r\n\x1a\n-rest", "png", "external"),
+        6: (b"\x00\x00\x00\x18ftypisom-rest", "mp4", "external"),
+        7: (b"RIFF\x10\x00\x00\x00AVI -rest", "avi", "external"),
+        8: (b"RIFF\x10\x00\x00\x00JUNK-rest", "riff-unknown", "external"),
+        # free-floating WAVE at offset 9 without RIFF must NOT match
+        9: (b"xxxxxxxxWAVE-rest", "unknown", "external"),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, (p, _f, _r) in payloads.items()],
+        "media_id int, content binary")
+    got = {r["media_id"]: (r["format"], r["route"])
+           for r in detect_media_format(df).collect()}
+    for k, (_p, fmt, route) in payloads.items():
+        assert got[k] == (fmt, route), (k, got[k], fmt, route)
+    # seam contract: in-engine PPM payload round-trips; the jpeg payload
+    # (routed external) is exactly what decode_ppm refuses
+    assert (decode_ppm(payloads[1][0]) == img).all()
+    import pytest
+    with pytest.raises(ValueError):
+        decode_ppm(payloads[4][0])

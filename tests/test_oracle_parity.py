@@ -94,14 +94,11 @@ def test_driver_window_covers_priority_queries():
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
         "embedding_topk_lsh", "word_counts_cms",
-        # round-5 rotation: the 14 entries that had never had an
-        # external driver row (VERDICT r4 item #1) — closes 119/119
-        "embedding_topk_int8", "ann_ndcg_lsh", "ann_hard_negatives",
-        "orders_rolling_revenue", "supplier_balance_stats",
-        "customers_inactive_since", "events_dow_hour",
-        "graph_degree_histogram", "graph_clustering_coeff",
-        "events_hourly_interp", "doc_sample_weighted_exact_n",
-        "doc_chunk_windows", "part_recency_popularity", "corpus_summary",
+        # round-6 rotation: the entries that had never had an external
+        # driver row after r5 (VERDICT r5 item #2) — closes coverage to
+        # every oracle-backed entry
+        "events_skew_whale_counts", "multimodal_video_motion",
+        "multimodal_frame_extract", "bm25_topk", "media_format_detect",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
