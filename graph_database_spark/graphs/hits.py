@@ -56,14 +56,21 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     m = e.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
-    bcast = m <= _BROADCAST_STATE_ROWS
+    hubs = e.select("src").distinct().localCheckpoint()
+    # The per-iteration broadcast frames (h / a) are VERTEX-sized, so the
+    # gate must measure the larger vertex side, not the edge count: the
+    # old m-gate flipped to per-half-step edge shuffles at 5.99M edges
+    # over only 350k vertices (sf1) — the 6.5x second-decade cliff in
+    # SCALING.md r5. Two one-off distinct counts on the checkpointed edge
+    # frame buy back 2·max_iter shuffle joins.
+    n_state = max(hubs.count(), e.select("dst").distinct().count())
+    bcast = n_state <= _BROADCAST_STATE_ROWS
     if not bcast:
         e = e.repartition(n_parts, "src").localCheckpoint()
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
-    hubs = e.select("src").distinct()
     if init_hubs is None:
         h = hubs.withColumn("h", F.lit(1.0)).localCheckpoint()
     else:

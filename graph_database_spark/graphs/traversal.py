@@ -41,10 +41,16 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
     m = edges.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
-    # frontier ≤ |V|·|landmarks|; when the graph itself is small, broadcast
-    # the frontier so the edge table never shuffles (checkpointed frames
-    # have no stats, so Catalyst won't make this call itself).
-    bcast_state = m <= _BROADCAST_STATE_ROWS
+    # frontier rows are (vertex, landmark) pairs, so the broadcast frame
+    # is bounded by |V|·|landmarks| — gate on THAT, not the edge count
+    # (an edge-count gate flips to per-hop edge shuffles on dense graphs
+    # whose vertex set still broadcasts fine; see the sf1 HITS cliff).
+    # Checkpointed frames have no stats, so Catalyst won't make this
+    # call itself.
+    nv = (edges.select(F.col("src").alias("v"))
+          .unionByName(edges.select(F.col("dst").alias("v")))
+          .distinct().count())
+    bcast_state = nv * max(1, landmarks.count()) <= _BROADCAST_STATE_ROWS
     if not bcast_state:
         edges = edges.repartition(n_parts, "src").localCheckpoint()
 
@@ -112,7 +118,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     m = sym.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
-    bcast_state = m <= _BROADCAST_STATE_ROWS
+    # labels / neighbor_min are |V|-sized — gate the broadcast on the
+    # vertex count, not the (much larger) symmetrized edge count
+    bcast_state = vertices.count() <= _BROADCAST_STATE_ROWS
     if not bcast_state:
         sym = sym.repartition(n_parts, "src").localCheckpoint()
 
@@ -197,7 +205,12 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
     m = edges.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
-    bcast_state = m <= _BROADCAST_STATE_ROWS
+    # the broadcast frame is dist: ≤ |V|·|landmarks| rows — gate on that
+    # bound, not the edge count (see the sf1 HITS cliff)
+    nv = (edges.select(F.col("src").alias("v"))
+          .unionByName(edges.select(F.col("dst").alias("v")))
+          .distinct().count())
+    bcast_state = nv * max(1, landmarks.count()) <= _BROADCAST_STATE_ROWS
     if not bcast_state:
         edges = edges.repartition(n_parts, "src").localCheckpoint()
 
@@ -377,7 +390,8 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     m = sym.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, m)
-    bcast_state = m <= _BROADCAST_STATE_ROWS
+    # labels / per-vertex argmax frames are |V|-sized — gate on vertices
+    bcast_state = vertices.count() <= _BROADCAST_STATE_ROWS
     if not bcast_state:
         sym = sym.repartition(n_parts, "src").localCheckpoint()
 
