@@ -186,7 +186,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
 def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
                             rounds: int = 8,
-                            num_partitions: int | None = None) -> DataFrame:
+                            num_partitions: int | None = None,
+                            init_dists: DataFrame | None = None,
+                            until_stable: bool = False,
+                            with_rounds: bool = False,
+                            ) -> DataFrame | tuple[DataFrame, int]:
     """(id, landmark, dist): Bellman-Ford relaxation — min-cost paths
     under non-negative edge weights, the weighted upgrade of
     `shortest_paths` (which counts hops). edges: (src, dst, weight)
@@ -200,6 +204,24 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
     float-parity-safe across engines because the only arithmetic is
     binary IEEE adds along each path (identical association order) and
     exact MIN comparisons.
+
+    `init_dists` ((id, landmark, dist) from a PREVIOUS run) warm-starts
+    the relaxation after edges were APPENDED — the incremental pattern
+    shared with pagerank(init_ranks=...) and CC(init_labels=...):
+    appends only ever shorten paths, so each old distance is a
+    realizable path length in the new graph and an UPPER bound on the
+    new distance, and min-relaxation from upper bounds reaches the exact
+    fixpoint (it can never undershoot; landmark self-rows are re-seeded
+    at 0). Only vertices actually improved by the new edges pay
+    propagation rounds. Edge DELETIONS can lengthen paths and break the
+    upper-bound invariant — recompute cold for those.
+
+    `until_stable=True` stops as soon as a round neither reaches a new
+    (id, landmark) pair nor improves a distance (`rounds` then acts as
+    the superstep budget): one count on the freshly checkpointed frame
+    plus one id-partitioned join probe per round — no extra shuffle
+    class. Leave False for the fixed-round oracle contract.
+    `with_rounds=True` additionally returns the executed round count.
     """
     edges = edges.select("src", "dst", "weight").localCheckpoint()
     m = edges.count()
@@ -217,20 +239,48 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
 
-    dist = landmarks.select(
+    zero = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"),
-        F.lit(0.0).alias("dist")).localCheckpoint()
+        F.lit(0.0).alias("dist"))
+    if init_dists is None:
+        dist = zero.localCheckpoint()
+    else:
+        # seed with prior distances (upper bounds after appends); min
+        # with the landmark zero rows so a stale/missing self-row can
+        # never displace the exact 0
+        dist = (init_dists
+                .select("id", "landmark", F.col("dist").cast("double"))
+                .unionByName(zero)
+                .groupBy("id", "landmark").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
 
-    for _ in range(rounds):
+    done = 0
+    for done in range(1, rounds + 1):
         relaxed = (
             edges.join(_b(dist), dist["id"] == edges["src"])
             .select(F.col("dst").alias("id"), "landmark",
                     (F.col("dist") + F.col("weight")).alias("dist"))
         )
-        dist = (dist.unionByName(relaxed)
-                .groupBy("id", "landmark")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint())
+        new_dist = (dist.unionByName(relaxed)
+                    .groupBy("id", "landmark")
+                    .agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
+        if until_stable:
+            # stable ⟺ no new (id, landmark) pair AND no exact-min
+            # improvement; both frames are checkpointed so the probes
+            # are count + one join, no recomputation
+            grew = new_dist.count() != dist.count()
+            improved = grew or not (
+                new_dist.withColumnRenamed("dist", "__nd")
+                .join(dist, ["id", "landmark"])
+                .filter(F.col("__nd") < F.col("dist")).isEmpty())
+            dist = new_dist
+            if not improved:
+                break
+        else:
+            dist = new_dist
+    if with_rounds:
+        return dist, done
     return dist
 
 
@@ -441,7 +491,11 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 3,
+               init_candidates: DataFrame | None = None,
+               until_stable: bool = False,
+               with_rounds: bool = False,
+               ) -> DataFrame | tuple[DataFrame, int]:
     """(id, degree): vertices surviving `rounds` synchronized peels of the
     k-core iteration, with their degree in the surviving subgraph.
 
@@ -458,17 +512,49 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     the incoming edge lineage twice (once under the degree aggregate,
     once under the restricted-edge checkpoint) — measurable when the
     input is an expensive expansion like the co-occurrence pair join.
+
+    `init_candidates` ((id) survivors of a PREVIOUS run) warm-starts the
+    peel after edges were DELETED/expired (sliding-window graphs): the
+    k-core only ever SHRINKS under deletions, so the old survivor set is
+    a superset of the new core, and peeling restricted to any superset
+    of the core reaches the exact same fixpoint (core members keep
+    degree ≥ k inside the core; dropping non-candidates only peels
+    non-core vertices faster). The saving: rounds scale with the old
+    CORE's peel depth, not the whole graph's. Edge APPENDS can grow the
+    core past the old survivors — recompute cold for those (the mirror
+    of CC/SSSP warm starts, which are append-only).
+
+    `until_stable=True` stops when a round peels nothing (`rounds` is
+    then the budget; the survivor set at that point IS the k-core
+    fixpoint) — one count per round on the freshly checkpointed edge
+    frame. `with_rounds=True` additionally returns the round count.
     """
     e = edges.select("src", "dst").localCheckpoint()
-    for _ in range(rounds):
+    if init_candidates is not None:
+        cand = (init_candidates.select(F.col("id").alias("src"))
+                .distinct().localCheckpoint())
+        e = (e.join(cand, "src", "leftsemi")
+             .join(cand.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+             .localCheckpoint())
+    n_edges = e.count()
+    done = 0
+    for done in range(1, rounds + 1):
         keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                 .filter(F.col("deg") >= k)
                 .select("src").localCheckpoint())
         e = (e.join(keep, "src", "leftsemi")
              .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
              .localCheckpoint())
-    return (e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-            .select(F.col("src").alias("id"), "degree"))
+        if until_stable:
+            n_new = e.count()
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+    out = (e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+           .select(F.col("src").alias("id"), "degree"))
+    if with_rounds:
+        return out, done
+    return out
 
 
 def local_clustering(edges: DataFrame) -> DataFrame:

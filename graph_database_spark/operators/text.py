@@ -310,6 +310,38 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
             .filter(F.col("rank") <= top))
 
 
+def corpus_stats_rows(documents: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """(key, kind, n): the BM25/TF-IDF corpus statistics in mergeable
+    row form — kind='df' is the distinct-document count per token,
+    kind='tf' the total occurrence count per token, kind='doc' (one
+    key='' row) the corpus size; total_tokens = Σ n over kind='tf' and
+    avgdl = total_tokens / n_docs derive from the table. Tokenization
+    matches `bm25_topk`/`tfidf_keywords` exactly (lower, \s+ split,
+    empty dropped).
+
+    The shape is chosen for INCREMENTAL maintenance: per-document df
+    contributions are deduplicated ROW-LOCALLY (array_distinct before
+    the explode), so the whole computation is explode → count with no
+    distinct state — on a stream of documents the identical expression
+    chain runs as a standard streaming aggregation whose state is the
+    stats table itself (≈ 2·|vocab| + 1 rows, never corpus-sized), and
+    micro-batch partials merge by addition. The streaming twin
+    (`streaming.text_stats`) asserts bit-identical tables.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = spread(documents).select(toks.alias("__toks"))
+    dfr = (base.select(F.explode(F.array_distinct("__toks")).alias("key"))
+           .filter(F.col("key") != "")
+           .withColumn("kind", F.lit("df")))
+    tfr = (base.select(F.explode("__toks").alias("key"))
+           .filter(F.col("key") != "")
+           .withColumn("kind", F.lit("tf")))
+    docr = base.select(F.lit("").alias("key"), F.lit("doc").alias("kind"))
+    return (dfr.unionByName(tfr).unionByName(docr)
+            .groupBy("key", "kind").agg(F.count(F.lit(1)).alias("n")))
+
+
 def bpe_merge_candidates(documents: DataFrame, k: int = 50,
                          text_col: str = "text") -> DataFrame:
     """(pair, n_occurrences): the top-k adjacent character pairs weighted

@@ -278,3 +278,83 @@ def test_label_propagation_warm_start(spark):
     c = sorted(map(tuple, cold.collect()))
     w = sorted(map(tuple, warm.collect()))
     assert c == w
+
+
+def test_kcore_warm_start_after_deletion(spark):
+    """Incremental k-core (VERDICT r5 #7, mirroring the CC/LPA warm
+    starts but in the DELETION direction — the core only shrinks when
+    edges expire): peeling restricted to yesterday's survivors reaches
+    the exact cold fixpoint, in rounds bounded by the old CORE's peel
+    depth instead of the whole graph's."""
+    from graph_database_spark.graphs.traversal import kcore_peel
+
+    def sym(pairs):
+        return pairs + [(b, a) for a, b in pairs]
+
+    # 10-cycle (the 2-core) + a 20-vertex pendant chain hanging off it:
+    # cold peeling eats the chain one free end per round (~20 rounds)
+    cycle = [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    chain = [(100, 200)] + [(200 + i, 201 + i) for i in range(19)]
+    e_old = spark.createDataFrame(sym(cycle + chain), "src long, dst long")
+    core_old, rounds_cold = kcore_peel(
+        e_old, k=2, rounds=60, until_stable=True, with_rounds=True)
+    survivors_old = core_old.select("id").localCheckpoint()
+    assert {r["id"] for r in survivors_old.collect()} \
+        == {100 + i for i in range(10)}
+    assert rounds_cold >= 20  # the chain dictates the cold depth
+
+    # expire one CYCLE edge: the 2-core vanishes entirely
+    broken = [p for p in cycle if p != (100, 101)]
+    e_new = spark.createDataFrame(sym(broken + chain), "src long, dst long")
+    warm, rounds_warm = kcore_peel(
+        e_new, k=2, rounds=60, until_stable=True, with_rounds=True,
+        init_candidates=survivors_old)
+    cold = kcore_peel(e_new, k=2, rounds=60, until_stable=True)
+    assert warm.count() == 0 and cold.count() == 0
+    # peel depth of the broken 10-cycle (~5), not the 20-chain (~20)
+    assert rounds_warm <= 7 < rounds_cold, (rounds_warm, rounds_cold)
+
+    # expire a CHAIN edge instead: the core is untouched; warm start
+    # from the old survivors confirms it in O(1) rounds, exactly
+    e_new2 = spark.createDataFrame(
+        sym(cycle + chain[:10]), "src long, dst long")
+    warm2, rounds_warm2 = kcore_peel(
+        e_new2, k=2, rounds=60, until_stable=True, with_rounds=True,
+        init_candidates=survivors_old)
+    got = {(r["id"], r["degree"]) for r in warm2.collect()}
+    assert got == {(100 + i, 2) for i in range(10)}
+    assert rounds_warm2 <= 2, rounds_warm2
+
+
+def test_sssp_warm_start_after_append(spark):
+    """Incremental SSSP (VERDICT r5 #7): seeding Bellman-Ford with a
+    previous run's distances after an edge APPEND converges to the exact
+    new fixpoint (old dists are realizable upper bounds) in a fraction
+    of the cold round count."""
+    from graph_database_spark.graphs.traversal import (
+        weighted_shortest_paths,
+    )
+
+    n = 24
+    line = [(i, i + 1, 1.0) for i in range(n)]
+    e_old = spark.createDataFrame(line, "src long, dst long, weight double")
+    lm = spark.createDataFrame([(0,)], "id long")
+    old, rounds_cold = weighted_shortest_paths(
+        e_old, lm, rounds=60, until_stable=True, with_rounds=True)
+    assert rounds_cold >= n  # the line's hop count dictates cold depth
+    old = old.localCheckpoint()
+    assert {r["id"]: r["dist"] for r in old.collect()}[n] == float(n)
+
+    # append a shortcut 0 -> n-2 of weight 1.5: only the tail improves
+    e_new = spark.createDataFrame(line + [(0, n - 2, 1.5)],
+                                  "src long, dst long, weight double")
+    warm, rounds_warm = weighted_shortest_paths(
+        e_new, lm, rounds=60, until_stable=True, with_rounds=True,
+        init_dists=old)
+    cold = weighted_shortest_paths(e_new, lm, rounds=60, until_stable=True)
+    got_w = {r["id"]: r["dist"] for r in warm.collect()}
+    got_c = {r["id"]: r["dist"] for r in cold.collect()}
+    assert got_w == got_c
+    assert got_w[n] == 1.5 + 2.0  # via the shortcut
+    # the shortcut's two-hop tail, not the 24-hop line
+    assert rounds_warm <= 4 < rounds_cold, (rounds_warm, rounds_cold)
