@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ppr_batch_focal",
     "dedup_canonical_docs",
     "media_format_detect",
+    "dedup_semantic",
 ]
 
 

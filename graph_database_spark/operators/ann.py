@@ -187,6 +187,62 @@ def kmeans_cluster_stats(embeddings: DataFrame,
     )
 
 
+def semantic_dedup(embeddings: DataFrame,
+                   centroids: list[list[float]],
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, centroid_cos, kept): SemDeDup-style semantic
+    deduplication (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster by 1-NN centroid assignment, then within each cluster drop
+    every vector that has a near-duplicate (pairwise cosine ≥ threshold)
+    strictly FARTHER from the centroid — i.e. among semantically
+    redundant examples the most atypical one survives, the paper's
+    keep-low-centroid-similarity rule made deterministic with an id
+    tie-break (drop v iff ∃u in the cell with cos(u,v) ≥ τ and
+    (ccos(u), u_id) < (ccos(v), v_id) lexicographically, so each
+    near-dup neighborhood's unique minimum always survives).
+
+    Scale shape: the quadratic step is WITHIN-CELL only — exactly the
+    paper's design: cluster count grows with the corpus so cell
+    occupancy stays bounded, and the self-join shuffles on the cell key
+    (never all-pairs). Centroids are an offline-trained broadcast
+    literal (same pattern as IVF); cosines are rounded to 6 dp before
+    every comparison so an external engine replays the decisions
+    bit-for-bit.
+    """
+    spark = embeddings.sparkSession
+    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>")
+    base = (embeddings
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(assign, "id")
+            .join(F.broadcast(cents), "cell")
+            .select("id", "cell", "v",
+                    F.round(_dot(F.col("v"), F.col("cvec")), 6)
+                     .alias("ccos"))
+            .localCheckpoint())  # reused on both sides of the self-join
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") != F.col("b.id")))
+        .filter(F.round(_dot(F.col("a.v"), F.col("b.v")), 6)
+                >= F.lit(threshold))
+        .filter((F.col("b.ccos") < F.col("a.ccos"))
+                | ((F.col("b.ccos") == F.col("a.ccos"))
+                   & (F.col("b.id") < F.col("a.id"))))
+        .select(F.col("a.id").alias("id")).distinct()
+        .withColumn("__dropped", F.lit(True)))
+    return (base.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "cell",
+                    F.col("ccos").alias("centroid_cos"),
+                    F.col("__dropped").isNull().alias("kept")))
+
+
 def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
                    tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",

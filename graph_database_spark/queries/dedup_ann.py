@@ -905,3 +905,42 @@ def q_media_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(prefix, F.encode("text", "utf-8")).alias("content"))
     return (detect_media_format(media)
             .select("media_id", "format", "route"))
+
+
+@register("dedup_semantic", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cvec) DESC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn <= 1),
+base AS (
+  SELECT a.vec_id, a.cell, e.v,
+         ROUND(list_dot_product(e.v, c.cvec), 6) AS ccos
+  FROM assign a JOIN e USING (vec_id) JOIN cents c USING (cell)),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.45
+    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+SELECT CAST(base.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
+       CAST(ccos AS DOUBLE) AS centroid_cos,
+       d.vec_id IS NULL AS kept
+FROM base LEFT JOIN dropped d USING (vec_id)
+""")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: 16 fixed corpus-vector
+    centroids (the offline-centroid pattern shared with
+    `embedding_topk_ivf`/`embedding_cluster_sizes`), threshold 0.45 —
+    the corpus is near-orthogonal (max pairwise cosine ≈ 0.51 at
+    sf0.01), so the production default 0.95 would be vacuously
+    all-kept; 0.45 exercises real drop decisions the oracle replays."""
+    from ..operators.ann import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    return semantic_dedup(emb, cents, threshold=0.45)

@@ -296,3 +296,63 @@ def test_int8_quantized_ranking_tracks_float(emb):
     for r in rows:
         true = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
         assert abs(r["qcos"] - true) < 0.02, (r, true)
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup rule on a constructed cell: among a near-duplicate
+    group the vector with the LOWEST centroid cosine survives (id
+    tie-break), singletons always survive, and no two surviving
+    vectors in a cell remain near-duplicates."""
+    import numpy as np
+
+    from graph_database_spark.operators.ann import semantic_dedup
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+
+    def unit(v):
+        a = np.asarray(v, dtype=np.float64)
+        return list(a / np.linalg.norm(a))
+
+    rows = [
+        # cell 0: a tight near-dup pair at different centroid distances
+        (10, unit([1.0, 0.05, 0.0, 0.0])),   # very central
+        (11, unit([1.0, 0.25, 0.0, 0.0])),   # same direction, less central
+        # cell 0: a singleton far from both of the above
+        (12, unit([1.0, -0.9, 0.0, 0.4])),
+        # cell 1: an exact tie in centroid cosine -> lower id survives
+        (20, unit([0.3, 1.0, 0.3, 0.0])),
+        (21, unit([0.3, 1.0, 0.0, 0.3])),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, [c0, c1], threshold=0.9).collect()}
+    assert len(out) == 5
+    assert not out[10]["kept"] and out[11]["kept"]  # farthest survives
+    assert out[12]["kept"]                          # singleton
+    # 20/21: cos(20,21) = (.09+1+0+0)/norms ≈ .92 >= .9, equal ccos
+    assert out[20]["centroid_cos"] == out[21]["centroid_cos"]
+    assert out[20]["kept"] and not out[21]["kept"]  # id tie-break
+    # survivor set is pairwise non-duplicate within each cell
+    kept = [i for i, r in out.items() if r["kept"]]
+    vecs = dict(rows)
+    for i in kept:
+        for j in kept:
+            if i < j and out[i]["cell"] == out[j]["cell"]:
+                cos = float(np.dot(vecs[i], vecs[j]))
+                assert cos < 0.9 + 1e-9, (i, j, cos)
+
+
+def test_semantic_dedup_nonvacuous_on_corpus(spark):
+    """At threshold 0.45 the sf0.001 corpus must produce BOTH kept and
+    dropped rows (the registry entry's setting is exercising real
+    decisions, not an all-kept pass-through)."""
+    from graph_database_spark.registry import QUERIES
+
+    out = QUERIES["dedup_semantic"](spark, "/root/testdata/sf0.001")
+    counts = {r["kept"]: r["n"] for r in
+              out.groupBy("kept").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
