@@ -409,3 +409,35 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan  # totals ride a broadcast NLJ
+
+
+def test_media_format_detect_is_pure_expressions(spark):
+    """Magic-byte detection must run entirely JVM-side: a CASE chain of
+    binary substring compares — no Python eval node of any kind — with
+    only the referenced document columns reaching the scan."""
+    spark.catalog.clearCache()
+    plan = _formatted_plan(spark, "media_format_detect")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted mode marks codegen'd nodes with '*' — the projection
+    # chain must be inside a codegen stage
+    assert "* Project" in plan
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert reads and all("title" not in r and "url" not in r
+                         and "lang" not in r for r in reads)
+    assert "Exchange" not in plan  # narrow projection: zero shuffles
+
+
+def test_dedup_semantic_bounded_self_join(spark):
+    """SemDeDup's quadratic step must be keyed on the cell (shuffle or
+    broadcast hash join on the cluster id — never a cartesian product),
+    and the centroid table must come in as a broadcast."""
+    spark.catalog.clearCache()
+    plan = _formatted_plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join is a cell-keyed equi join (the assignment+centroid
+    # stage sits behind the localCheckpoint, so this plan is exactly the
+    # quadratic step); its equi keys must include the cell
+    import re
+    joins = re.findall(r"Left keys(?:.*)\: \[(.*)\]", plan)
+    assert any("cell" in k for k in joins), joins
