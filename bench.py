@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "dedup_canonical_docs",
     "media_format_detect",
     "dedup_semantic",
+    "vocab_hll_by_source",
 ]
 
 

@@ -181,3 +181,114 @@ def heavy_hitters(tokens: DataFrame, min_frac: float,
         .filter(F.col("n_occurrences") >= threshold)
         .select("token", "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm", AofA 2007) — completes the sketch family: Misra-Gries
+# (exact heavy hitters), count-min (frequencies), HLL (cardinalities).
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                    #: register index bits
+HLL_M = 1 << HLL_P           #: 256 registers → σ ≈ 1.04/√m ≈ 6.5%
+HLL_W = 60 - HLL_P           #: rank bits left of the 60-bit md5 base
+#: Flajolet et al.'s bias constant α_m for m ≥ 128
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_sketch(tokens: DataFrame, col: str = "token",
+               group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group…, register, max_rank): the HLL register table per group.
+
+    register = low p bits of the portable 60-bit md5 hash; rank = count
+    of leading zeros in the remaining w bits, plus 1 — computed
+    INTEGER-EXACTLY as W + 1 − length(bin(w)) (bin() exists with
+    identical semantics in Spark and DuckDB; no floating log2 whose
+    boundary rounding could differ between engines). The sketch IS a
+    max-aggregate, so it is order-independent, mergeable across
+    partitions/streams (max), bounded by m rows per group forever, and
+    maintainable by Structured Streaming as an ordinary streaming
+    aggregation (`streaming/sketches.streaming_hll`).
+    """
+    base = _md5_long(F.col(col))
+    w = F.shiftright(base, HLL_P)
+    rank = F.when(w == 0, F.lit(HLL_W + 1)) \
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(w)))
+    return (tokens
+            .groupBy(*group_cols, (base % HLL_M).alias("register"))
+            .agg(F.max(rank).cast("int").alias("max_rank")))
+
+
+def hll_estimate(sketch: DataFrame,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group…, hll_estimate): the HLL cardinality estimate per group.
+
+    The harmonic indicator Σ 2^(−M_j) is computed as the INTEGER
+    Σ 2^(W+1−M_j) (empty registers contribute 2^(W+1); every term and
+    the 256-term total fit a BIGINT exactly), so the only floating
+    arithmetic is one literal·2^(W+1)/S division — bit-identical in any
+    engine. Small-range correction (raw ≤ 2.5m with empty registers →
+    linear counting m·ln(m/V)) applies ln to integers only, rounded 9 dp
+    before the final 6-dp round — the repo's cross-engine ln discipline.
+    """
+    scale = HLL_W + 1
+    g = list(group_cols)
+    agg = (sketch.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("__present"),
+                # python shiftleft() wants a literal shift — the SQL
+                # form takes a column expression
+                F.sum(F.expr(
+                    f"shiftleft(cast(1 as bigint), {scale} - max_rank)"))
+                 .alias("__s_present")))
+    s_total = (F.col("__s_present")
+               + (F.lit(HLL_M) - F.col("__present"))
+               * F.lit(1 << scale).cast("long"))
+    v_zero = F.lit(HLL_M) - F.col("__present")
+    raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(float(1 << scale))
+           / s_total.cast("double"))
+    linear = F.lit(float(HLL_M)) * F.round(
+        F.log(F.lit(float(HLL_M))) - F.log(v_zero.cast("double")), 9)
+    est = F.when((raw <= 2.5 * HLL_M) & (v_zero > 0), linear) \
+        .otherwise(raw)
+    return agg.select(*g, F.round(est, 6).alias("hll_estimate"))
+
+
+def hll_sql(token_source_cte: str, group_col: str | None = None) -> str:
+    """The DuckDB twin of hll_sketch→hll_estimate over a CTE named
+    `toks` (columns: token [, {group_col}]) — registry entries embed it
+    so the oracle replays the exact register/rank/sum pipeline."""
+    scale = HLL_W + 1
+    g = f"{group_col}, " if group_col else ""
+    gby = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH toks AS ({token_source_cte}),
+hashed AS (
+  SELECT {g}CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS base
+  FROM toks),
+regs AS (
+  SELECT {g}base % {HLL_M} AS register,
+         MAX(CASE WHEN base // {HLL_M} = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W + 1} - LENGTH(bin(base // {HLL_M})) END)
+           AS max_rank
+  FROM hashed GROUP BY {g}register),
+agg AS (
+  SELECT {g}COUNT(*) AS present,
+         SUM((1::BIGINT << ({scale} - max_rank))) AS s_present
+  FROM regs {gby})
+SELECT {g}CAST(ROUND(
+  CASE WHEN (CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+             * CAST({float(1 << scale)!r} AS DOUBLE)
+             / CAST(s_present + ({HLL_M} - present)
+                    * (1::BIGINT << {scale}) AS DOUBLE)) <= {2.5 * HLL_M}
+            AND ({HLL_M} - present) > 0
+       THEN CAST({float(HLL_M)!r} AS DOUBLE)
+            * ROUND(LN(CAST({float(HLL_M)!r} AS DOUBLE))
+            - LN(CAST({HLL_M} - present AS DOUBLE)), 9)
+       ELSE CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+            * CAST({float(1 << scale)!r} AS DOUBLE)
+            / CAST(s_present + ({HLL_M} - present)
+                   * (1::BIGINT << {scale}) AS DOUBLE)
+  END, 6) AS DOUBLE) AS hll_estimate
+FROM agg
+"""

@@ -47,7 +47,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (r5 additions + new r6 entries)
     "events_skew_whale_counts", "multimodal_video_motion",
     "multimodal_frame_extract", "bm25_topk", "media_format_detect",
-    "dedup_semantic",
+    "dedup_semantic", "vocab_hll_by_source",
     # last checked r3 — stalest re-confirmations (all 27)
     "adjacency_row_norm", "event_weights_by_user", "incidence_pairs",
     "distinct_reach", "order_frequency", "seed_expansion",
@@ -62,7 +62,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # last checked r4 — highest-value re-confirmations
     "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
     "graph_lpa_communities", "doc_tfidf_keywords", "word_heavy_hitters",
-    "dedup_winnow_substrings",
 ]
 
 

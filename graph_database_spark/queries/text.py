@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.testdata import load_table
 from ._shared import ORACLES, register
+from ..operators.sketches import hll_sql as _hll_sql
 
 # ---------------------------------------------------------------------------
 # Text analysis (lang-ID, quality, tokens, fingerprint) — oracle SQL is
@@ -813,3 +814,43 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bm25_topk
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_topk(load_table(spark, sf_dir, "documents"), qdf)
+
+
+_HLL_TOKS_SQL = ("SELECT source, token FROM (SELECT source, "
+                 "unnest(string_split_regex(trim(lower(text)), "
+                 "'\\s+')) AS token FROM documents) WHERE token <> ''")
+
+
+@register("vocab_hll_by_source", f"""
+WITH ex AS (
+  SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct
+  FROM ({_HLL_TOKS_SQL}) GROUP BY source)
+SELECT ex.source, ex.n_distinct, h.hll_estimate
+FROM ex JOIN ({_hll_sql(_HLL_TOKS_SQL, "source")}) h USING (source)
+""")
+def q_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality: exact COUNT DISTINCT beside
+    the HyperLogLog estimate (m=256 registers, σ≈6.5%). The oracle
+    replays the ENTIRE sketch — portable md5 base, register split,
+    integer-exact leading-zero ranks via bin(), BIGINT-scaled harmonic
+    sum, linear-counting correction with integer-only ln — so the hash
+    match pins the sketch construction bit-for-bit while n_distinct
+    displays the (bounded) estimation error. At 100 TB the register
+    table is 256 rows per group FOREVER, max-mergeable across
+    partitions, shards, and streams (`streaming/sketches.streaming_hll`
+    maintains the identical table)."""
+    from ..operators.sketches import hll_estimate, hll_sketch
+    from ..operators.util import spread
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (spread(docs)
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("token"))
+            .filter(F.col("token") != "")
+            .localCheckpoint())  # reused: sketch build + exact distinct
+    est = hll_estimate(hll_sketch(toks, group_cols=("source",)),
+                       group_cols=("source",))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("token").cast("long").alias("n_distinct"))
+    return (exact.join(est, "source")
+            .select("source", "n_distinct", "hll_estimate"))

@@ -89,3 +89,16 @@ def read_current_sketch(spark: SparkSession, out_path: str) -> DataFrame:
     with open(os.path.join(out_path, _POINTER)) as f:
         epoch_dir = f.read().strip()
     return spark.read.parquet(os.path.join(out_path, epoch_dir))
+
+
+def streaming_hll(tokens: DataFrame, col: str = "token",
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group…, register, max_rank) streaming aggregate of a token
+    stream — the identical construction as the batch
+    `operators.sketches.hll_sketch` (its rank expressions are row-local
+    and the sketch IS a max-aggregate, so Structured Streaming maintains
+    it as ordinary aggregation state: ≤ m rows per group forever, and
+    micro-batch partials merge by MAX — the HLL mergeability property).
+    Publish with `run_streaming_cms` (complete-mode epoch/pointer swap)."""
+    from ..operators.sketches import hll_sketch
+    return hll_sketch(tokens, col=col, group_cols=group_cols)

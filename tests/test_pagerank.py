@@ -245,3 +245,24 @@ def test_hits_zero_iterations(spark):
     got = {(r["side"], r["id"]): r["score"] for r in out.collect()}
     assert got[("hub", 0)] == pytest.approx(1.0)
     assert got[("authority", 1)] == pytest.approx(1.0)
+
+
+def test_hits_broadcast_gate_measures_state_not_edges(spark, monkeypatch):
+    """Regression for the sf1 second-decade cliff (VERDICT r5 #3): the
+    per-iteration broadcast must be gated on the VERTEX-sized state
+    frame, not the edge count. On a dense bipartite graph (64 edges, 16
+    vertices) with a threshold between the two, the state join must
+    still be a broadcast hash join — the old edge-count gate flipped it
+    to a sort-merge join and shuffled the edge table every half-step."""
+    import graph_database_spark.graphs.hits as hits_mod
+
+    edges = spark.createDataFrame(
+        [(i, 100 + j) for i in range(8) for j in range(8)],
+        "src long, dst long")
+    monkeypatch.setattr(hits_mod, "_BROADCAST_STATE_ROWS", 20)
+    out = hits_mod.bipartite_hits(edges, max_iter=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -105,3 +105,61 @@ def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
     # total_tokens / avgdl derive from the same table
     total = sum(n for (k, kind), n in streamed.items() if kind == "tf")
     assert total == sum(n for (k, kind), n in batch.items() if kind == "tf")
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """The HLL register table maintained over a document stream must be
+    BIT-IDENTICAL to the batch sketch on the same corpus — max-merge
+    across micro-batches is the sketch's mergeability property."""
+    from graph_database_spark.operators.sketches import (
+        corpus_tokens, hll_estimate, hll_sketch,
+    )
+    from graph_database_spark.streaming.sketches import (
+        run_streaming_cms, streaming_hll,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feed = str(tmp_path / "feed")
+    docs.repartition(4).write.parquet(feed)
+
+    stream_docs = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(feed))
+    toks = (stream_docs
+            .select(F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                .alias("token"))
+            .filter(F.col("token") != ""))
+    out = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_cms(streaming_hll(toks), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {r["register"]: r["max_rank"]
+                for r in read_current_sketch(spark, out).collect()}
+    batch_sketch = hll_sketch(corpus_tokens(docs))
+    batch = {r["register"]: r["max_rank"] for r in batch_sketch.collect()}
+    assert streamed == batch and streamed
+
+    # and the estimate derived from the streamed registers lands within
+    # the standard-error band of the exact distinct count
+    est = hll_estimate(batch_sketch).collect()[0]["hll_estimate"]
+    exact = corpus_tokens(docs).distinct().count()
+    assert abs(est - exact) / exact < 0.25, (est, exact)
+
+
+def test_hll_error_bound_across_cardinalities(spark):
+    """HLL with m=256 registers has σ ≈ 1.04/√256 = 6.5%; the estimate
+    must land within ~3σ of the exact cardinality from the linear-
+    counting regime through the raw-estimator regime."""
+    from graph_database_spark.operators.sketches import (
+        hll_estimate, hll_sketch,
+    )
+
+    for n in (50, 500, 5000, 50000):
+        toks = spark.range(n).selectExpr("concat('tok-', id) AS token")
+        est = hll_estimate(hll_sketch(toks)).collect()[0]["hll_estimate"]
+        assert abs(est - n) / n < 0.20, (n, est)
