@@ -206,6 +206,16 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     return out
 
 
+# Blocked (column-pivoted) batch PPR: up to this many personalization
+# vectors ride as COLUMNS of one |V|-row state frame — a blocked
+# multi-vector SpMV, so each iteration joins the edge table ONCE and sums
+# k products per edge instead of shuffling a k·|V|-row long frame and
+# joining k copies of every edge. Past the cap the long (key,id) form
+# takes over; at cluster scale a larger batch is run as ceil(k/64)
+# blocked tiles.
+_BLOCKED_KEYS_MAX = 64
+
+
 def pagerank_batch(vertices: DataFrame, edges: DataFrame,
                    personalization: DataFrame,
                    damping: float = 0.85, tol: float = 1e-6,
@@ -220,6 +230,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     one driver loop per customer. Convergence is tracked PER KEY — a key
     whose L1 delta drops below tol is frozen (its ranks stop updating),
     matching the reference's early termination per run.
+
+    Small batches (≤ _BLOCKED_KEYS_MAX keys) dispatch to the blocked
+    column form — identical per-key update order and freeze policy,
+    ~k× less join/aggregate work per iteration.
     """
     verts = vertices.select("id").distinct()
     n = verts.count()
@@ -228,8 +242,14 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
             .withColumn("id", F.lit(None).cast("long")) \
             .withColumn("rank", F.lit(0.0))
     keys = personalization.select("key").distinct()
+    n_keys = keys.count()
+    if 0 < n_keys <= _BLOCKED_KEYS_MAX:
+        key_list = [r["key"] for r in keys.orderBy("key").collect()]
+        return _pagerank_batch_blocked(
+            verts, n, edges, personalization, key_list,
+            damping, tol, max_iter, num_partitions)
     edges_mat = edges.select("src", "dst", "weight").localCheckpoint()
-    state_rows = n * max(1, keys.count())
+    state_rows = n * max(1, n_keys)
     n_parts = num_partitions or _iter_partitions(
         vertices.sparkSession.sparkContext, state_rows, edges_mat.count())
     bcast_state = state_rows <= _BROADCAST_STATE_ROWS
@@ -314,4 +334,136 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         if active.isEmpty():
             break
     out = active if frozen is None else frozen.unionByName(active)
+    return out.localCheckpoint()
+
+
+def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
+                            personalization: DataFrame, key_list: list,
+                            damping: float, tol: float, max_iter: int,
+                            num_partitions: int | None) -> DataFrame:
+    """Column-blocked batch PPR (dispatched from pagerank_batch).
+
+    State is ONE |V|-row frame with a rank column per key — the k
+    personalization vectors are columns of a dense |V|×k matrix and each
+    power step is a blocked SpMV: edges join the state ONCE on src and
+    the dst aggregation sums k weighted products per edge. Per-key
+    semantics are bit-compatible with the long form: same normalization
+    (uniform 1/n when a key's p sums to 0), same uniform sink
+    redistribution, same every-iteration L1 delta check with per-key
+    freeze (a frozen key's column is carried forward unchanged).
+
+    Scale: |V| rows × (k+1) doubles — for k ≤ 64 the state is ~0.5 KB a
+    row, the same order as the long frame at k=1, and the edge table is
+    shuffled ~k× less per sweep. Convergence needs one driver sync per
+    iteration (a 1-row k-column aggregate), which replaces the long
+    form's per-iteration checkpoint+isEmpty pair.
+    """
+    k = len(key_list)
+    spark_ctx = verts.sparkSession.sparkContext
+    edges = edges.select("src", "dst", "weight").localCheckpoint()
+    n_parts = num_partitions or _iter_partitions(spark_ctx, n, edges.count())
+    bcast_state = n <= _BROADCAST_STATE_ROWS
+
+    # pivot personalization to one column per key (max: (key,id) unique,
+    # max over the singleton; absent → 0)
+    pers_w = personalization.groupBy("id").agg(
+        *[F.max(F.when(F.col("key") == F.lit(kv), F.col("p")))
+          .alias(f"__p{i}") for i, kv in enumerate(key_list)])
+    full = verts.join(pers_w, "id", "left").select(
+        "id", *[F.coalesce(F.col(f"__p{i}"), F.lit(0.0)).alias(f"__p{i}")
+                for i in range(k)])
+    totals = full.agg(*[F.sum(f"__p{i}").alias(f"__t{i}") for i in range(k)])
+    sink_cols = verts.join(
+        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).select("id", F.lit(True).alias("__is_sink"))
+    if bcast_state:
+        sink_cols = F.broadcast(sink_cols)
+    p = (
+        full.crossJoin(F.broadcast(totals))
+        .join(sink_cols, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink"),
+            *[F.when(F.col(f"__t{i}") > 0,
+                     F.col(f"__p{i}") / F.col(f"__t{i}"))
+              .otherwise(F.lit(1.0 / n)).alias(f"__p{i}") for i in range(k)])
+        .repartition(n_parts, "id").localCheckpoint()
+    )
+    if not bcast_state:
+        edges = edges.repartition(n_parts, "src").localCheckpoint()
+    has_sinks = p.filter("__is_sink").limit(1).count() > 0
+
+    r = [f"__r{i}" for i in range(k)]
+    ranks = p.select(
+        "id", "__is_sink",
+        *[F.lit(1.0 / n).alias(rc) for rc in r]).localCheckpoint()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
+
+    check_delta = tol >= 0
+    # A frozen key's column is SNAPSHOTTED out of the state (the ranks
+    # frame carries live columns only) rather than carried forward via a
+    # self-join of the state — a second same-iteration join of `ranks`
+    # into the stepped chain triggers the measured Spark 4.1 local
+    # exponential plan-degradation after ~16 iterations (same pathology
+    # as the __prev-column note in pagerank()); with one `ranks`
+    # reference per step (the contrib join) iteration cost stays flat,
+    # and dropping frozen columns also skips their dead updates.
+    live = list(range(k))
+    frozen_snap: dict[int, DataFrame] = {}
+    for _ in range(max_iter):
+        contrib = (
+            edges.join(_b(ranks.select("id", *[r[i] for i in live])),
+                       ranks["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.sum(F.col(r[i]) * F.col("weight")).alias(f"__c{i}")
+                   for i in live])
+        )
+        stepped = p.join(_b(contrib), "id", "left")
+        if has_sinks:
+            sink_mass = ranks.filter("__is_sink").agg(
+                *[F.coalesce(F.sum(r[i]), F.lit(0.0)).alias(f"__s{i}")
+                  for i in live])
+            stepped = stepped.crossJoin(F.broadcast(sink_mass))
+
+        def _new(i: int):
+            term = ((1.0 - damping) * F.col(f"__p{i}")
+                    + damping * F.coalesce(F.col(f"__c{i}"), F.lit(0.0)))
+            if has_sinks:
+                term = term + damping * F.col(f"__s{i}") / n
+            return term
+
+        new_ranks = stepped.select(
+            "id", "__is_sink",
+            *[_new(i).alias(r[i]) for i in live]).localCheckpoint()
+        if check_delta:
+            # one driver sync: per-key L1 deltas as a 1-row aggregate —
+            # the long form's every-iteration freeze policy, verbatim
+            deltas = new_ranks.join(
+                _b(ranks.select("id", *[F.col(r[i]).alias(f"__o{i}")
+                                        for i in live])), "id"
+            ).agg(*[F.sum(F.abs(F.col(r[i]) - F.col(f"__o{i}")))
+                    .alias(f"__d{i}") for i in live]).first()
+            done = [i for i in live if deltas[f"__d{i}"] < tol]
+            for i in done:
+                # freeze at the key's own convergence point (the long
+                # form's newly_frozen snapshot) — checkpointed, so this
+                # reference stays valid and adds no lineage
+                frozen_snap[i] = new_ranks.select("id", r[i])
+            live = [i for i in live if i not in done]
+        ranks = new_ranks
+        if check_delta and not live:
+            break
+
+    def _long(i: int, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.lit(key_list[i]).alias("key"), "id",
+            F.col(r[i]).alias("rank"))
+
+    out = None
+    for i in range(k):
+        part = _long(i, frozen_snap[i]) if i in frozen_snap \
+            else _long(i, ranks)
+        out = part if out is None else out.unionByName(part)
     return out.localCheckpoint()

@@ -529,3 +529,43 @@ def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
         F.desc("qcos"), F.asc("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def rrf_fuse(arms: dict[str, DataFrame], k: int = 10,
+             c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked retrieval
+    arms: each arm is (query_id, doc_id, arm_rank); the fused score is
+    Σ_arms 1/(c + rank) with a missing arm contributing 0. Returns
+    (query_id, doc_id, rrf_score, fused_rank), top-k per query.
+
+    The standard way to combine lexical (BM25) and dense (embedding ANN)
+    retrieval without score calibration — only RANKS cross the boundary,
+    so the arms' score scales never have to be reconciled. Spark shape:
+    the arms are already top-n-per-query (tiny), so the fusion is a
+    full-outer join of k-row-per-query frames and a WindowGroupLimit —
+    nothing here rescans the corpus. 1/(c+rank) on integer ranks and a
+    fixed-order sum keep the fused score bit-identical across engines.
+    """
+    from functools import reduce
+    from operator import add
+    from pyspark.sql import Window
+
+    names = list(arms)
+    fused = None
+    for name in names:
+        a = arms[name].select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(c) + F.col("arm_rank")))
+            .alias(f"__{name}"))
+        fused = a if fused is None else fused.join(
+            a, ["query_id", "doc_id"], "outer")
+    score = reduce(add, [F.coalesce(F.col(f"__{n}"), F.lit(0.0))
+                         for n in names])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__rrf"), F.asc("doc_id"))
+    return (fused.select("query_id", "doc_id", score.alias("__rrf"))
+            .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("fused_rank") <= k)
+            .select("query_id", "doc_id",
+                    F.round("__rrf", 6).alias("rrf_score"), "fused_rank"))

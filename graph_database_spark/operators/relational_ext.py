@@ -580,3 +580,66 @@ def skew_whale_counts(events: DataFrame, n_salts: int = 16,
            .limit(top_users))
     return counts.join(F.broadcast(top.select("user_id")),
                        "user_id", "left_semi")
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (prev_type, next_type, n, p) where p row-normalizes each prev_type.
+
+    The reference has no sequence analytics; this is the training-data
+    sibling of sessionization — "what do users do after X" drives both
+    funnel design and synthetic-trajectory generation. Spark shape: one
+    shuffle on user_id for the lag window (the same partitioning every
+    other per-user window op reuses), then an aggregation whose
+    cardinality is |event_type|² — tiny regardless of corpus size — so
+    the row-normalizing window runs on an O(types²) frame, never on the
+    fact table. Ordering ties broken by event_id, so the lag sequence is
+    deterministic in both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (events.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("__prev", F.lag("event_type").over(w))
+             .filter(F.col("__prev").isNotNull()))
+    counts = (steps.groupBy(F.col("__prev").alias("prev_type"),
+                            F.col("event_type").alias("next_type"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6)
+         .alias("p"))
+
+
+def value_trend_by_type(events: DataFrame) -> DataFrame:
+    """Per-type OLS trend of `value` over time: slope per day, intercept
+    at the global min timestamp, Pearson r — drift detection for a
+    metric stream (is 'purchase' value creeping up?).
+
+    Closed-form regression from second moments: slope = cov(x,y)/var(x),
+    intercept = ȳ − slope·x̄ — all built-in JVM aggregates, one pass, no
+    UDF, no per-group iteration. x is integer microseconds rescaled to
+    days since the corpus min (a 1-row broadcast), keeping both engines'
+    inputs bit-identical before the float aggregates. At 100 TB this is
+    one scan + one agg keyed by event_type (map-side partials do almost
+    all the work; |types| rows shuffle).
+    """
+    tmin = events.agg(F.min(F.unix_micros("ts")).alias("__t0"))
+    e = events.crossJoin(F.broadcast(tmin)).select(
+        "event_type",
+        ((F.unix_micros("ts") - F.col("__t0"))
+         / F.lit(86400000000.0)).alias("x"),
+        F.col("value").alias("y"))
+    # try_divide, not a CASE guard: hash-agg codegen materializes every
+    # aggregate result before the output projection, so a guarded
+    # built-in corr still hits ANSI DIVIDE_BY_ZERO on a constant column.
+    # Building both ratios from shared moments yields NULL on degenerate
+    # groups — exactly DuckDB's CORR/regr_slope behavior.
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    r = F.try_divide(F.covar_pop("x", "y"),
+                     F.stddev_pop("x") * F.stddev_pop("y"))
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(r, 6).alias("r"))
+    return agg

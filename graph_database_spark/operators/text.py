@@ -317,7 +317,7 @@ def corpus_stats_rows(documents: DataFrame,
     kind='tf' the total occurrence count per token, kind='doc' (one
     key='' row) the corpus size; total_tokens = Σ n over kind='tf' and
     avgdl = total_tokens / n_docs derive from the table. Tokenization
-    matches `bm25_topk`/`tfidf_keywords` exactly (lower, \s+ split,
+    matches `bm25_topk`/`tfidf_keywords` exactly (lower, whitespace split,
     empty dropped).
 
     The shape is chosen for INCREMENTAL maintenance: per-document df

@@ -47,7 +47,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (r5 additions + new r6 entries)
     "events_skew_whale_counts", "multimodal_video_motion",
     "multimodal_frame_extract", "bm25_topk", "media_format_detect",
-    "dedup_semantic", "vocab_hll_by_source",
+    "dedup_semantic", "vocab_hll_by_source", "event_transitions",
+    "events_value_trend", "hybrid_rrf_topk",
     # last checked r3 — stalest re-confirmations (all 27)
     "adjacency_row_norm", "event_weights_by_user", "incidence_pairs",
     "distinct_reach", "order_frequency", "seed_expansion",
@@ -59,9 +60,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "graph_triangle_count", "dedup_simhash", "embedding_topk_bruteforce",
     "dedup_canonical_docs", "dedup_incremental_minhash", "lang_id",
     "text_quality", "doc_unigram_logprob",
-    # last checked r4 — highest-value re-confirmations
+    # last checked r4 — highest-value re-confirmations (doc_tfidf_keywords,
+    # word_heavy_hitters and graph_lpa_communities rotated out mid-r6 to
+    # admit the three new entries; all retain earlier green rows + the
+    # local sweep)
     "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
-    "graph_lpa_communities", "doc_tfidf_keywords", "word_heavy_hitters",
 ]
 
 

@@ -477,3 +477,56 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx (pinned drop-in) with the same plan shape."""
     from ..operators.relational_ext import winsorized_value_stats
     return winsorized_value_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("event_transitions", """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+            AS DOUBLE) AS p
+FROM c
+""")
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user —
+    sequence analytics the reference lacks (SURVEY §2.9 adjacent). The
+    row-normalizing window runs over the |types|² aggregate, not the
+    fact table."""
+    from ..operators.relational_ext import event_transitions
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register("events_value_trend", """
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - (SELECT t0 FROM t0) AS DOUBLE)
+           / CAST(86400000000 AS DOUBLE) AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CASE WHEN VAR_POP(x) > 0
+       THEN ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) END AS DOUBLE)
+    AS slope_per_day,
+  CAST(CASE WHEN VAR_POP(x) > 0
+       THEN ROUND(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x), 6) END
+       AS DOUBLE) AS intercept,
+  CAST(CASE WHEN VAR_POP(x) > 0 AND VAR_POP(y) > 0
+       THEN ROUND(CORR(x, y), 6) END AS DOUBLE) AS r
+FROM e GROUP BY event_type
+""")
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS drift of value over time (slope/day, intercept,
+    Pearson r) via closed-form second-moment aggregates — one scan, one
+    tiny agg; the oracle replays the identical moment formulas."""
+    from ..operators.relational_ext import value_trend_by_type
+    return value_trend_by_type(load_table(spark, sf_dir, "events"))

@@ -854,3 +854,92 @@ def q_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("token").cast("long").alias("n_distinct"))
     return (exact.join(est, "source")
             .select("source", "n_distinct", "hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm and the
+# brute-force dense (embedding cosine) arm — the standard two-tower RAG
+# retrieval stack. Only ranks cross the fusion boundary, so both arms'
+# deterministic tie-breaks make the fused ranking engine-exact.
+# ---------------------------------------------------------------------------
+
+_HYBRID_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+q(query_id, token) AS (VALUES {_SQL_BM25_VALUES}),
+tfq AS (SELECT q.query_id, tf.doc_id, tf.token, tf.tf
+        FROM tf JOIN q USING (token)),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfq GROUP BY 1),
+per AS (
+  SELECT query_id, tfq.doc_id,
+         CAST(ROUND(ROUND(ln(2 * n + 2) - ln(2 * df + 1), 9)
+               * (tf * CAST(2.2 AS DOUBLE)
+                  / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl * n / t))), 9)
+              AS DECIMAL(18,9)) AS s
+  FROM tfq JOIN df USING (token) JOIN dl ON tfq.doc_id = dl.doc_id
+  CROSS JOIN tot),
+lex_scored AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(SUM(s) AS DOUBLE), 6) AS DOUBLE) AS score
+  FROM per GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id, r AS lex_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS r FROM lex_scored)
+        WHERE r <= 20),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       WHERE vec_id IN (1, 2, 3)),
+den_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, qv.qvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS cosine
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+den AS (SELECT query_id, doc_id, r AS dense_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, doc_id ASC) AS r FROM den_scored)
+        WHERE r <= 20),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (60 + d.dense_rank),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM lex l FULL JOIN den d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score,
+       CAST(fr AS INT) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, doc_id ASC) AS fr FROM fused)
+WHERE fr <= 10
+"""
+
+
+@register("hybrid_rrf_topk", _HYBRID_SQL)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion (c=60) of BM25 top-20 and exact-cosine top-20 per query
+    (query i's dense vector = embedding i — the synthetic corpus keys
+    documents and embeddings identically). Arms are k-rows-per-query
+    frames, so the fusion never rescans the corpus."""
+    from pyspark.sql import Window
+    from ..operators.ann import cosine_topk_bruteforce, rrf_fuse
+    from ..operators.text import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    lex = bm25_topk(docs, qdf, top=20).select(
+        "query_id", "doc_id", F.col("rank").alias("arm_rank"))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    den = (cosine_topk_bruteforce(emb, query_ids=[1, 2, 3], k=20)
+           .withColumn("arm_rank", F.row_number().over(wd))
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   "arm_rank"))
+    return rrf_fuse({"lex": lex, "dense": den}, k=10)

@@ -356,3 +356,22 @@ def test_semantic_dedup_nonvacuous_on_corpus(spark):
               out.groupBy("kept").agg(F.count(F.lit(1)).alias("n"))
               .collect()}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
+
+
+def test_rrf_fuse_blends_both_arms(spark):
+    from graph_database_spark.operators.ann import rrf_fuse
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        ["query_id", "doc_id", "arm_rank"])
+    den = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        ["query_id", "doc_id", "arm_rank"])
+    out = {r["doc_id"]: r for r in
+           rrf_fuse({"lex": lex, "dense": den}, k=10).collect()}
+    # doc 11 appears in both arms -> highest fused score
+    assert out[11]["fused_rank"] == 1
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # single-arm docs score exactly their one reciprocal term
+    assert out[10]["rrf_score"] == round(1 / 61, 6)
+    assert out[13]["rrf_score"] == round(1 / 62, 6)
+    assert set(out) == {10, 11, 12, 13}

@@ -99,7 +99,8 @@ def test_driver_window_covers_priority_queries():
         # every oracle-backed entry
         "events_skew_whale_counts", "multimodal_video_motion",
         "multimodal_frame_extract", "bm25_topk", "media_format_detect",
-        "dedup_semantic", "vocab_hll_by_source",
+        "dedup_semantic", "vocab_hll_by_source", "event_transitions",
+        "events_value_trend", "hybrid_rrf_topk",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"

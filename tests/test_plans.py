@@ -441,3 +441,55 @@ def test_dedup_semantic_bounded_self_join(spark):
     import re
     joins = re.findall(r"Left keys(?:.*)\: \[(.*)\]", plan)
     assert any("cell" in k for k in joins), joins
+
+
+def test_event_transitions_single_fact_shuffle(spark):
+    """The lag window shuffles the fact table ONCE on user_id; the
+    row-normalizing window then runs over the |types|^2 aggregate, never
+    the fact table — pin that no second fact-sized exchange exists."""
+    plan = _formatted_plan(spark, "event_transitions")
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert len(reads) == 1
+    # pruned scan: only the 3 window/agg inputs + event_type
+    assert "value" not in reads[0] and "props" not in reads[0]
+    # exactly one hashpartitioning exchange on user_id (the lag window);
+    # every later exchange keys on the prev/next types (types^2-sized
+    # frame). Formatted explain puts partition keys on the node-detail
+    # "Arguments:" line, not the tree line.
+    ex = [l for l in plan.split("\n") if "hashpartitioning" in l]
+    assert sum("user_id" in l for l in ex) == 1
+    assert all("user_id" in l or "prev" in l for l in ex), ex
+
+
+def test_events_value_trend_is_one_pass(spark):
+    """Closed-form OLS: one pruned scan, one aggregate keyed by
+    event_type (map-side partials), a 1-row broadcast for the corpus
+    min-timestamp — no window, no join, no second fact scan."""
+    plan = _formatted_plan(spark, "events_value_trend")
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    # ts/value/event_type only, read for the agg and the 1-row min(ts)
+    for r in reads:
+        assert "props" not in r and "user_id" not in r, r
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row t0 frame
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_fuses_topk_frames_only(spark):
+    """RRF fusion never rescans the corpus: documents is scanned once
+    (the BM25 explode), embeddings twice (queries + corpus side of the
+    brute-force arm), and the fusion join runs over k-rows-per-query
+    frames with both arms' top-k as WindowGroupLimit partials."""
+    plan = _formatted_plan(spark, "hybrid_rrf_topk")
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    # the BM25 arm re-derives its tf aggregate for each of tf_q/dl/
+    # totals/df (Catalyst only reuses IDENTICAL exchanges), so documents
+    # shows 4 pruned (doc_id,text) scans — same accepted shape as the
+    # standalone bm25_topk/tfidf entries (the production lever is
+    # persisting tf; measured a wash at this scale). Pin the count so a
+    # regression to MORE scans (or an unpruned column) is caught.
+    doc_reads = [l for l in reads if "doc_id" in l and "text" in l]
+    assert len(doc_reads) == 4, doc_reads
+    assert "WindowGroupLimit" in plan
+    # the dense arm broadcasts the 3-row query-vector side
+    assert "BroadcastNestedLoopJoin Cross" in plan

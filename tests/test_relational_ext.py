@@ -168,3 +168,38 @@ def test_hourly_interpolation_linear_and_edges(spark):
     assert got[("b", 2)] == (True, 7.0)
     for h in (0, 1, 3, 4):  # edge gaps carry the nearest observation
         assert got[("b", h)] == (False, 7.0)
+
+
+def test_event_transitions_rows_normalize_and_count(spark):
+    from graph_database_spark.operators.relational_ext import event_transitions
+    ev = load_table(spark, SF_DIR, "events")
+    out = event_transitions(ev).collect()
+    # transition edges = events - users (each user loses its first event)
+    n_pairs = sum(r["n"] for r in out)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_pairs == n_events - n_users
+    # each prev_type row of the matrix sums to ~1
+    by_prev = {}
+    for r in out:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-4, (prev, tot)
+
+
+def test_value_trend_recovers_planted_slope(spark):
+    from graph_database_spark.operators.relational_ext import value_trend_by_type
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i), "up", 10.0 + 2.0 * (i / 24.0))
+            for i in range(100)]
+    rows += [(100 + i, t0 + dt.timedelta(hours=i), "flat", 7.5)
+             for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    got = {r["event_type"]: r for r in value_trend_by_type(df).collect()}
+    assert got["up"]["slope_per_day"] == 2.0
+    assert got["up"]["intercept"] == 10.0
+    assert got["up"]["r"] == 1.0
+    assert got["flat"]["slope_per_day"] == 0.0
+    assert got["flat"]["intercept"] == 7.5
+    assert got["flat"]["r"] is None  # constant y: correlation undefined

@@ -66,3 +66,41 @@ def test_cumulative_weights_across_batches(spark):
         assert not mismatches, list(mismatches.items())[:5]
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_streaming_transitions_match_batch(spark):
+    from graph_database_spark.streaming.stateful import transition_pairs_stream
+    from graph_database_spark.operators.relational_ext import event_transitions
+    os.makedirs(TMP, exist_ok=True)
+    src = f"{TMP}/in_trans"
+    os.makedirs(src, exist_ok=True)
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        # event_id is event-time-ordered in the synthetic feed, so an
+        # id-split preserves per-user arrival order across batches
+        first = ev.filter(F.col("event_id") < 400)
+        second = ev.filter((F.col("event_id") >= 400)
+                           & (F.col("event_id") < 700))
+        third = ev.filter(F.col("event_id") >= 700)
+        first.write.mode("append").parquet(src)
+        raw = spark.readStream.schema(first.schema).parquet(src)
+        q = (transition_pairs_stream(raw)
+             .writeStream.outputMode("append")
+             .format("memory").queryName("trans").start())
+        try:
+            q.processAllAvailable()
+            second.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            third.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {(r["prev_type"], r["next_type"]): r["n"]
+                   for r in spark.sql(
+                       "SELECT prev_type, next_type, COUNT(*) AS n "
+                       "FROM trans GROUP BY 1, 2").collect()}
+        finally:
+            q.stop()
+        expected = {(r["prev_type"], r["next_type"]): r["n"]
+                    for r in event_transitions(ev).collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
