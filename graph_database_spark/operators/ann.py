@@ -569,3 +569,42 @@ def rrf_fuse(arms: dict[str, DataFrame], k: int = 10,
             .filter(F.col("fused_rank") <= k)
             .select("query_id", "doc_id",
                     F.round("__rrf", 6).alias("rrf_score"), "fused_rank"))
+
+
+def truncation_recall(embeddings: DataFrame, query_ids: list[int],
+                      dims: tuple[int, ...] = (8, 16, 32),
+                      k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(query_id, dims, recall): recall@k of ranking by the first-d-dim
+    PREFIX dot product against the full-dimension exact top-k — the
+    matryoshka-style evaluation that prices the index-shrinking lever
+    (d/64 of the vector bytes → d/64 of scan IO and index memory;
+    Kusupati et al. 2022 train embeddings so prefixes stay usable).
+
+    Prefixes are ranked by raw dot product without re-normalization —
+    the same monotone proxy the full-dim arm uses, so the eval isolates
+    DIMENSION loss, not normalization drift. Spark shape: each arm is
+    the brute-force top-k (broadcast query rows, one corpus pass per
+    arm); recall joins k-row-per-query frames only.
+    """
+    full = cosine_topk_bruteforce(embeddings, query_ids, k=k,
+                                  id_col=id_col, vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    out = None
+    for d in dims:
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        arm = cosine_topk_bruteforce(sliced, query_ids, k=k,
+                                     id_col=id_col, vec_col=vec_col)
+        hits = (arm.join(full, ["query_id", "neighbor_id"], "left_semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("__h")))
+        rec = (full.select("query_id").distinct()
+               .join(hits, "query_id", "left")
+               .select(F.col("query_id").cast("long").alias("query_id"),
+                       F.lit(d).cast("int").alias("dims"),
+                       F.round(F.coalesce(F.col("__h"), F.lit(0))
+                               / F.lit(k), 6).alias("recall")))
+        out = rec if out is None else out.unionByName(rec)
+    return out

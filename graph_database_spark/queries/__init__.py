@@ -48,7 +48,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_skew_whale_counts", "multimodal_video_motion",
     "multimodal_frame_extract", "bm25_topk", "media_format_detect",
     "dedup_semantic", "vocab_hll_by_source", "event_transitions",
-    "events_value_trend", "hybrid_rrf_topk",
+    "events_value_trend", "hybrid_rrf_topk", "embedding_truncation_recall",
     # last checked r3 — stalest re-confirmations (all 27)
     "adjacency_row_norm", "event_weights_by_user", "incidence_pairs",
     "distinct_reach", "order_frequency", "seed_expansion",
@@ -61,10 +61,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_canonical_docs", "dedup_incremental_minhash", "lang_id",
     "text_quality", "doc_unigram_logprob",
     # last checked r4 — highest-value re-confirmations (doc_tfidf_keywords,
-    # word_heavy_hitters and graph_lpa_communities rotated out mid-r6 to
-    # admit the three new entries; all retain earlier green rows + the
-    # local sweep)
-    "connected_components_star", "sssp_weighted_fixed8", "graph_kcore",
+    # word_heavy_hitters, graph_lpa_communities and graph_kcore rotated out
+    # mid-r6 to admit the four new entries; all retain earlier green rows +
+    # the local sweep)
+    "connected_components_star", "sssp_weighted_fixed8",
 ]
 
 

@@ -944,3 +944,64 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
              emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
                 .select("embedding").collect()]
     return semantic_dedup(emb, cents, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncation eval: recall@10 of prefix-dimension ranking
+# vs the full 64-dim exact top-10 — prices the d/64 index-bytes lever
+# (Kusupati et al. 2022) the way ann_recall_lsh prices bucketing.
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_arm_sql(d: int) -> str:
+    vec = f"e.embedding[1:{d}]" if d else "e.embedding"
+    qv = f"q.qvec[1:{d}]" if d else "q.qvec"
+    name = f"tk{d}" if d else "tkfull"
+    return f"""
+{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip({vec}, {qv}),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS c
+    FROM embeddings e CROSS JOIN qf q
+    WHERE e.vec_id <> q.query_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY c DESC, neighbor_id ASC) <= 10)"""
+
+
+def _trunc_rec_sql(d: int) -> str:
+    return f"""
+rec{d} AS (
+  SELECT f.query_id, {d} AS dims,
+         CAST(ROUND(COUNT(t.neighbor_id) / CAST(10 AS DOUBLE), 6)
+              AS DOUBLE) AS recall
+  FROM tkfull f LEFT JOIN tk{d} t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.query_id)"""
+
+
+_TRUNC_SQL = ("WITH qf AS (SELECT vec_id AS query_id, embedding AS qvec "
+              "FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),"
+              + _trunc_arm_sql(0) + ","
+              + ",".join(_trunc_arm_sql(d) for d in _TRUNC_DIMS) + ","
+              + ",".join(_trunc_rec_sql(d) for d in _TRUNC_DIMS)
+              + "\n" + "\nUNION ALL\n".join(
+                  f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+                  f"CAST(dims AS INT) AS dims, recall FROM rec{d}"
+                  for d in _TRUNC_DIMS))
+
+
+@register("embedding_truncation_recall", _TRUNC_SQL)
+def q_embedding_truncation_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Recall@10 at prefix dims 8/16/32 against the 64-dim exact top-10
+    (queries 0–4). Prefixes rank by raw dot product — same monotone
+    proxy as the full arm, isolating dimension loss; each arm is one
+    broadcast-query corpus pass, the recall join touches 10-row-per-query
+    frames only."""
+    from ..operators.ann import truncation_recall
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_recall(emb, query_ids=[0, 1, 2, 3, 4],
+                             dims=_TRUNC_DIMS, k=10)

@@ -375,3 +375,19 @@ def test_rrf_fuse_blends_both_arms(spark):
     assert out[10]["rrf_score"] == round(1 / 61, 6)
     assert out[13]["rrf_score"] == round(1 / 62, 6)
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_truncation_recall_monotone_and_exact_at_full_dim(spark):
+    from graph_database_spark.operators.ann import truncation_recall
+    from graph_database_spark.sources.testdata import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = truncation_recall(emb, query_ids=[0, 1, 2], dims=(8, 32, 64),
+                            k=5).collect()
+    mean = {}
+    for r in out:
+        mean.setdefault(r["dims"], []).append(r["recall"])
+    avg = {d: sum(v) / len(v) for d, v in mean.items()}
+    # the full-dim "truncation" is the ground truth itself
+    assert avg[64] == 1.0
+    # more dimensions never hurt on average (they add signal, not noise)
+    assert avg[8] <= avg[32] <= avg[64]

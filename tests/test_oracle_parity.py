@@ -101,6 +101,7 @@ def test_driver_window_covers_priority_queries():
         "multimodal_frame_extract", "bm25_topk", "media_format_detect",
         "dedup_semantic", "vocab_hll_by_source", "event_transitions",
         "events_value_trend", "hybrid_rrf_topk",
+        "embedding_truncation_recall",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
