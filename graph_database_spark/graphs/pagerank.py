@@ -412,7 +412,8 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     # and dropping frozen columns also skips their dead updates.
     live = list(range(k))
     frozen_snap: dict[int, DataFrame] = {}
-    for _ in range(max_iter):
+    DELTA_EVERY = 3  # same probe cadence (and probe iterations) as pagerank()
+    for it in range(max_iter):
         contrib = (
             edges.join(_b(ranks.select("id", *[r[i] for i in live])),
                        ranks["id"] == edges["src"])
@@ -437,9 +438,14 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
         new_ranks = stepped.select(
             "id", "__is_sink",
             *[_new(i).alias(r[i]) for i in live]).localCheckpoint()
-        if check_delta:
-            # one driver sync: per-key L1 deltas as a 1-row aggregate —
-            # the long form's every-iteration freeze policy, verbatim
+        if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
+            # one driver sync per DELTA_EVERY iterations: the per-key L1
+            # deltas ride a 1-row aggregate. Probing every 3rd iteration
+            # overshoots a key's exact stop point by at most 2 damped
+            # steps, each moving its ranks by < tol (the pagerank()
+            # argument) — and makes the k=1 freeze point IDENTICAL to
+            # the single-vector loop's stop point, since both probe the
+            # same iterations.
             deltas = new_ranks.join(
                 _b(ranks.select("id", *[F.col(r[i]).alias(f"__o{i}")
                                         for i in live])), "id"
