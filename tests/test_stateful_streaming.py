@@ -104,3 +104,44 @@ def test_streaming_transitions_match_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_streaming_exact_n_matches_batch(spark):
+    from graph_database_spark.streaming.sampling import exact_n_sample_stream
+    from graph_database_spark.operators.sampling import stratified_exact_n
+    os.makedirs(TMP, exist_ok=True)
+    src = f"{TMP}/in_sample"
+    os.makedirs(src, exist_ok=True)
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+            .select("doc_id", "source")
+        first = docs.filter(F.col("doc_id") % 3 == 0)
+        second = docs.filter(F.col("doc_id") % 3 == 1)
+        third = docs.filter(F.col("doc_id") % 3 == 2)
+        first.write.mode("append").parquet(src)
+        raw = spark.readStream.schema(first.schema).parquet(src)
+        q = (exact_n_sample_stream(raw, n=5)
+             .writeStream.outputMode("update")
+             .format("memory").queryName("resv").start())
+        try:
+            q.processAllAvailable()
+            second.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            third.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # keep each source's final reservoir (highest version)
+            got = {}
+            for r in spark.sql("SELECT * FROM resv").collect():
+                cur = got.setdefault(r["source"], (set(), -1))
+                if r["version"] > cur[1]:
+                    got[r["source"]] = ({r["doc_id"]}, r["version"])
+                elif r["version"] == cur[1]:
+                    cur[0].add(r["doc_id"])
+        finally:
+            q.stop()
+        expected = {}
+        for r in stratified_exact_n(docs, 5).collect():
+            expected.setdefault(r["source"], set()).add(r["doc_id"])
+        assert {s: ids for s, (ids, _) in got.items()} == expected
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
