@@ -138,3 +138,27 @@ def test_file_sizes_walks_partitioned_datasets(spark, tmp_path):
     assert len(sizes) >= 5  # one or more files per region
     assert all(b > 0 for _, b in sizes)
     assert any("n_regionkey=" in name for name, _ in sizes)
+
+
+def test_hive_partitioning_prunes_directories(spark, tmp_path):
+    """Directory (hive-style) partitioning is the coarsest pruning lever
+    at 100 TB: a filter on the partition column must surface as a
+    PartitionFilter on the scan (directories never listed), not as a
+    row-level PushedFilter evaluated after IO."""
+    path = str(tmp_path / "by_type")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    got = (spark.read.parquet(path)
+           .filter(F.col("event_type") == "purchase"))
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pf = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert pf and "purchase" in pf[0], pf
+    # the predicate is fully answered by pruning: no row-level pushed
+    # filter on event_type remains (typically no PushedFilters line at all)
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
+    assert all("event_type" not in l for l in pushed), pushed
+    # and the data actually matches
+    n = got.count()
+    assert n == ev.filter("event_type = 'purchase'").count() > 0
