@@ -189,6 +189,19 @@ def main() -> None:
         dt = time.perf_counter() - t0
         calib = dt if calib is None or dt < calib else calib
 
+    # Spark-JOB calibration: median wall of 7 near-empty 32-partition jobs.
+    # The CPU hash workload above misses scheduler/job-launch overhead —
+    # r6's cross-round drift was exactly that (host 1.35x faster on CPU
+    # while sub-second queries ran 1.3-1.7x slower). Reporting both lets
+    # per-query deltas be attributed: compute-bound queries track
+    # calibration_sec, many-small-stage queries track calibration_job_sec.
+    job_walls = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(0, 32, 1, 32).write.format("noop").mode("overwrite").save()
+        job_walls.append(time.perf_counter() - t0)
+    calib_job = sorted(job_walls)[len(job_walls) // 2]
+
     # Steady-state methodology: run every query PASSES times and report the
     # per-query minimum. Pass 1 doubles as the plan-compile/codegen warmup;
     # the min discards transient host-noise bursts (this box shows bursty
@@ -239,6 +252,8 @@ def main() -> None:
         "methodology": "per-query min over passes (steady-state)",
         "calibration_sec": round(calib, 3) if calib is not None else None,
         "calibration_workload": "bit_xor(xxhash64) over range(200M), 32 parts, min of 3",
+        "calibration_job_sec": round(calib_job, 4),
+        "calibration_job_workload": "median wall of 7 empty 32-partition noop jobs",
     }
     if truncated:
         out["refinement_truncated_by_budget_sec"] = budget
@@ -277,6 +292,7 @@ def main() -> None:
         "n_errors": len(errors),
         "passes": passes,
         "calibration_sec": round(calib, 3) if calib is not None else None,
+        "calibration_job_sec": round(calib_job, 4),
         "slowest10": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
         "full_history": "bench_results/history.jsonl",
     }, separators=(",", ":")))

@@ -284,7 +284,12 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     # ever converges, so the per-key delta aggregate, freeze bookkeeping,
     # and the emptiness probe are dead weight — skip them wholesale.
     check_delta = tol >= 0
-    for _ in range(max_iter):
+    # probe the SAME iterations as pagerank() and the blocked form so a
+    # batch straddling _BLOCKED_KEYS_MAX freezes keys at identical steps
+    # on either side of the boundary (and a no-probe iteration stays one
+    # job instead of three).
+    DELTA_EVERY = 3
+    for _it in range(max_iter):
         contrib = (
             edges.join(_b(active), active["id"] == edges["src"])
             .groupBy("key", F.col("dst").alias("id"))
@@ -315,7 +320,7 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
             )
             .localCheckpoint()
         )
-        if not check_delta:
+        if not check_delta or _it % DELTA_EVERY != DELTA_EVERY - 1:
             active = new_ranks
             continue
         deltas = (
@@ -349,8 +354,11 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     the dst aggregation sums k weighted products per edge. Per-key
     semantics are bit-compatible with the long form: same normalization
     (uniform 1/n when a key's p sums to 0), same uniform sink
-    redistribution, same every-iteration L1 delta check with per-key
-    freeze (a frozen key's column is carried forward unchanged).
+    redistribution, and the same every-DELTA_EVERY(=3)-iteration L1 delta
+    probe with per-key freeze (a frozen key's column is carried forward
+    unchanged) — both batch forms and the single-vector pagerank() probe
+    the same iterations, so freeze points agree across the
+    _BLOCKED_KEYS_MAX boundary.
 
     Scale: |V| rows × (k+1) doubles — for k ≤ 64 the state is ~0.5 KB a
     row, the same order as the long frame at k=1, and the edge table is
@@ -362,7 +370,11 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     spark_ctx = verts.sparkSession.sparkContext
     edges = edges.select("src", "dst", "weight").localCheckpoint()
     n_parts = num_partitions or _iter_partitions(spark_ctx, n, edges.count())
-    bcast_state = n <= _BROADCAST_STATE_ROWS
+    # gate on state CELLS, not vertex rows: the broadcast frame is n rows
+    # × (k+1) doubles, so at n=5M/k=64 a row-count gate would broadcast
+    # ~2.5 GB per join where the long form's state_rows gate takes the
+    # shuffle path — same budget as pagerank_batch's n*k gate.
+    bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
 
     # pivot personalization to one column per key (max: (key,id) unique,
     # max over the singleton; absent → 0)

@@ -536,7 +536,9 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3,
         e = (e.join(cand, "src", "leftsemi")
              .join(cand.withColumnRenamed("src", "dst"), "dst", "leftsemi")
              .localCheckpoint())
-    n_edges = e.count()
+    # the edge count seeds the until_stable fixpoint test only — the
+    # fixed-rounds path never reads it, so don't pay the count job there
+    n_edges = e.count() if until_stable else -1
     done = 0
     for done in range(1, rounds + 1):
         keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

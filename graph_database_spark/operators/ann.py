@@ -551,17 +551,20 @@ def rrf_fuse(arms: dict[str, DataFrame], k: int = 10,
     from pyspark.sql import Window
 
     names = list(arms)
+    # positional internal column names: a caller-supplied arm name like
+    # "rrf" (or one with column-illegal characters) must never collide
+    # with the fused-score alias or break the plan.
     fused = None
-    for name in names:
+    for i, name in enumerate(names):
         a = arms[name].select(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("doc_id").cast("long").alias("doc_id"),
             (F.lit(1.0) / (F.lit(c) + F.col("arm_rank")))
-            .alias(f"__{name}"))
+            .alias(f"__arm{i}"))
         fused = a if fused is None else fused.join(
             a, ["query_id", "doc_id"], "outer")
-    score = reduce(add, [F.coalesce(F.col(f"__{n}"), F.lit(0.0))
-                         for n in names])
+    score = reduce(add, [F.coalesce(F.col(f"__arm{i}"), F.lit(0.0))
+                         for i in range(len(names))])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__rrf"), F.asc("doc_id"))
     return (fused.select("query_id", "doc_id", score.alias("__rrf"))

@@ -254,9 +254,28 @@ def tfidf_keywords(documents: DataFrame, top: int = 3,
             .filter(F.col("rank") <= top))
 
 
+def bm25_postings(documents: DataFrame,
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, token, tf): the postings frame behind `bm25_topk` — the
+    ONE corpus explode + tf aggregate every BM25 statistic (df, dl,
+    total_tokens, scoring) derives from. At cluster scale this is the
+    frame you persist as a table (the inverted index) and hand to
+    `bm25_topk(postings=...)` so query batches never touch the corpus.
+    Tokenization matches `corpus_stats_rows` exactly (lower, whitespace
+    split, empties dropped)."""
+    toks = (spread(documents)
+            .select("doc_id",
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    return toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+
 def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
               b: float = 0.75, top: int = 10,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              postings: DataFrame | None = None) -> DataFrame:
     """(query_id, doc_id, score, rank): Okapi BM25 retrieval — the
     classic lexical ranking a RAG pipeline runs before (or fused with)
     embedding ANN. `queries` is (query_id, term), terms lowercase.
@@ -268,25 +287,52 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
     9 dp into DECIMAL sums (order-free), dl/avgdl is expressed as
     dl·N/T to keep one division.
 
-    Scale shape: ONE corpus explode feeds the (doc, token) tf aggregate;
-    dl and df both derive from tf (no second scan). The query-term set is
-    broadcast and applied BEFORE the df/dl joins, so everything after the
-    tf aggregate is sized by matching terms, not the corpus. Top-k per
-    query is rank-limited (WindowGroupLimit), never a global sort.
+    Scale shape: exactly TWO corpus scans, each query-shaped instead of
+    vocabulary-shaped (down from the r6 four). Scan 1 computes document
+    lengths directly from the token stream — a |docs|-row aggregate with
+    map-side combine, never the vocabulary×docs tf frame the old
+    dl-from-tf derivation forced. Scan 2 applies the BROADCAST query-term
+    filter BEFORE the tf aggregate, so that shuffle carries only
+    matching-term rows (query-bounded, not corpus-bounded); df and the
+    scoring join derive from it. n_docs/total_tokens are a 1-row
+    aggregate of dl. With a persisted `postings` table (the production
+    inverted-index path, see `bm25_postings`) the corpus is scanned ZERO
+    times — everything derives from the postings. Top-k per query is
+    rank-limited (WindowGroupLimit), never a global sort.
     """
     from pyspark.sql import Window
 
-    toks = (spread(documents)
-            .select("doc_id",
-                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                      r"\s+")).alias("token"))
-            .filter(F.col("token") != ""))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    q_terms = F.broadcast(queries.withColumnRenamed("term", "token"))
+    if postings is not None:
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        tf_q = postings.join(q_terms, "token")
+    else:
+        toks = (spread(documents)
+                .select("doc_id",
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          r"\s+")).alias("token"))
+                .filter(F.col("token") != ""))
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # query_id stays in the group keys (two queries sharing a term
+        # each need their own scoring row; tf itself is query-invariant)
+        tf_q = (toks.join(q_terms, "token")
+                .groupBy("query_id", "doc_id", "token")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    # dl and tf_q are each consumed TWICE below (totals+scoring,
+    # df+scoring); Catalyst re-expands a diamond's subtree per reference,
+    # which is where the old shape's 4 corpus scans came from. Both
+    # frames are SMALL (|docs| rows / query-term-bounded), so pinning
+    # them with localCheckpoint costs ~nothing and caps the plan at one
+    # corpus scan per frame. Streaming frames can't checkpoint — there
+    # the reuse question belongs to the streaming planner anyway.
+    if not dl.isStreaming:
+        dl = dl.localCheckpoint()
+    if not tf_q.isStreaming:
+        tf_q = tf_q.localCheckpoint()
     totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("dl").alias("total_tokens"))
-    tf_q = tf.join(F.broadcast(queries.withColumnRenamed("term", "token")),
-                   "token")
+    # df counts DOCS per token — dedup (doc, token) first, since tf_q
+    # carries one row per query sharing the term
     df = tf_q.select("doc_id", "token").distinct() \
         .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(F.log(2 * F.col("n_docs") + 2)

@@ -61,8 +61,6 @@ ALLOWED: dict[str, set[tuple[str, str]]] = {
     "dedup_incremental_minhash": {("exchange-storm", "*")},
     # shingle tf + df guard + candidate join + verify
     "dedup_ngram_jaccard": {("exchange-storm", "*")},
-    # two retrieval arms (BM25 pipeline + dense top-k) + fusion window
-    "hybrid_rrf_topk": {("exchange-storm", "*")},
     # four ranking arms (full + 3 prefix dims), each top-k + recall agg
     "embedding_truncation_recall": {("exchange-storm", "*")},
     # pooled-quantile lookup is a histogram x histogram inequality join —

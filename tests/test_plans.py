@@ -399,16 +399,68 @@ def test_tfidf_plan_shape(spark):
 
 
 def test_bm25_plan_shape(spark):
-    """BM25's scale posture: the 8-term query set and the query-term df
-    are broadcast (everything after the tf aggregate is sized by
-    matching terms, not the corpus), only doc_id+text reach the scan,
-    and the per-query top-10 is rank-limited, never a global sort."""
+    """BM25's scale posture: exactly TWO pruned (doc_id,text) corpus
+    scans — dl straight off the token stream (no vocabulary×docs tf
+    frame), and a tf aggregate whose broadcast query-term filter runs
+    BEFORE the shuffle so it carries matching terms only (down from the
+    r6 four-scan shape). Per-query top-10 is rank-limited, never a
+    global sort."""
     plan = _formatted_plan(spark, "bm25_topk")
-    for r in [l for l in plan.split("\n") if "ReadSchema" in l]:
-        assert "title" not in r and "url" not in r, r
+    # the scoring plan reads ONLY the two checkpointed frames (dl and the
+    # query-filtered tf) — the corpus was scanned exactly twice, at their
+    # materialization, and never again no matter how often the diamonds
+    # reference them
+    assert not [l for l in plan.split("\n")
+                if "ReadSchema" in l and "text" in l]
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan  # totals ride a broadcast NLJ
+
+
+def test_bm25_materialized_frames_are_small_and_pruned(spark):
+    """The two frames bm25_topk pins with localCheckpoint must stay
+    SMALL (|docs|-row dl, query-term-bounded tf) — checkpointing the
+    vocabulary×docs postings would trade 4 scans for a worse
+    materialization. Also pin that the corpus scan under each is pruned
+    to doc_id+text."""
+    from pyspark.sql import functions as F
+    from graph_database_spark.sources.testdata import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                          r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    plan = dl._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert reads and all("doc_id" in r and "text" in r and "title" not in r
+                         and "url" not in r for r in reads)
+    assert dl.count() <= n_docs
+
+
+def test_bm25_postings_path_never_scans_corpus(spark):
+    """With a persisted postings (inverted-index) table passed in, the
+    query plan derives every statistic from it — zero document scans."""
+    from graph_database_spark.operators.text import bm25_postings, bm25_topk
+    from graph_database_spark.sources.testdata import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    post = bm25_postings(docs).localCheckpoint()
+    qdf = spark.createDataFrame(
+        [(1, "the"), (1, "data")], "query_id int, term string")
+    out = bm25_topk(docs, qdf, postings=post)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert not [l for l in plan.split("\n")
+                if "ReadSchema" in l and "text" in l]
+    assert "ExistingRDD" in plan
+    # postings-path parity with the from-corpus path
+    from_corpus = {tuple(r) for r in bm25_topk(docs, qdf).collect()}
+    assert {tuple(r) for r in out.collect()} == from_corpus
 
 
 def test_media_format_detect_is_pure_expressions(spark):
@@ -482,14 +534,13 @@ def test_hybrid_rrf_fuses_topk_frames_only(spark):
     frames with both arms' top-k as WindowGroupLimit partials."""
     plan = _formatted_plan(spark, "hybrid_rrf_topk")
     reads = [l for l in plan.split("\n") if "ReadSchema" in l]
-    # the BM25 arm re-derives its tf aggregate for each of tf_q/dl/
-    # totals/df (Catalyst only reuses IDENTICAL exchanges), so documents
-    # shows 4 pruned (doc_id,text) scans — same accepted shape as the
-    # standalone bm25_topk/tfidf entries (the production lever is
-    # persisting tf; measured a wash at this scale). Pin the count so a
-    # regression to MORE scans (or an unpruned column) is caught.
+    # the BM25 arm's dl/tf frames are checkpointed inside bm25_topk, so
+    # the fused plan carries ZERO parquet document scans (the corpus was
+    # read exactly twice, at materialization) — down from the 4
+    # re-derived scans of the r6 shape.
     doc_reads = [l for l in reads if "doc_id" in l and "text" in l]
-    assert len(doc_reads) == 4, doc_reads
+    assert doc_reads == [], doc_reads
+    assert "Scan ExistingRDD" in plan
     assert "WindowGroupLimit" in plan
     # the dense arm broadcasts the 3-row query-vector side
     assert "BroadcastNestedLoopJoin Cross" in plan
