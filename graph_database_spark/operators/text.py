@@ -532,10 +532,14 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
                      lang: str = "en", min_quality: float = 0.5,
                      min_tokens: int = 50, max_tokens: int = 10_000,
                      contamination_ngram: int = 4,
-                     text_col: str = "text") -> DataFrame:
-    """End-to-end curation: (doc_id, quality, ws_tokens) for docs that are
-    the target language, above the quality floor, inside the token
-    budget, and NOT contaminated by the benchmark corpus.
+                     text_col: str = "text",
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """End-to-end curation: (doc_id, *keep_cols, quality, ws_tokens) for
+    docs that are the target language, above the quality floor, inside
+    the token budget, and NOT contaminated by the benchmark corpus.
+    `keep_cols` carries extra input columns (e.g. text/source for a
+    downstream dedup stage) through WITHOUT a join-back — the one-scan
+    property below would otherwise be lost to a self-join on doc_id.
 
     Plan shape: language, quality, and token metrics are all row-local
     expressions, so they evaluate in ONE scan of the corpus with the
@@ -551,9 +555,10 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
     ws_tokens = _match_count(text, WS_TOKEN_PATTERN)
     # spread(): regex metrics are CPU-bound and a small parquet scans as
     # one partition — fan the narrow input out to full parallelism first
+    extra = [c for c in keep_cols if c not in ("doc_id", text_col)]
     kept = (
         spread(documents)
-        .select("doc_id", text_col,
+        .select("doc_id", text_col, *extra,
                 quality_col(text).alias("quality"),
                 ws_tokens.alias("ws_tokens"))
         .filter((lang_pred_col(F.col(text_col)) == F.lit(lang))
@@ -568,7 +573,8 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
         kept.select("doc_id", text_col), benchmark,
         n=contamination_ngram, text_col=text_col).select("doc_id")
     return (kept.join(contaminated, "doc_id", "left_anti")
-            .select("doc_id", "quality", "ws_tokens"))
+            .select("doc_id", *[c for c in keep_cols if c != "doc_id"],
+                    "quality", "ws_tokens"))
 
 
 def quality_ecdf(documents: DataFrame, text_col: str = "text") -> DataFrame:

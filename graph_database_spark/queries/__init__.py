@@ -15,6 +15,8 @@ from . import events as _events  # noqa: E402,F401
 from . import graph as _graph  # noqa: E402,F401
 from . import dedup_ann as _dedup_ann  # noqa: E402,F401
 from . import text as _text  # noqa: E402,F401
+from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
+#                                      the documents_curated oracle)
 
 
 

@@ -1,0 +1,210 @@
+"""End-to-end training-data curation pipeline composite.
+
+The production shape a 100 TB corpus actually runs: curation gates →
+exact dedup → MinHash-LSH near-dup clustering → semantic dedup →
+domain-mixture sampling → sequence packing, each stage consuming the
+previous stage's survivors. One registry entry proves the operators
+COMPOSE — shared scans at stage boundaries (localCheckpoint = the
+"write the curated corpus" materialization a real pipeline does),
+no redundant explodes, every stage's decision replayed end-to-end by
+one DuckDB oracle chaining the per-stage oracle fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.testdata import load_table
+from ._shared import ORACLES, register
+from .text import _SQL_HASH_BUCKET
+
+
+def _pipeline_sql() -> str:
+    from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+    a = ", ".join(str(x) for x in MINHASH_A)
+    b = ", ".join(str(x) for x in MINHASH_B)
+    curated = ORACLES["documents_curated"]
+    return f"""
+WITH RECURSIVE
+cur0 AS ({curated}),
+cur AS (
+  SELECT c.doc_id, d.source, d.text, c.ws_tokens
+  FROM cur0 c JOIN documents d USING (doc_id)),
+-- stage 2: exact dedup — canonical = min doc_id per exact text hash
+s2 AS (
+  SELECT * FROM cur
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+-- stage 3: MinHash-LSH candidate pairs + exact-Jaccard verify over the
+-- stage-2 survivors (the dedup_minhash_lsh oracle with s2 as corpus),
+-- then min-label connected components; keep each cluster's canonical
+ds AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM s2)),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P}
+           AS base
+  FROM ds),
+coeff AS (
+  SELECT unnest(range(0, 64)) AS i,
+         unnest([{a}]) AS a, unnest([{b}]) AS b),
+sig AS (
+  SELECT doc_id, i, MIN((a * base + b) % {HASH_P}) AS mh
+  FROM hs CROSS JOIN coeff GROUP BY doc_id, i),
+buckets AS (
+  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
+  FROM sig GROUP BY doc_id, i // 4),
+bk AS (
+  SELECT doc_id, band,
+         ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
+          + l[4]) % {HASH_P} AS bucket
+  FROM buckets),
+cand AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT shared.src, shared.dst FROM shared
+  JOIN cand ON shared.src = cand.src AND shared.dst = cand.dst
+  JOIN sizes sa ON shared.src = sa.doc_id
+  JOIN sizes sb ON shared.dst = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+lbl(id, comp) AS (
+  SELECT doc_id, doc_id FROM s2
+  UNION
+  SELECT e.dst, MIN(l.comp) FROM lbl l JOIN edges e ON e.src = l.id
+  GROUP BY e.dst),
+cc AS (SELECT id, MIN(comp) AS component FROM lbl GROUP BY id),
+s3 AS (
+  SELECT s2.* FROM s2 JOIN cc ON cc.id = s2.doc_id
+  WHERE cc.component = s2.doc_id),
+-- stage 4: SemDeDup over the survivors' embeddings (dedup_semantic's
+-- oracle with the corpus restricted to s3; centroids stay the FULL
+-- corpus's first 16 vectors so cells don't shift with upstream filters)
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
+ef AS (SELECT e.vec_id, e.v FROM e JOIN s3 ON s3.doc_id = e.vec_id),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT ef.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY ef.vec_id
+                              ORDER BY list_dot_product(ef.v, c.cvec) DESC,
+                                       c.cell ASC) AS rn
+    FROM ef CROSS JOIN cents c) WHERE rn <= 1),
+sembase AS (
+  SELECT a.vec_id, a.cell, ef.v,
+         ROUND(list_dot_product(ef.v, c.cvec), 6) AS ccos
+  FROM assign a JOIN ef USING (vec_id) JOIN cents c USING (cell)),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM sembase a JOIN sembase b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.45
+    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))),
+s4 AS (
+  SELECT * FROM s3
+  WHERE doc_id NOT IN (SELECT vec_id FROM dropped)),
+-- stage 5: domain-mixture rates over the deduped survivors
+-- (domain_mixture_plan's math), realized as the deterministic
+-- hash-threshold stratified sample
+mc AS (SELECT source, COUNT(*) AS n_docs FROM s4 GROUP BY source),
+mt AS (SELECT SUM(n_docs) AS total FROM mc),
+rates AS (
+  SELECT source,
+         CAST(ROUND(LEAST(1.0,
+           CAST(FLOOR(0.100000 * total *
+             CASE source WHEN 'src0' THEN 0.400000 WHEN 'src1' THEN 0.300000
+                         WHEN 'src2' THEN 0.200000 WHEN 'src3' THEN 0.100000
+                         ELSE 0.000000 END) AS DOUBLE) / n_docs), 6)
+           AS DOUBLE) AS rate
+  FROM mc CROSS JOIN mt),
+s5 AS (
+  SELECT s4.doc_id, s4.source, s4.ws_tokens
+  FROM s4 JOIN rates USING (source)
+  WHERE {_SQL_HASH_BUCKET} < CAST(ROUND(rate * 1000000) AS BIGINT)),
+-- stage 6: sequence packing (doc_pack_sequences's two windows over s5)
+s6 AS (
+  SELECT doc_id, source, ws_tokens, {_SQL_HASH_BUCKET} AS b,
+    CAST(FLOOR(CAST(SUM(ws_tokens) OVER w1 - ws_tokens AS DOUBLE) / 2000)
+         AS BIGINT) AS shard
+  FROM s5
+  WINDOW w1 AS (PARTITION BY source ORDER BY {_SQL_HASH_BUCKET}, doc_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens, shard,
+  CAST(ROW_NUMBER() OVER w2 AS INT) AS seq_pos,
+  CAST(SUM(ws_tokens) OVER w2 - ws_tokens AS BIGINT) AS start_offset
+FROM s6
+WINDOW w2 AS (PARTITION BY source, shard ORDER BY b, doc_id
+              ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("pipeline_curate_pack", _pipeline_sql())
+def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate → exact dedup → MinHash-LSH+CC canonical → SemDeDup →
+    mixture sample → pack, as ONE composed dataflow.
+
+    Scan accounting (the ≤2-corpus-scans property): `documents` is read
+    twice — the curation metric scan (checkpointed inside
+    curate_documents) and the tiny src19 benchmark side — and every
+    later stage reads stage-boundary checkpoints, never the parquet.
+    `embeddings` is read twice (16-row centroid fetch + the semi-joined
+    corpus pass). Each dedup stage keeps its own scale posture: banded
+    LSH (never all-pairs), cell-keyed SemDeDup, map-side hash sampling,
+    per-stratum packing windows."""
+    from pyspark.sql import Window
+    from ..graphs.traversal import connected_components
+    from ..operators.ann import semantic_dedup
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.sampling import (apply_mixture_plan, mixture_plan,
+                                      pack_sequences)
+    from ..operators.text import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(docs.filter(F.col("source") != "src19"),
+                               docs.filter(F.col("source") == "src19"),
+                               keep_cols=("text", "source"))
+    w = Window.partitionBy(F.md5("text"))
+    s2 = (curated
+          .withColumn("__canon", F.min("doc_id").over(w))
+          .filter(F.col("doc_id") == F.col("__canon"))
+          .select("doc_id", "source", "text", "ws_tokens")
+          # stage boundary: feeds shingling, CC vertices, and the final
+          # survivor joins — materialize once
+          .localCheckpoint())
+    pairs = minhash_lsh_pairs(s2.select("doc_id", "text"),
+                              num_hashes=64, bands=16, n=3, threshold=0.5)
+    comp = connected_components(s2.select(F.col("doc_id").alias("id")),
+                                pairs.select("src", "dst"),
+                                max_iter=20, dedupe=False)
+    canon = (comp.filter(F.col("id") == F.col("component"))
+             .select(F.col("id").alias("doc_id")))
+    s3 = s2.join(canon, "doc_id", "left_semi").localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bounded 16-row centroid fetch from the FULL corpus (cells must not
+    # shift with upstream filtering) — same pattern as embedding_topk_ivf
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    emb_f = emb.join(s3.select(F.col("doc_id").alias("vec_id")),
+                     "vec_id", "left_semi")
+    dropped = (semantic_dedup(emb_f, cents, threshold=0.45)
+               .filter(~F.col("kept"))
+               .select(F.col("vec_id").alias("doc_id")))
+    # anti-join (not semi on kept): a survivor with no embedding row
+    # passes through rather than silently vanishing
+    s4 = s3.join(dropped, "doc_id", "left_anti") \
+        .select("doc_id", "source", "ws_tokens").localCheckpoint()
+    plan = mixture_plan(
+        s4, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        sample_frac=0.1)
+    s5 = apply_mixture_plan(s4, plan)
+    return pack_sequences(s5, budget=2000)

@@ -544,3 +544,18 @@ def test_hybrid_rrf_fuses_topk_frames_only(spark):
     assert "WindowGroupLimit" in plan
     # the dense arm broadcasts the 3-row query-vector side
     assert "BroadcastNestedLoopJoin Cross" in plan
+
+
+def test_pipeline_composite_runs_off_stage_checkpoints(spark):
+    """The 6-stage curation composite's final plan must read ONLY the
+    stage-boundary checkpoints: the mixture filter + packing windows run
+    over the s4 survivor frame, never re-deriving curation, dedup, or
+    SemDeDup lineage (documents was scanned exactly twice, at curation
+    materialization; embeddings twice)."""
+    plan = _formatted_plan(spark, "pipeline_curate_pack")
+    reads = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert reads == [], reads  # zero parquet scans in the final plan
+    assert "Scan ExistingRDD" in plan
+    # per-stratum packing: both windows partition on source (never a
+    # global single-partition window)
+    assert "Window" in plan and "CartesianProduct" not in plan
