@@ -187,6 +187,59 @@ def kmeans_cluster_stats(embeddings: DataFrame,
     )
 
 
+def semantic_cell_index(embeddings: DataFrame,
+                        centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, v, ccos): the cell-assignment index SemDeDup keeps for
+    a corpus — 1-NN centroid cell, the vector itself, and its 6-dp
+    centroid cosine. For a STANDING corpus this is the table you persist
+    (assignments are append-only while centroids are fixed), so
+    incremental dedup (`semantic_dedup_between`) touches only the new
+    batch plus colliding cells, never re-assigning the corpus."""
+    spark = embeddings.sparkSession
+    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>")
+    return (embeddings
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(assign, "id")
+            .join(F.broadcast(cents), "cell")
+            .select("id", "cell", "v",
+                    F.round(_dot(F.col("v"), F.col("cvec")), 6)
+                     .alias("ccos")))
+
+
+def semantic_dedup_between(batch: DataFrame, corpus_index: DataFrame,
+                           centroids: list[list[float]],
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, centroid_cos, kept) for the NEW batch only: a new
+    vector is dropped iff some corpus vector in its cell is a semantic
+    near-dup (6-dp cosine ≥ threshold). The corpus is immutable — it
+    always wins, so per-vector decisions depend only on (vector, corpus)
+    and a stream of micro-batches unions to the one-shot answer (the
+    equivalence `streaming/ann.incremental_semantic_stream` tests).
+    `corpus_index` is `semantic_cell_index` output, stored; the pair
+    join is cell-keyed cross-side only — batch size, not corpus size,
+    bounds the quadratic stage."""
+    new_idx = semantic_cell_index(batch, centroids, id_col, vec_col)
+    a, b = new_idx.alias("a"), corpus_index.alias("b")
+    dropped = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.round(_dot(F.col("a.v"), F.col("b.v")), 6)
+                >= F.lit(threshold))
+        .select(F.col("a.id").alias("id")).distinct()
+        .withColumn("__dropped", F.lit(True)))
+    return (new_idx.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "cell",
+                    F.col("ccos").alias("centroid_cos"),
+                    F.col("__dropped").isNull().alias("kept")))
+
+
 def semantic_dedup(embeddings: DataFrame,
                    centroids: list[list[float]],
                    threshold: float = 0.95,
@@ -212,19 +265,8 @@ def semantic_dedup(embeddings: DataFrame,
     every comparison so an external engine replays the decisions
     bit-for-bit.
     """
-    spark = embeddings.sparkSession
-    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cvec array<double>")
-    base = (embeddings
-            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-            .join(assign, "id")
-            .join(F.broadcast(cents), "cell")
-            .select("id", "cell", "v",
-                    F.round(_dot(F.col("v"), F.col("cvec")), 6)
-                     .alias("ccos"))
-            .localCheckpoint())  # reused on both sides of the self-join
+    base = semantic_cell_index(embeddings, centroids, id_col, vec_col) \
+        .localCheckpoint()  # reused on both sides of the self-join
     a, b = base.alias("a"), base.alias("b")
     dropped = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))

@@ -281,31 +281,41 @@ def simhash_signatures(documents: DataFrame, bits: int = 60,
     return v.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text") -> DataFrame:
-    """(src, dst, hamming): pairs within Hamming distance ≤ max_hamming.
-    Candidates via 4×15-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at
-    least one of 4 chunks equal), verified by bit_count(xor)."""
-    sig = simhash_signatures(documents, 60, text_col)
-    chunks = F.array(*[
+def hamming_banded_pairs(sig: DataFrame, bits_total: int, chunks: int,
+                         max_hamming: int, id_col: str = "doc_id",
+                         sig_col: str = "simhash") -> DataFrame:
+    """(src, dst, hamming): id pairs whose `sig_col` signatures are within
+    Hamming distance ≤ max_hamming — the shared pigeonhole-banding core of
+    SimHash text dedup and dHash image dedup. Candidates come from
+    chunk-equality buckets (distance ≤ chunks−1 ⇒ at least one of the
+    `chunks` equal-width chunks matches — max_hamming above that would
+    silently miss pairs, hence the assert), verified by bit_count(xor).
+    Scale: candidates are a bucket-keyed equi join, never all-pairs."""
+    assert max_hamming <= chunks - 1, \
+        "pigeonhole banding misses pairs beyond chunks-1 bit flips"
+    chunk_bits = bits_total // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 15)
-             .bitwiseAND(F.lit(0x7FFF)).alias("val"))
-        for c in range(4)
+            F.shiftrightunsigned(F.col(sig_col), c * chunk_bits)
+             .bitwiseAND(F.lit(mask)).alias("val"))
+        for c in range(chunks)
     ])
-    b = (sig.select("doc_id", "simhash", F.explode(chunks).alias("cc"))
-         .select("doc_id", "simhash", "cc.chunk", "cc.val"))
+    b = (sig.select(F.col(id_col).alias("__id"),
+                    F.col(sig_col).alias("__sig"),
+                    F.explode(chunk_arr).alias("cc"))
+         .select("__id", "__sig", "cc.chunk", "cc.val"))
     cand = (
         b.alias("x").join(
             b.alias("y"),
             on=(F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("src"),
-                F.col("y.doc_id").alias("dst"),
-                F.col("x.simhash").alias("sa"),
-                F.col("y.simhash").alias("sb"))
+            & (F.col("x.__id") < F.col("y.__id")))
+        .select(F.col("x.__id").alias("src"),
+                F.col("y.__id").alias("dst"),
+                F.col("x.__sig").alias("sa"),
+                F.col("y.__sig").alias("sb"))
         .distinct()
     )
     return (
@@ -314,6 +324,16 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """(src, dst, hamming): pairs within Hamming distance ≤ max_hamming.
+    Candidates via 4×15-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at
+    least one of 4 chunks equal), verified by bit_count(xor)."""
+    sig = simhash_signatures(documents, 60, text_col)
+    return hamming_banded_pairs(sig, bits_total=60, chunks=4,
+                                max_hamming=max_hamming)
 
 
 def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,

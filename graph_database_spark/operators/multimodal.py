@@ -168,6 +168,128 @@ def _resample_mean_grid(gray: np.ndarray, g: int) -> np.ndarray:
     return out
 
 
+def image_dhash(media: DataFrame, grid_w: int = 9,
+                grid_h: int = 8) -> DataFrame:
+    """(media_id, dhash): difference hash over REAL decoded PPM pixels —
+    the standard perceptual image fingerprint (block-mean thumbnail,
+    horizontal gradient signs). Bit r·(grid_w−1)+c is set iff
+    grid[r][c] > grid[r][c+1] after a channel-mean grayscale and an
+    equal-index block-mean resample to grid_h×grid_w — 9×8 gives the
+    classic 64-bit dHash. Channel mean (not ITU luma) keeps gray pixels
+    integer-exact, which is what lets a SQL oracle replay the whole hash.
+
+    Arrow-batched mapInPandas, same decode seam as extract_features; at
+    100 TB the signature table is the artifact you persist, and pairs
+    come from `dedup.hamming_banded_pairs` — bucketed, never all-pairs.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n_bits = grid_h * (grid_w - 1)
+    if n_bits > 64:
+        raise ValueError(f"grid packs {n_bits} bits; max 64")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_ppm(bytes(content))
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ye = np.linspace(0, h, grid_h + 1).astype(np.int64)
+                xe = np.linspace(0, w, grid_w + 1).astype(np.int64)
+                grid = np.empty((grid_h, grid_w), dtype=np.float64)
+                for r in range(grid_h):
+                    for c in range(grid_w):
+                        grid[r, c] = gray[ye[r]:ye[r + 1],
+                                          xe[c]:xe[c + 1]].mean()
+                sig = 0
+                for r in range(grid_h):
+                    for c in range(grid_w - 1):
+                        if grid[r, c] > grid[r, c + 1]:
+                            sig |= 1 << (r * (grid_w - 1) + c)
+                if sig >= 1 << 63:  # two's-complement into a signed long
+                    sig -= 1 << 64
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "dhash": pd.Series(sigs, dtype="int64")})
+
+    return media.select("media_id", "content").mapInPandas(
+        compute, "media_id long, dhash long")
+
+
+def image_dhash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(src, dst, hamming): perceptual near-duplicate image pairs —
+    dHash signatures bucketed by 4×16-bit chunk equality (pigeonhole:
+    distance ≤ 3 ⇒ some chunk equal), verified by bit_count(xor). The
+    image twin of `dedup.simhash_pairs`, sharing its banding core."""
+    from .dedup import hamming_banded_pairs
+
+    sig = image_dhash(media)
+    return hamming_banded_pairs(sig, bits_total=64, chunks=4,
+                                max_hamming=max_hamming,
+                                id_col="media_id", sig_col="dhash")
+
+
+def audio_envelope_hash(media: DataFrame, windows: int = 65) -> DataFrame:
+    """(media_id, ehash): energy-envelope perceptual hash of REAL decoded
+    WAV audio — the audio member of the dHash family. The channel-mean
+    signal splits into `windows` equal-index blocks; bit w is set iff
+    block w+1's mean-SQUARE energy exceeds block w's (65 windows → the
+    standard 64-bit signature). Mean square, not RMS: no sqrt means the
+    energy of integer PCM is exact rational arithmetic, which is what
+    lets a SQL oracle replay the hash (and loudness-envelope deltas are
+    what survives re-encoding — the Shazam-family intuition without the
+    spectrogram). Arrow-batched mapInPandas; pairs via
+    `dedup.hamming_banded_pairs` — bucketed, never all-pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if windows - 1 > 64:
+        raise ValueError(f"{windows} windows pack {windows - 1} bits; max 64")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                mono = samples.astype(np.float64).mean(axis=1)
+                edges = np.linspace(0, len(mono), windows + 1) \
+                    .astype(np.int64)
+                energy = np.array([
+                    np.mean(np.square(mono[edges[w]:edges[w + 1]]))
+                    if edges[w + 1] > edges[w] else 0.0
+                    for w in range(windows)])
+                sig = 0
+                for w in range(windows - 1):
+                    if energy[w + 1] > energy[w]:
+                        sig |= 1 << w
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "ehash": pd.Series(sigs, dtype="int64")})
+
+    return media.select("media_id", "content").mapInPandas(
+        compute, "media_id long, ehash long")
+
+
+def audio_envelope_pairs(media: DataFrame,
+                         max_hamming: int = 3) -> DataFrame:
+    """(src, dst, hamming): near-duplicate audio pairs by envelope hash,
+    through the same 4×16-bit pigeonhole banding as image/text."""
+    from .dedup import hamming_banded_pairs
+
+    sig = audio_envelope_hash(media)
+    return hamming_banded_pairs(sig, bits_total=64, chunks=4,
+                                max_hamming=max_hamming,
+                                id_col="media_id", sig_col="ehash")
+
+
 # ---------------------------------------------------------------------------
 # Real codec: RIFF/PCM WAV in pure numpy — no external audio libraries.
 # The RIFF container is a chunk walk (fourcc + little-endian u32 size,
@@ -693,3 +815,28 @@ def detect_media_format(media: DataFrame,
                 "route",
                 F.when(F.col("format").isin(*IN_ENGINE_FORMATS),
                        "in_engine").otherwise("external")))
+
+
+def featurize_with_routing(media: DataFrame, external_decoder,
+                           dim: int = 16) -> DataFrame:
+    """The full decode seam, end to end: split on `detect_media_format`'s
+    route, featurize in_engine rows with the native codecs, hand
+    external rows to `external_decoder` — a DataFrame→DataFrame
+    transcoder returning MEDIA_SCHEMA rows whose payloads the native
+    codecs CAN decode (in production: the JPEG/MP3/H.264 decoder
+    service; in tests: a stub unwrapping a synthetic container) — and
+    union both through the SAME featurizer into ONE features table.
+
+    `external_decoder` is required: silently dropping undecodable rows
+    is the no-silent-caps failure mode; a deployment without a decoder
+    pool should filter on route explicitly and own that decision.
+    Scale: the split is a narrow projection (no shuffle) and the union
+    is plan-level — each arm stays an independent Arrow pipeline."""
+    routed = detect_media_format(media)
+    native = (routed.filter(F.col("route") == "in_engine")
+              .drop("format", "route"))
+    ext = (routed.filter(F.col("route") == "external")
+           .drop("format", "route"))
+    decoded = external_decoder(ext)
+    return (extract_features(native, dim=dim, codec="real")
+            .unionByName(extract_features(decoded, dim=dim, codec="real")))

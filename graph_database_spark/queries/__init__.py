@@ -32,41 +32,41 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-6 ROTATION: after r5 every entry except the four round-5
-# additions had at least one green external row. This window keeps the
-# 10 canaries, leads with the 4 r5 additions plus the new r6 entries
-# (closing external coverage to all registered entries), then fills
-# with the stalest oracle-backed re-confirmations (last checked r3,
-# then the 8 highest-value r4 entries). pagerank_global and
-# ppr_batch_focal stay out: they have no SQL oracle (iterative), so a
-# window slot would burn a hash-checkable row on a rows-only check.
+# ROUND-7 ROTATION: after r6 all 130 then-registered entries had ≥1
+# green external row and max staleness was 2 rounds (the r4 cohort).
+# This window keeps the 10 canaries, leads with the 4 new r7 entries
+# (the tol-converged PageRank value checks, the 6-stage curation
+# composite, image dHash + audio envelope dedup), then re-confirms 35
+# of the 38 entries last checked in r4 (deferred to r8: pii_scan —
+# vacuous agreement, doc_split_assignment — trivial-hash coverage,
+# corpus_top_ngrams — overlaps word_heavy_hitters' top-k token
+# coverage; all three green in the local sweep).
+# pagerank_global and ppr_batch_focal stay out:
+# rows-only (no SQL oracle), and their tol-stop logic is now externally
+# value-checked via the *_converged_check twins in this window.
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
     "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (r5 additions + new r6 entries)
-    "events_skew_whale_counts", "multimodal_video_motion",
-    "multimodal_frame_extract", "bm25_topk", "media_format_detect",
-    "dedup_semantic", "vocab_hll_by_source", "event_transitions",
-    "events_value_trend", "hybrid_rrf_topk", "embedding_truncation_recall",
-    # last checked r3 — stalest re-confirmations (all 27)
-    "adjacency_row_norm", "event_weights_by_user", "incidence_pairs",
-    "distinct_reach", "order_frequency", "seed_expansion",
-    "recommend_batch", "cooccurrence_weighted", "pricing_summary",
-    "revenue_by_nation", "revenue_rollup", "pk_violations",
-    "events_props_stats", "events_value_histogram",
-    "events_followup_purchase", "events_hourly_gapfill",
-    "graph_vertices", "shortest_paths_landmark", "ppr_fixed20_batch",
-    "graph_triangle_count", "dedup_simhash", "embedding_topk_bruteforce",
-    "dedup_canonical_docs", "dedup_incremental_minhash", "lang_id",
-    "text_quality", "doc_unigram_logprob",
-    # last checked r4 — highest-value re-confirmations (doc_tfidf_keywords,
-    # word_heavy_hitters, graph_lpa_communities and graph_kcore rotated out
-    # mid-r6 to admit the four new entries; all retain earlier green rows +
-    # the local sweep)
-    "connected_components_star", "sssp_weighted_fixed8",
+    # never driver-checked (new r7 entries)
+    "pagerank_converged_check", "ppr_converged_check",
+    "pipeline_curate_pack", "dedup_image_phash", "dedup_audio_envelope",
+    # last checked r4 — stalest re-confirmations (36 of 38)
+    "shipping_priority", "revenue_grouping_sets", "nation_revenue_share",
+    "customer_rfm", "fk_orphans", "customer_value_deciles",
+    "order_baskets", "orders_profile", "events_value_anomalies",
+    "events_type_counts_salted", "events_sliding_counts",
+    "events_status_history", "events_value_winsorized", "graph_kcore",
+    "graph_lpa_communities", "graph_neighbor_agg",
+    "dedup_winnow_substrings", "ann_recall_lsh", "multimodal_features",
+    "embedding_cluster_sizes", "doc_quality_ecdf", "doc_sample_exact_n",
+    "doc_sample_stratified", "decontaminate_ngram", "documents_curated",
+    "doc_repetition", "domain_mixture_plan", "doc_sample_quality_weighted",
+    "doc_shards_by_tokens", "word_heavy_hitters",
+    "doc_tfidf_keywords", "doc_prefix_matches", "bpe_merge_candidates",
+    "doc_pack_sequences", "doc_quality_quantile_norm",
 ]
 
 

@@ -863,6 +863,180 @@ def q_multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.octet_length("content").alias("ppm_len")))
 
 
+def _dhash_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60 REAL PPM stills keyed off documents.doc_id: even ids render a
+    pseudorandom 8×9 cell grid as 2×2-constant pixel blocks (16×18 px,
+    solid gray per cell so channel-mean grayscale and block means are
+    integer-exact); odd id 2j+1 is image 2j with ONE cell blown to 255 —
+    a perceptual near-duplicate whose dHash flips at most the 2
+    comparisons touching that cell (Hamming ≤ 2 ≤ the banding bound 3)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_ppm
+
+    ids = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60).select("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, mts, contents, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                j, odd = i // 2, i % 2 == 1
+                grid = np.empty((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    for c in range(9):
+                        if odd and r == j % 8 and c == j % 9:
+                            grid[r, c] = 255
+                        else:
+                            grid[r, c] = 30 + (83 * j + 17 * r + 29 * c
+                                               + 7 * r * c) % 180
+                img = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1)
+                img = np.stack([img, img, img], axis=2)
+                mids.append(i)
+                mts.append("image")
+                contents.append(bytearray(encode_ppm(img)))
+                metas.append({"width": 18, "height": 16,
+                              "sample_rate": None, "duration_ms": None,
+                              "format": "ppm"})
+            yield pd.DataFrame({"media_id": pd.Series(mids, dtype="int64"),
+                                "media_type": mts, "content": contents,
+                                "meta": metas})
+
+    return ids.mapInPandas(build, MEDIA_SCHEMA)
+
+
+@register("dedup_image_phash", """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 60),
+cells AS (
+  SELECT i, r, c,
+         CASE WHEN i % 2 = 1 AND r = (i // 2) % 8 AND c = (i // 2) % 9
+              THEN 255
+              ELSE 30 + (83 * (i // 2) + 17 * r + 29 * c + 7 * r * c) % 180
+         END AS val
+  FROM ids
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c)),
+bits AS (
+  SELECT a.i, a.r * 8 + a.c AS pos, a.val > b.val AS bit
+  FROM cells a JOIN cells b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1),
+sig AS (
+  SELECT i,
+         CAST(SUM(CASE WHEN bit AND pos < 63
+                       THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+                       ELSE 0 END) AS BIGINT)
+         + CASE WHEN bool_or(bit AND pos = 63)
+                THEN CAST(-9223372036854775808 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dhash
+  FROM bits GROUP BY i),
+chunks AS (
+  SELECT i, dhash, c, (dhash >> CAST(c * 16 AS INT)) & 65535 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+cand AS (
+  SELECT DISTINCT x.i AS src, y.i AS dst, x.dhash AS sa, y.dhash AS sb
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.val = y.val AND x.i < y.i)
+SELECT src, dst, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""")
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded PPMs: 64-bit dHash
+    (block-mean thumbnail, horizontal gradient signs) → 4×16-bit
+    pigeonhole banding → bit_count verify — the image twin of
+    dedup_simhash, closing the dedup battery's modality gap. The
+    2×2-block-constant gray construction makes every grid mean an exact
+    integer, so the oracle replays the entire hash (bit 63 lands via a
+    two's-complement add: DuckDB raises on 1<<63 where Spark wraps)."""
+    from ..operators.multimodal import image_dhash_pairs
+    return image_dhash_pairs(_dhash_ppm_media(spark, sf_dir), max_hamming=3)
+
+
+def _envelope_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60 REAL mono PCM WAVs keyed off documents.doc_id: even ids play 65
+    constant-amplitude blocks of 16 samples (amplitude a pseudorandom in
+    [100, 899], so block mean-square energy is exactly a²); odd id 2j+1
+    is clip 2j with ONE block blown to amplitude 3000 — an audible
+    near-duplicate whose envelope hash flips at most the 2 energy
+    comparisons touching that block (Hamming ≤ 2 ≤ the banding bound)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav
+
+    ids = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60).select("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, mts, contents, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                j, odd = i // 2, i % 2 == 1
+                amps = np.array([
+                    3000 if odd and b == j % 65
+                    else 100 + (53 * j + 31 * b + 11 * j * b) % 800
+                    for b in range(65)], dtype=np.int16)
+                samples = np.repeat(amps, 16)
+                mids.append(i)
+                mts.append("audio")
+                contents.append(bytearray(encode_wav(samples, 16000)))
+                metas.append({"width": None, "height": None,
+                              "sample_rate": 16000, "duration_ms": 65,
+                              "format": "wav"})
+            yield pd.DataFrame({"media_id": pd.Series(mids, dtype="int64"),
+                                "media_type": mts, "content": contents,
+                                "meta": metas})
+
+    return ids.mapInPandas(build, MEDIA_SCHEMA)
+
+
+@register("dedup_audio_envelope", """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 60),
+blocks AS (
+  SELECT i, b,
+         CASE WHEN i % 2 = 1 AND b = (i // 2) % 65 THEN 3000
+              ELSE 100 + (53 * (i // 2) + 31 * b + 11 * (i // 2) * b) % 800
+         END AS a
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 65)) AS b)),
+bits AS (
+  SELECT x.i, x.b AS pos, (y.a * y.a) > (x.a * x.a) AS bit
+  FROM blocks x JOIN blocks y ON y.i = x.i AND y.b = x.b + 1),
+sig AS (
+  SELECT i,
+         CAST(SUM(CASE WHEN bit AND pos < 63
+                       THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+                       ELSE 0 END) AS BIGINT)
+         + CASE WHEN bool_or(bit AND pos = 63)
+                THEN CAST(-9223372036854775808 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS ehash
+  FROM bits GROUP BY i),
+chunks AS (
+  SELECT i, ehash, c, (ehash >> CAST(c * 16 AS INT)) & 65535 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+cand AS (
+  SELECT DISTINCT x.i AS src, y.i AS dst, x.ehash AS sa, y.ehash AS sb
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.val = y.val AND x.i < y.i)
+SELECT src, dst, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""")
+def q_dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup over REAL decoded PCM WAVs: 64-bit
+    energy-envelope hash (mean-square per 65 equal windows, gradient
+    signs) → the same 4×16-bit pigeonhole banding as image dHash and
+    text SimHash — all three modalities now share one near-dup core.
+    Mean square instead of RMS keeps integer PCM energies exact
+    rationals, so the oracle replays the entire hash."""
+    from ..operators.multimodal import audio_envelope_pairs
+    return audio_envelope_pairs(_envelope_wav_media(spark, sf_dir),
+                                max_hamming=3)
+
+
 @register("media_format_detect", """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 9 AS INT)

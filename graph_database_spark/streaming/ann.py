@@ -36,6 +36,37 @@ def streaming_lsh_signatures(embeddings: DataFrame, dim: int = 64,
                           id_col, vec_col)
 
 
+def incremental_semantic_stream(emb_stream: DataFrame,
+                                corpus_index: DataFrame,
+                                centroids: list[list[float]],
+                                sink, threshold: float = 0.95,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding"):
+    """SemDeDup each micro-batch of new embeddings against a standing
+    corpus's STORED cell index (`operators/ann.semantic_cell_index`) —
+    the semantic twin of `streaming/dedup.incremental_minhash_stream`.
+
+    foreachBatch hands each trigger a batch DataFrame, so the exact
+    cross-side operator (`semantic_dedup_between`) runs unchanged;
+    because the corpus always wins, per-vector keep/drop decisions are
+    independent of batching and the union of per-batch outputs equals
+    the one-shot answer (asserted in tests/test_streaming_ann.py).
+    `sink(decisions_df, batch_id)` receives (vec_id, cell, centroid_cos,
+    kept) per trigger. Returns the started StreamingQuery."""
+    from ..operators.ann import semantic_dedup_between
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(semantic_dedup_between(batch_df, corpus_index, centroids,
+                                    threshold, id_col, vec_col), batch_id)
+
+    return (emb_stream.writeStream
+            .foreachBatch(_process)
+            .outputMode("append")
+            .start())
+
+
 def run_signature_ingest(signatures: DataFrame, out_path: str,
                          checkpoint_dir: str):
     """Append each micro-batch's signatures to the index table; the

@@ -109,6 +109,12 @@ SHOWCASE = {
     "frames and fuse in one outer join + WindowGroupLimit; the BM25 "
     "arm's checkpointed dl/tf frames cap the whole composite at two "
     "corpus reads",
+    "pipeline_curate_pack": "6-stage curation composite runs off "
+    "stage-boundary checkpoints: the final plan reads ZERO parquet "
+    "(documents scanned exactly twice at curation materialization, "
+    "embeddings twice); packing windows stay per-stratum",
+    "dedup_image_phash": "dHash pairs via the shared pigeonhole core: "
+    "chunk-equality bucket join (never all-pairs), bit_count verify",
 }
 
 

@@ -343,3 +343,94 @@ def test_format_detect_routes_real_payloads(spark):
     import pytest
     with pytest.raises(ValueError):
         decode_ppm(payloads[4][0])
+
+
+def test_featurize_with_routing_merges_external_arm(spark):
+    """End-to-end decoder seam: a mixed table of native PPMs and
+    synthetic 'XZ01'-wrapped PPMs (compressed stand-in, routed external)
+    goes through featurize_with_routing with a stub decoder pool that
+    unwraps the container inside mapInPandas. Both arms must land in ONE
+    features table with identical schema, and each external row's
+    feature must equal the feature of its unwrapped payload."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_ppm, extract_features, featurize_with_routing,
+    )
+
+    def make_img(i):
+        rng = np.random.RandomState(100 + i)
+        return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+    rows = []
+    for i in range(8):
+        ppm = encode_ppm(make_img(i))
+        # odd ids wear the fake compressed container -> route external
+        payload = b"XZ01" + ppm if i % 2 else ppm
+        rows.append((i, "image", bytearray(payload),
+                     (8, 8, None, None, "xz" if i % 2 else "ppm")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+
+    def stub_decoder_pool(ext_df):
+        """Stand-in for the JPEG/MP3/H.264 service: strips the 4-byte
+        container magic, returning payloads the native codecs decode."""
+        import pandas as pd
+
+        def unwrap(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    bytearray(bytes(c)[4:]) for c in pdf["content"]]
+                yield pdf
+
+        return ext_df.mapInPandas(unwrap, MEDIA_SCHEMA)
+
+    feats = featurize_with_routing(media, stub_decoder_pool, dim=16)
+    got = {r["media_id"]: r for r in feats.collect()}
+    # every row present, one schema, real features on both arms
+    assert sorted(got) == list(range(8))
+    assert feats.columns == ["media_id", "media_type", "feature"]
+    # external rows featurize exactly like their unwrapped payloads
+    direct = spark.createDataFrame(
+        [(i, "image", bytearray(encode_ppm(make_img(i))),
+          (8, 8, None, None, "ppm")) for i in range(8)], MEDIA_SCHEMA)
+    want = {r["media_id"]: r["feature"]
+            for r in extract_features(direct, dim=16, codec="real").collect()}
+    for i in range(8):
+        assert got[i]["feature"] == pytest.approx(want[i]), i
+
+
+def test_audio_envelope_hash_stereo_and_perturbation(spark):
+    """Envelope hash is channel-mean based (a stereo clip whose channel
+    mean equals a mono clip hashes identically), and blowing ONE block's
+    amplitude flips at most the 2 comparisons touching it."""
+    import numpy as np
+
+    from graph_database_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_envelope_hash, encode_wav,
+    )
+    # monotone ramp: every gradient bit is 1, so the perturbation's
+    # effect is fully predictable (blow block 20 to 3000 ⇒ bit 19 stays
+    # 1, bit 20 flips to 0 — exactly one flip)
+    amps = (100 + 10 * np.arange(65)).astype(np.int16)
+    mono = np.repeat(amps, 16)
+    stereo = np.stack([mono + 50, mono - 50], axis=1).astype(np.int16)
+    pert_amps = amps.copy()
+    pert_amps[20] = 3000
+    pert = np.repeat(pert_amps, 16)
+    rows = [
+        (0, "audio", bytearray(encode_wav(mono, 16000)),
+         (None, None, 16000, 65, "wav")),
+        (1, "audio", bytearray(encode_wav(stereo, 16000)),
+         (None, None, 16000, 65, "wav")),
+        (2, "audio", bytearray(encode_wav(pert, 16000)),
+         (None, None, 16000, 65, "wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ehash"]
+           for r in audio_envelope_hash(media).collect()}
+    # NOTE stereo != mono here: mean-square of (v±50) is v²+2500, a
+    # constant shift — gradient signs are unchanged, so hashes match
+    assert got[0] == got[1]
+    flipped = (got[0] ^ got[2]) & ((1 << 64) - 1)
+    assert flipped == 1 << 20

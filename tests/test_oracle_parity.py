@@ -94,14 +94,13 @@ def test_driver_window_covers_priority_queries():
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
         "embedding_topk_lsh", "word_counts_cms",
-        # round-6 rotation: the entries that had never had an external
-        # driver row after r5 (VERDICT r5 item #2) — closes coverage to
-        # every oracle-backed entry
-        "events_skew_whale_counts", "multimodal_video_motion",
-        "multimodal_frame_extract", "bm25_topk", "media_format_detect",
-        "dedup_semantic", "vocab_hll_by_source", "event_transitions",
-        "events_value_trend", "hybrid_rrf_topk",
-        "embedding_truncation_recall",
+        # round-7 rotation: the new r7 entries (never driver-checked)
+        # lead, followed by the r4-stale cohort re-confirmations
+        "pagerank_converged_check", "ppr_converged_check",
+        "pipeline_curate_pack", "dedup_image_phash",
+        "dedup_audio_envelope",
+        "doc_tfidf_keywords", "word_heavy_hitters",
+        "graph_lpa_communities", "graph_kcore",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"

@@ -38,3 +38,49 @@ def test_streaming_signatures_equal_batch(spark, tmp_path):
     assert streamed == batch
     n_vec = emb.count()
     assert len(streamed) == n_vec * 12  # one bucket per vector per table
+
+
+def test_incremental_semantic_stream_equals_batch(spark, tmp_path):
+    """Micro-batched SemDeDup vs the standing corpus == the one-shot
+    cross-side answer: corpus always wins, so decisions are independent
+    of batching. Threshold 0.45 on the near-orthogonal corpus for
+    non-vacuous drops (same rationale as dedup_semantic)."""
+    from graph_database_spark.operators.ann import (
+        semantic_cell_index, semantic_dedup_between,
+    )
+    from graph_database_spark.streaming.ann import incremental_semantic_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(corpus, cents).localCheckpoint()
+
+    feed = str(tmp_path / "feed")
+    new.repartition(3).write.parquet(feed)  # 3 micro-batches
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            assert r["vec_id"] not in got  # each vector in exactly one batch
+            got[r["vec_id"]] = (r["cell"], r["centroid_cos"], r["kept"])
+
+    q = incremental_semantic_stream(stream, corpus_index, cents, sink,
+                                    threshold=0.45)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {r["vec_id"]: (r["cell"], r["centroid_cos"], r["kept"])
+            for r in semantic_dedup_between(new, corpus_index, cents,
+                                            threshold=0.45).collect()}
+    assert got == want
+    assert len(got) == new.count()
+    kept_vals = {v[2] for v in got.values()}
+    assert kept_vals == {True, False}  # non-vacuous: both outcomes occur
