@@ -552,6 +552,29 @@ def q_motif_cooccurrence_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(25))
 
 
+# Q9 (the last open SURVEY §2 row): the visualization's ENGINE half —
+# the exact graph + edge widths the reference hands to networkx
+# (graph.py:103-119); rendering lives in graphs/viz.py behind the same
+# ImportError gate as the reference, with a dependency-free DOT export.
+@register("cooccurrence_viz_edges", f"""
+WITH base AS ({_SQL_ITEMS}),
+pairs AS (
+  SELECT a.product_id AS src, b.product_id AS dst,
+         CAST(COUNT(*) AS BIGINT) AS co_count
+  FROM base a JOIN base b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2),
+m AS (SELECT MAX(co_count) AS mx FROM pairs)
+SELECT src, dst, co_count,
+       CAST(ROUND(2 + 6 * (CAST(co_count AS DOUBLE) / mx), 6) AS DOUBLE)
+         AS width
+FROM pairs CROSS JOIN m
+""")
+def q_cooccurrence_viz_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.viz import cooccurrence_viz_edges
+    return cooccurrence_viz_edges(_items(spark, sf_dir))
+
+
 @register("graph_degree_histogram", f"""
 WITH base AS ({_SQL_ITEMS}),
 deg AS (

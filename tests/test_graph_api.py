@@ -117,3 +117,31 @@ def test_api_weighted_paths_and_hits_shapes(graph, spark):
     for side in sides:  # L1-normalized per side
         tot = sum(r["score"] for r in h if r["side"] == side)
         assert abs(tot - 1.0) < 1e-4
+
+
+def test_cooccurrence_viz_edges_and_dot(spark):
+    """Q9's engine half: widths land in the reference's 2..8 range with
+    the max-count edge at exactly 8.0; the DOT export is deterministic,
+    parses as a graph document, and declares truncation loudly."""
+    from graph_database_spark.graphs.viz import (
+        cooccurrence_viz_edges, display_graph, edges_to_dot,
+    )
+    from graph_database_spark.queries._shared import _items
+
+    edges = cooccurrence_viz_edges(_items(spark, "/root/testdata/sf0.001"))
+    rows = edges.collect()
+    assert rows
+    assert all(2.0 < r["width"] <= 8.0 for r in rows)
+    assert any(r["width"] == 8.0 for r in rows)  # the max-count edge
+    dot = edges_to_dot(edges, limit=10)
+    assert dot.startswith("graph cooccurrence {")
+    assert dot.rstrip().endswith("}")
+    assert "truncated to top 10" in dot and dot.count(" -- ") == 10
+    assert edges_to_dot(edges, limit=10) == dot  # deterministic
+    full = edges_to_dot(edges, limit=len(rows))
+    assert "truncated" not in full and full.count(" -- ") == len(rows)
+    # rendering needs networkx/matplotlib (absent here) — same
+    # ImportError contract as the reference
+    import pytest
+    with pytest.raises(ImportError):
+        display_graph(edges)
