@@ -121,6 +121,56 @@ def mixture_plan(df: DataFrame, targets: dict[str, float],
                         / F.col("n_docs")), 6)))
 
 
+def temperature_mixture_plan(df: DataFrame, alpha: float = 0.5,
+                             sample_frac: float = 0.1,
+                             strata_col: str = "source",
+                             tokens_col: str = "ws_tokens") -> DataFrame:
+    """(source, token_mass, weight, target_tokens, rate): the
+    temperature-sampling mixture — weights ∝ mass^α instead of fixed
+    targets, the standard multilingual/multi-domain recipe (α < 1
+    upweights small domains; mBERT/XLM-R exponent smoothing, LLaMA's
+    domain sampling) budgeted over TOKEN mass, not doc counts.
+
+    Cross-engine exactness: mass^0.5 is IEEE sqrt (correctly rounded,
+    bit-identical everywhere); each sqrt is rounded to 6 dp and summed
+    as DECIMAL (order-free), so the normalizing total is exact; the
+    weight division and the target product run in doubles with the
+    SAME operation order as the oracle SQL — identical IEEE sequences
+    give identical results even at floor boundaries. α is fixed at 0.5
+    because general pow() is NOT cross-engine reproducible — other
+    exponents would need a documented tolerance instead of a
+    hash-exact oracle.
+
+    Plan shape: one stratum aggregate + a 1-row broadcast total, same
+    as `mixture_plan`. Feed rate to `stratified_sample` to realize it.
+    """
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 is engine-exact (IEEE sqrt); "
+                         "general pow() drifts across engines")
+    mass = df.groupBy(strata_col).agg(
+        F.sum(tokens_col).cast("long").alias("token_mass"))
+    s6 = F.round(F.sqrt(F.col("token_mass").cast("double")), 6) \
+        .cast("decimal(24,6)")
+    with_s = mass.withColumn("__s6", s6)
+    total = with_s.agg(F.sum("__s6").alias("__tot"),
+                       F.sum("token_mass").alias("__mass_tot"))
+    weight = F.round(F.col("__s6").cast("double")
+                     / F.col("__tot").cast("double"), 6)
+    # (frac * mass_tot) * weight, left-associated in doubles — the
+    # oracle spells the identical order, so the floor boundary agrees
+    target = F.floor((F.lit(float(sample_frac))
+                      * F.col("__mass_tot").cast("double"))
+                     * F.col("weight")).cast("long")
+    return (with_s.crossJoin(F.broadcast(total))
+            .withColumn("weight", weight)
+            .select(strata_col, "token_mass", "weight",
+                    target.alias("target_tokens"))
+            .withColumn("rate", F.round(
+                F.least(F.lit(1.0),
+                        F.col("target_tokens").cast("double")
+                        / F.col("token_mass")), 6)))
+
+
 def apply_mixture_plan(df: DataFrame, plan: DataFrame,
                        strata_col: str = "source",
                        key_col: str = "doc_id") -> DataFrame:

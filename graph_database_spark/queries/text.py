@@ -354,6 +354,49 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frac=0.1)
 
 
+@register("domain_mixture_temperature", r"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS token_mass
+  FROM documents GROUP BY source),
+s AS (
+  SELECT source, token_mass,
+         CAST(ROUND(sqrt(CAST(token_mass AS DOUBLE)), 6)
+              AS DECIMAL(24,6)) AS s6
+  FROM t),
+tot AS (SELECT SUM(s6) AS tot6, SUM(token_mass) AS mass_tot FROM s),
+w AS (
+  SELECT source, token_mass, mass_tot,
+         ROUND(CAST(s6 AS DOUBLE) / CAST(tot6 AS DOUBLE), 6) AS weight
+  FROM s CROSS JOIN tot),
+tt AS (
+  SELECT source, token_mass, weight,
+         CAST(FLOOR((0.1 * CAST(mass_tot AS DOUBLE)) * weight) AS BIGINT)
+           AS target_tokens
+  FROM w)
+SELECT source, token_mass, CAST(weight AS DOUBLE) AS weight, target_tokens,
+  CAST(ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / token_mass), 6)
+       AS DOUBLE) AS rate
+FROM tt
+""")
+def q_domain_mixture_temperature(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Temperature mixture (α=0.5) over TOKEN mass: weights ∝ √mass —
+    the multilingual/multi-domain smoothing recipe that upweights small
+    domains relative to proportional sampling, budgeted in tokens (what
+    the trainer actually consumes), not documents. IEEE sqrt + 6-dp
+    DECIMAL normalizer sum + same-order double products keep every
+    floor boundary hash-exact across engines."""
+    from ..operators.sampling import temperature_mixture_plan
+    from ..operators.text import _match_count, WS_TOKEN_PATTERN
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        _match_count(F.col("text"), WS_TOKEN_PATTERN).alias("ws_tokens"))
+    return temperature_mixture_plan(scored, alpha=0.5, sample_frac=0.1)
+
+
 @register("doc_sample_quality_weighted", f"""
 WITH q AS ({{quality}})
 SELECT doc_id, quality FROM q

@@ -233,3 +233,31 @@ def test_weighted_exact_n_counts_and_preference(spark):
                                        weight_col="w",
                                        strata_col="source").collect()}
     assert again == {(s, d) for s, ds in got.items() for d in ds}
+
+
+def test_temperature_mixture_upweights_small_domains(spark):
+    """α=0.5 smoothing: a domain with 1/100 the token mass gets far MORE
+    than 1/100 of the budget (√ ratio = 1/10), and rates cap at 1.0;
+    alpha != 0.5 is rejected (pow() is not cross-engine exact)."""
+    import pytest
+
+    from graph_database_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+    rows = ([("big", 100) for _ in range(1000)]
+            + [("small", 100) for _ in range(10)])
+    df = spark.createDataFrame(rows, "source string, ws_tokens int")
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, sample_frac=0.5).collect()}
+    assert plan["big"]["token_mass"] == 100_000
+    assert plan["small"]["token_mass"] == 1_000
+    # proportional share would be ~1/101; sqrt smoothing gives ~1/11
+    assert plan["small"]["weight"] > 5 * (1 / 101)
+    assert abs(plan["small"]["weight"]
+               - (1000 ** 0.5) / (1000 ** 0.5 + 100_000 ** 0.5)) < 1e-5
+    # small domain's target exceeds its mass -> rate saturates at 1.0
+    assert plan["small"]["target_tokens"] > 1_000
+    assert plan["small"]["rate"] == 1.0
+    assert 0 < plan["big"]["rate"] < 1
+    with pytest.raises(ValueError):
+        temperature_mixture_plan(df, alpha=0.7)
