@@ -30,10 +30,15 @@ def cooccurrence_viz_edges(items: DataFrame) -> DataFrame:
     pairs = cooccurrence_unordered(items) \
         .withColumnRenamed("count", "co_count")
     mx = pairs.agg(F.max("co_count").alias("__mx"))
+    # parenthesized 6·(count/max) — the oracle spells the identical IEEE
+    # operation order, so ROUND(...,6) can never straddle a boundary
+    # between engines (left-associated (6·count)/max differs by ulps)
     return (pairs.crossJoin(F.broadcast(mx))
             .select("src", "dst", "co_count",
-                    F.round(F.lit(2.0) + F.lit(6.0) * F.col("co_count")
-                            / F.col("__mx"), 6).alias("width")))
+                    F.round(F.lit(2.0) + F.lit(6.0)
+                            * (F.col("co_count").cast("double")
+                               / F.col("__mx").cast("double")), 6)
+                    .alias("width")))
 
 
 def edges_to_dot(edges: DataFrame, graph_name: str = "cooccurrence",
@@ -47,8 +52,12 @@ def edges_to_dot(edges: DataFrame, graph_name: str = "cooccurrence",
             .limit(limit + 1).collect())
     truncated = len(rows) > limit
     rows = rows[:limit]
+    def _q(v) -> str:  # DOT double-quoted ID: escape \ and "
+        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{s}"'
+
     body = "\n".join(
-        f'  "{r["src"]}" -- "{r["dst"]}" '
+        f'  {_q(r["src"])} -- {_q(r["dst"])} '
         f'[penwidth={r["width"]}, label={r["co_count"]}];'
         for r in rows)
     head = f"graph {graph_name} {{\n  node [shape=circle];\n"

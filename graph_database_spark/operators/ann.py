@@ -226,6 +226,11 @@ def semantic_dedup_between(batch: DataFrame, corpus_index: DataFrame,
     join is cell-keyed cross-side only — batch size, not corpus size,
     bounds the quadratic stage."""
     new_idx = semantic_cell_index(batch, centroids, id_col, vec_col)
+    if not new_idx.isStreaming:
+        # consumed by both the dropped-pair join and the final left join
+        # — pin it so the assignment doesn't run twice (the same diamond
+        # semantic_dedup checkpoints)
+        new_idx = new_idx.localCheckpoint()
     a, b = new_idx.alias("a"), corpus_index.alias("b")
     dropped = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))

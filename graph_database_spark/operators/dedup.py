@@ -291,8 +291,10 @@ def hamming_banded_pairs(sig: DataFrame, bits_total: int, chunks: int,
     `chunks` equal-width chunks matches — max_hamming above that would
     silently miss pairs, hence the assert), verified by bit_count(xor).
     Scale: candidates are a bucket-keyed equi join, never all-pairs."""
-    assert max_hamming <= chunks - 1, \
-        "pigeonhole banding misses pairs beyond chunks-1 bit flips"
+    if max_hamming > chunks - 1:  # ValueError, not assert: must survive -O
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"chunks-1={chunks - 1}: banding would silently miss pairs")
     chunk_bits = bits_total // chunks
     mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(*[

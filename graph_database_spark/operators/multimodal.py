@@ -833,6 +833,14 @@ def featurize_with_routing(media: DataFrame, external_decoder,
     Scale: the split is a narrow projection (no shuffle) and the union
     is plan-level — each arm stays an independent Arrow pipeline."""
     routed = detect_media_format(media)
+    if not routed.isStreaming:
+        # both arms filter this frame — unpinned, the content scan (the
+        # expensive column) would run once PER ARM. Locally a checkpoint
+        # pins it; in production this boundary is a route-partitioned
+        # table write, after which each decoder pool reads only its own
+        # partition (the same stage-boundary materialization as the
+        # curation pipeline).
+        routed = routed.localCheckpoint()
     native = (routed.filter(F.col("route") == "in_engine")
               .drop("format", "route"))
     ext = (routed.filter(F.col("route") == "external")

@@ -165,10 +165,14 @@ def temperature_mixture_plan(df: DataFrame, alpha: float = 0.5,
             .withColumn("weight", weight)
             .select(strata_col, "token_mass", "weight",
                     target.alias("target_tokens"))
-            .withColumn("rate", F.round(
+            .withColumn("rate", F.when(F.col("token_mass") > 0, F.round(
                 F.least(F.lit(1.0),
                         F.col("target_tokens").cast("double")
-                        / F.col("token_mass")), 6)))
+                        / F.col("token_mass")), 6))
+                # a stratum whose rows carry zero tokens has a 0-token
+                # budget: rate 0, NOT the 1.0 that least() would produce
+                # by skipping the NULL 0/0 division
+                .otherwise(F.lit(0.0))))
 
 
 def apply_mixture_plan(df: DataFrame, plan: DataFrame,

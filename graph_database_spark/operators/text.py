@@ -302,7 +302,13 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
     """
     from pyspark.sql import Window
 
-    q_terms = F.broadcast(queries.withColumnRenamed("term", "token"))
+    # a duplicated (query_id, term) row must not double-count: the
+    # corpus path would inflate tf pre-aggregation while the postings
+    # path would emit two summed per-term rows — distinct() up front
+    # keeps both paths identical (standard BM25 ignores repeated query
+    # mentions; qtf weighting would be an explicit extension)
+    q_terms = F.broadcast(
+        queries.withColumnRenamed("term", "token").distinct())
     if postings is not None:
         dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         tf_q = postings.join(q_terms, "token")

@@ -34,14 +34,17 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # tests/test_oracle_parity.py regardless of position.
 # ROUND-7 ROTATION: after r6 all 130 then-registered entries had ≥1
 # green external row and max staleness was 2 rounds (the r4 cohort).
-# This window keeps the 10 canaries, leads with the 4 new r7 entries
+# This window keeps the 10 canaries, leads with ALL 7 new r7 entries
 # (the tol-converged PageRank value checks, the 6-stage curation
-# composite, image dHash + audio envelope dedup), then re-confirms 35
-# of the 38 entries last checked in r4 (deferred to r8: pii_scan —
-# vacuous agreement, doc_split_assignment — trivial-hash coverage,
-# corpus_top_ngrams — overlaps word_heavy_hitters' top-k token
-# coverage; all three green in the local sweep).
-# pagerank_global and ppr_batch_focal stay out:
+# composite, image dHash + audio envelope dedup, temperature mixture,
+# the Q9 viz edges), then re-confirms 33 of the 38 entries last checked
+# in r4 (deferred to r8: pii_scan — vacuous agreement,
+# doc_split_assignment — trivial-hash coverage, corpus_top_ngrams —
+# overlaps word_heavy_hitters' top-k token coverage,
+# customer_value_deciles — overlaps customer_rfm/quantity_quantiles'
+# window-rank coverage, order_baskets — overlaps order_frequency;
+# all five green in the local sweep). pagerank_global and
+# ppr_batch_focal stay out:
 # rows-only (no SQL oracle), and their tol-stop logic is now externally
 # value-checked via the *_converged_check twins in this window.
 _DRIVER_WINDOW_PRIORITY = [
@@ -53,10 +56,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (new r7 entries)
     "pagerank_converged_check", "ppr_converged_check",
     "pipeline_curate_pack", "dedup_image_phash", "dedup_audio_envelope",
-    # last checked r4 — stalest re-confirmations (36 of 38)
+    "domain_mixture_temperature", "cooccurrence_viz_edges",
+    # last checked r4 — stalest re-confirmations (33 of 38)
     "shipping_priority", "revenue_grouping_sets", "nation_revenue_share",
-    "customer_rfm", "fk_orphans", "customer_value_deciles",
-    "order_baskets", "orders_profile", "events_value_anomalies",
+    "customer_rfm", "fk_orphans",
+    "orders_profile", "events_value_anomalies",
     "events_type_counts_salted", "events_sliding_counts",
     "events_status_history", "events_value_winsorized", "graph_kcore",
     "graph_lpa_communities", "graph_neighbor_agg",

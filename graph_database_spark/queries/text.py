@@ -376,8 +376,11 @@ tt AS (
            AS target_tokens
   FROM w)
 SELECT source, token_mass, CAST(weight AS DOUBLE) AS weight, target_tokens,
-  CAST(ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / token_mass), 6)
-       AS DOUBLE) AS rate
+  CASE WHEN token_mass > 0
+       THEN CAST(ROUND(LEAST(1.0,
+                             CAST(target_tokens AS DOUBLE) / token_mass), 6)
+                 AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS rate
 FROM tt
 """)
 def q_domain_mixture_temperature(spark: SparkSession,

@@ -98,7 +98,8 @@ def test_driver_window_covers_priority_queries():
         # lead, followed by the r4-stale cohort re-confirmations
         "pagerank_converged_check", "ppr_converged_check",
         "pipeline_curate_pack", "dedup_image_phash",
-        "dedup_audio_envelope",
+        "dedup_audio_envelope", "domain_mixture_temperature",
+        "cooccurrence_viz_edges",
         "doc_tfidf_keywords", "word_heavy_hitters",
         "graph_lpa_communities", "graph_kcore",
     }

@@ -559,3 +559,21 @@ def test_pipeline_composite_runs_off_stage_checkpoints(spark):
     # per-stratum packing: both windows partition on source (never a
     # global single-partition window)
     assert "Window" in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_duplicate_query_terms_do_not_double_count(spark):
+    """A duplicated (query_id, term) row must score identically to the
+    deduped query on BOTH the corpus path and the postings path."""
+    from graph_database_spark.operators.text import bm25_postings, bm25_topk
+    from graph_database_spark.sources.testdata import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    qdf1 = spark.createDataFrame(
+        [(1, "the"), (1, "data")], "query_id int, term string")
+    qdf2 = spark.createDataFrame(
+        [(1, "the"), (1, "the"), (1, "data"), (1, "data")],
+        "query_id int, term string")
+    want = {tuple(r) for r in bm25_topk(docs, qdf1).collect()}
+    assert {tuple(r) for r in bm25_topk(docs, qdf2).collect()} == want
+    post = bm25_postings(docs).localCheckpoint()
+    assert {tuple(r) for r in
+            bm25_topk(docs, qdf2, postings=post).collect()} == want

@@ -261,3 +261,19 @@ def test_temperature_mixture_upweights_small_domains(spark):
     assert 0 < plan["big"]["rate"] < 1
     with pytest.raises(ValueError):
         temperature_mixture_plan(df, alpha=0.7)
+
+
+def test_temperature_mixture_zero_mass_stratum_rate_zero(spark):
+    """A stratum whose rows carry zero tokens has a 0-token budget:
+    rate must be 0.0, not the 1.0 least() would give by skipping the
+    NULL 0/0 division."""
+    from graph_database_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+    rows = [("full", 100)] * 50 + [("empty", 0)] * 5
+    df = spark.createDataFrame(rows, "source string, ws_tokens int")
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, sample_frac=0.5).collect()}
+    assert plan["empty"]["token_mass"] == 0
+    assert plan["empty"]["rate"] == 0.0
+    assert plan["full"]["rate"] > 0
