@@ -168,3 +168,38 @@ def compact_parquet(spark, src_path: str, dst_path: str,
         part = df.repartition(n_files)
     part.write.mode(mode).parquet(dst_path)
     return n_files
+
+
+def write_embeddings_by_cell(embeddings: DataFrame, centroids,
+                             path: str, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             mode: str = "overwrite") -> None:
+    """IVF as STORAGE LAYOUT: hive-partition the embedding corpus by its
+    1-NN centroid cell, so an nprobe-cell ANN query is answered by
+    PARTITION PRUNING — the scan lists only the probed cells'
+    directories and reads ~nprobe/nlist of the corpus bytes before any
+    dot product runs. This is the data-skipping rung of the ANN ladder
+    (above it: int8 quantization shrinks the bytes read; below it:
+    in-memory IVF restricts compute). Cell assignment reuses the exact
+    `ann._assign_cells` math of `cosine_topk_ivf`, so the storage layout
+    and the query's probe decisions can never disagree.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.ann import _assign_cells
+
+    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
+    (embeddings
+     .join(assign.withColumnRenamed("id", id_col), id_col)
+     .write.mode(mode).partitionBy("cell").parquet(path))
+
+
+def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Scan restricted to the probed cells. The predicate is on the
+    partition column, so it resolves at planning time (PartitionFilters:
+    unprobed directories are never listed, no row-level filter remains)
+    — the test pins that plan shape."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(path)
+            .filter(F.col("cell").isin([int(c) for c in cells])))

@@ -162,3 +162,41 @@ def test_hive_partitioning_prunes_directories(spark, tmp_path):
     # and the data actually matches
     n = got.count()
     assert n == ev.filter("event_type = 'purchase'").count() > 0
+
+
+def test_ivf_cell_partitioned_embeddings_prune_at_plan_time(spark, tmp_path):
+    """IVF as storage layout: a 2-of-8-cell probe resolves as a
+    PartitionFilter (directories never listed, no row-level cell filter
+    remains), reads exactly the cells' rows, and a top-k over the probed
+    scan equals the same top-k over an in-memory cell restriction."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.operators.ann import _assign_cells
+    from graph_database_spark.sources.layout import (
+        read_probed_cells, write_embeddings_by_cell,
+    )
+    from graph_database_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect()]
+    path = str(tmp_path / "emb_by_cell")
+    write_embeddings_by_cell(emb, cents, path)
+
+    probed = read_probed_cells(spark, path, [1, 5])
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pf = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert pf and any("cell" in l for l in pf), plan
+    # the predicate fully resolves at planning time — no Filter node left
+    assert "(2) Filter" not in plan and "* Filter" not in plan, plan
+
+    want_ids = {r["id"] for r in
+                _assign_cells(emb, cents, 1, "vec_id", "embedding")
+                .filter(F.col("cell").isin([1, 5])).collect()}
+    got = probed.collect()
+    assert {r["vec_id"] for r in got} == want_ids and want_ids
+    # partition value round-trips as the partition column
+    assert {r["cell"] for r in got} == {1, 5}
