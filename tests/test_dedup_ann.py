@@ -391,3 +391,31 @@ def test_truncation_recall_monotone_and_exact_at_full_dim(spark):
     assert avg[64] == 1.0
     # more dimensions never hurt on average (they add signal, not noise)
     assert avg[8] <= avg[32] <= avg[64]
+
+
+def test_semantic_dedup_cell_count_bounds_quadratic_work(spark):
+    """The fixed-nlist scale bound, demonstrated: growing the centroid
+    count shrinks within-cell candidate pairs ~proportionally (pairs ∝
+    Σ n_c² ≈ N²/nlist for balanced cells) — the operational lever the
+    SCALING.md dedup_semantic row documents. Uses the same corpus-vector
+    centroids as the registry entry."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.operators.ann import _assign_cells
+    from graph_database_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def pair_count(nlist):
+        cents = [list(r[0]) for r in
+                 emb.filter(F.col("vec_id") < nlist).orderBy("vec_id")
+                    .select("embedding").collect()]
+        occ = (_assign_cells(emb, cents, 1, "vec_id", "embedding")
+               .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+        return (occ.agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
+                .first()["p"])
+
+    p16, p64 = pair_count(16), pair_count(64)
+    # 4x the cells must cut candidate pairs by well over 2x (exactly 4x
+    # for perfectly balanced cells; real cells are skewed)
+    assert p64 * 2 < p16, (p16, p64)

@@ -266,3 +266,29 @@ def test_hits_broadcast_gate_measures_state_not_edges(spark, monkeypatch):
             "formatted"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_converged_iteration_count_is_pinned_k9(spark):
+    """pagerank_converged_check's oracle unrolls exactly k*=9 steps — a
+    constant of the driver's deterministic sf0.01 corpus. If testdata
+    ever changes vintage, THIS test fails locally before the external
+    hash does, naming the re-measure step."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.graphs.pagerank import pagerank
+    from graph_database_spark.operators.cooccurrence import (
+        cooccurrence_ordered, row_normalized_adjacency,
+    )
+    from graph_database_spark.queries._shared import _items
+    from graph_database_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.01"
+    adj = row_normalized_adjacency(cooccurrence_ordered(_items(spark, sf)),
+                                   broadcast_row_sums=True)
+    verts = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"))
+    _ranks, k = pagerank(verts, adj, tol=1e-6, max_iter=50,
+                         with_iterations=True)
+    assert k == 9, (
+        f"converged at {k} iterations, oracle unrolls 9 — re-measure k* "
+        "and update _pagerank_unrolled_sql/_ppr_unrolled_sql call sites")
