@@ -1,0 +1,97 @@
+"""Streaming ingest twin of the curation pipeline: per micro-batch,
+curate → exact-dedup vs corpus → MinHash-LSH vs corpus → SemDeDup vs
+corpus, against a STANDING corpus's precomputed artifacts (hash set,
+signature source, cell index).
+
+Batching-invariance by construction: every stage is a PER-DOCUMENT
+decision against static corpus state — the corpus always wins, and no
+stage compares two in-flight documents — so the union of per-batch
+outputs equals the one-shot answer on the same rows regardless of
+trigger boundaries (asserted in tests/test_streaming_curation.py).
+Intra-ingest duplicates (two near-identical docs arriving in the same
+ingest window) are deliberately NOT resolved here: they fall to the
+next corpus-refresh cycle, the standard lambda split — resolving them
+in-flight would make results depend on micro-batch boundaries.
+
+At 100 TB/day the corpus artifacts are tables maintained by the batch
+tier: md5-hash set (exact), MinHash bucket index (signatures are
+append-only), SemDeDup cell index (`ann.semantic_cell_index`). Per
+trigger, batch size — never corpus size — bounds every quadratic stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
+                        corpus_docs: DataFrame, corpus_index: DataFrame,
+                        centroids: list[list[float]],
+                        embeddings_lookup: DataFrame,
+                        semantic_threshold: float = 0.95,
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, quality, ws_tokens, stage_reached): the accept/reject
+    chain for ONE batch of new documents vs the standing corpus; the
+    exact function the streaming wrapper runs per trigger, exposed so
+    the one-shot equivalence is the SAME code path, not a twin.
+
+    `embeddings_lookup` stands in for the embedding service a real
+    ingest calls between dedup and SemDeDup (here: a static
+    (vec_id, embedding) frame keyed by doc_id)."""
+    from ..operators.dedup import minhash_lsh_pairs_between
+    from ..operators.ann import semantic_dedup_between
+    from ..operators.text import curate_documents
+
+    curated = curate_documents(batch_docs, benchmark, text_col=text_col,
+                               keep_cols=(text_col,))
+    # exact dedup vs corpus: per-doc hash membership (no within-batch
+    # min-id pick — see module docstring on intra-ingest duplicates)
+    corpus_hashes = corpus_docs.select(
+        F.md5(F.col(text_col)).alias("__h")).distinct()
+    s2 = (curated
+          .withColumn("__h", F.md5(F.col(text_col)))
+          .join(corpus_hashes, "__h", "left_anti")
+          .drop("__h"))
+    # near-dup vs corpus: cross-side pairs only; any hit drops the new doc
+    near = minhash_lsh_pairs_between(
+        s2.select("doc_id", text_col), corpus_docs,
+        text_col=text_col).select(F.col("src").alias("doc_id")).distinct()
+    s3 = s2.join(near, "doc_id", "left_anti")
+    # semantic vs corpus: cell-keyed, corpus wins; docs without an
+    # embedding row pass through (no silent vanish)
+    emb = embeddings_lookup.join(
+        s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    dropped = (semantic_dedup_between(emb, corpus_index, centroids,
+                                      threshold=semantic_threshold)
+               .filter(~F.col("kept"))
+               .select(F.col("vec_id").alias("doc_id")))
+    return (s3.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "quality", "ws_tokens"))
+
+
+def curate_dedup_ingest_stream(docs_stream: DataFrame,
+                               benchmark: DataFrame,
+                               corpus_docs: DataFrame,
+                               corpus_index: DataFrame,
+                               centroids: list[list[float]],
+                               embeddings_lookup: DataFrame,
+                               sink: Callable[[DataFrame, int], None],
+                               semantic_threshold: float = 0.95,
+                               text_col: str = "text"):
+    """Run `ingest_accept_batch` per trigger via foreachBatch;
+    `sink(accepted_df, batch_id)` receives each trigger's accepted
+    (doc_id, quality, ws_tokens). Returns the started StreamingQuery."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(ingest_accept_batch(batch_df, benchmark, corpus_docs,
+                                 corpus_index, centroids,
+                                 embeddings_lookup,
+                                 semantic_threshold, text_col), batch_id)
+
+    return (docs_stream.writeStream
+            .foreachBatch(_process)
+            .outputMode("append")
+            .start())

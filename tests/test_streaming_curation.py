@@ -75,3 +75,60 @@ def test_pii_rejected_in_flight(spark, tmp_path):
 
     ann = {r["doc_id"]: r for r in annotate_stream(df).collect()}
     assert ann[2]["n_email"] == 1 and ann[1]["n_email"] == 0
+
+
+def test_ingest_pipeline_stream_equals_one_shot(spark, tmp_path):
+    """The full ingest chain (curate -> exact -> MinHash -> SemDeDup,
+    all vs the standing corpus) unions over micro-batches to exactly
+    the one-shot answer: every stage is a per-document decision against
+    static corpus state, so trigger boundaries cannot change outcomes."""
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.operators.ann import semantic_cell_index
+    from graph_database_spark.sources.testdata import load_table
+    from graph_database_spark.streaming.pipeline import (
+        curate_dedup_ingest_stream, ingest_accept_batch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    benchmark = docs.filter(F.col("source") == "src19")
+    new = docs.filter((F.col("doc_id") % 3 == 0)
+                      & (F.col("source") != "src19"))
+    corpus = docs.filter((F.col("doc_id") % 3 != 0)
+                         & (F.col("source") != "src19"))
+    emb = load_table(spark, sf, "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(
+        emb.join(corpus.select(F.col("doc_id").alias("vec_id")),
+                 "vec_id", "left_semi"), cents).localCheckpoint()
+
+    feed = str(tmp_path / "feed")
+    new.repartition(3).write.parquet(feed)  # 3 micro-batches
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            assert r["doc_id"] not in got
+            got[r["doc_id"]] = (r["quality"], r["ws_tokens"])
+
+    q = curate_dedup_ingest_stream(stream, benchmark, corpus,
+                                   corpus_index, cents, emb, sink,
+                                   semantic_threshold=0.45)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {r["doc_id"]: (r["quality"], r["ws_tokens"])
+            for r in ingest_accept_batch(new, benchmark, corpus,
+                                         corpus_index, cents, emb,
+                                         semantic_threshold=0.45).collect()}
+    assert got == want
+    # non-vacuous: the gate accepted some docs AND rejected some
+    assert 0 < len(got) < new.count()
