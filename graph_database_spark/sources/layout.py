@@ -184,8 +184,6 @@ def write_embeddings_by_cell(embeddings: DataFrame, centroids,
     `ann._assign_cells` math of `cosine_topk_ivf`, so the storage layout
     and the query's probe decisions can never disagree.
     """
-    from pyspark.sql import functions as F
-
     from ..operators.ann import _assign_cells
 
     assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)

@@ -26,30 +26,58 @@ from typing import Callable
 from pyspark.sql import DataFrame, functions as F
 
 
+def corpus_hash_set(corpus_docs: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """(__h): the standing corpus's distinct md5 text-hash set — the
+    exact-dedup artifact the batch tier maintains. Precompute (and
+    checkpoint/persist) ONCE per corpus refresh; recomputing it per
+    trigger would re-hash the whole corpus every micro-batch."""
+    return corpus_docs.select(
+        F.md5(F.col(text_col)).alias("__h")).distinct()
+
+
 def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
                         corpus_docs: DataFrame, corpus_index: DataFrame,
                         centroids: list[list[float]],
                         embeddings_lookup: DataFrame,
                         semantic_threshold: float = 0.95,
-                        text_col: str = "text") -> DataFrame:
-    """(doc_id, quality, ws_tokens, stage_reached): the accept/reject
-    chain for ONE batch of new documents vs the standing corpus; the
-    exact function the streaming wrapper runs per trigger, exposed so
-    the one-shot equivalence is the SAME code path, not a twin.
+                        text_col: str = "text",
+                        corpus_hashes: DataFrame | None = None) -> DataFrame:
+    """(doc_id, quality, ws_tokens): the accepted rows of ONE batch of
+    new documents vs the standing corpus; the exact function the
+    streaming wrapper runs per trigger, exposed so the one-shot
+    equivalence is the SAME code path, not a twin.
+
+    PRECONDITION (checked, loud): batch doc_ids must be disjoint from
+    corpus doc_ids — a colliding id would fetch the CORPUS doc's
+    embedding for the semantic decision and merge both texts into one
+    MinHash signature. Real ingests assign fresh ids upstream.
 
     `embeddings_lookup` stands in for the embedding service a real
     ingest calls between dedup and SemDeDup (here: a static
-    (vec_id, embedding) frame keyed by doc_id)."""
+    (vec_id, embedding) frame keyed by doc_id). `corpus_hashes` is the
+    precomputed `corpus_hash_set` artifact (derived from corpus_docs
+    when absent — fine one-shot, wasteful per-trigger; the MinHash
+    stage's analogous precomputed-signature form is documented in
+    `minhash_lsh_pairs_between`)."""
     from ..operators.dedup import minhash_lsh_pairs_between
     from ..operators.ann import semantic_dedup_between
     from ..operators.text import curate_documents
 
+    collision = (batch_docs.select("doc_id")
+                 .join(corpus_docs.select("doc_id"), "doc_id", "left_semi")
+                 .limit(1).count())
+    if collision:
+        raise ValueError(
+            "batch doc_ids collide with corpus doc_ids — the id space "
+            "must be disjoint (embedding lookup and MinHash signatures "
+            "key on doc_id)")
     curated = curate_documents(batch_docs, benchmark, text_col=text_col,
                                keep_cols=(text_col,))
     # exact dedup vs corpus: per-doc hash membership (no within-batch
     # min-id pick — see module docstring on intra-ingest duplicates)
-    corpus_hashes = corpus_docs.select(
-        F.md5(F.col(text_col)).alias("__h")).distinct()
+    if corpus_hashes is None:
+        corpus_hashes = corpus_hash_set(corpus_docs, text_col)
     s2 = (curated
           .withColumn("__h", F.md5(F.col(text_col)))
           .join(corpus_hashes, "__h", "left_anti")
@@ -82,14 +110,19 @@ def curate_dedup_ingest_stream(docs_stream: DataFrame,
                                text_col: str = "text"):
     """Run `ingest_accept_batch` per trigger via foreachBatch;
     `sink(accepted_df, batch_id)` receives each trigger's accepted
-    (doc_id, quality, ws_tokens). Returns the started StreamingQuery."""
+    (doc_id, quality, ws_tokens). The exact-dedup hash set is
+    precomputed ONCE here (checkpointed) — triggers must not re-hash
+    the corpus. Returns the started StreamingQuery."""
+    hashes = corpus_hash_set(corpus_docs, text_col).localCheckpoint()
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sink(ingest_accept_batch(batch_df, benchmark, corpus_docs,
                                  corpus_index, centroids,
                                  embeddings_lookup,
-                                 semantic_threshold, text_col), batch_id)
+                                 semantic_threshold, text_col,
+                                 corpus_hashes=hashes), batch_id)
 
     return (docs_stream.writeStream
             .foreachBatch(_process)
