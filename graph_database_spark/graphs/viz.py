@@ -60,7 +60,9 @@ def edges_to_dot(edges: DataFrame, graph_name: str = "cooccurrence",
         f'  {_q(r["src"])} -- {_q(r["dst"])} '
         f'[penwidth={r["width"]}, label={r["co_count"]}];'
         for r in rows)
-    head = f"graph {graph_name} {{\n  node [shape=circle];\n"
+    # the graph id goes through the same escaper as node ids — a name
+    # with spaces/quotes/DOT keywords would otherwise break the document
+    head = f"graph {_q(graph_name)} {{\n  node [shape=circle];\n"
     note = f"  // truncated to top {limit} edges by width\n" \
         if truncated else ""
     return head + note + body + "\n}\n"

@@ -190,15 +190,16 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64,
             .select("doc_id", sig.alias("minhash")))
 
 
-def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
-                      bands: int = 16, n: int = 3, threshold: float = 0.5,
-                      text_col: str = "text") -> DataFrame:
-    """(src, dst, jaccard): LSH-bucketed candidate generation + exact
-    verification. bands*rows must equal num_hashes; with 16 bands × 4 rows
-    the S-curve catches ~all pairs with J ≥ 0.5."""
+def minhash_band_buckets(sig: DataFrame, num_hashes: int = 64,
+                         bands: int = 16) -> DataFrame:
+    """(doc_id, band, bucket): the LSH band buckets of a signature frame
+    (`minhash_signatures` output) — one row per (doc, band). This IS the
+    storable bucket index: signatures are append-only, so the batch tier
+    persists this frame once per corpus refresh and incremental dedup
+    bucket-joins new-batch buckets against it (`minhash_lsh_pairs_vs_index`)
+    instead of re-signing the corpus per trigger."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n, text_col)
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -207,8 +208,30 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
         )
         for b in range(bands)
     ])
-    buckets = (sig.select("doc_id", F.explode(band_cols).alias("bb"))
-               .select("doc_id", "bb.band", "bb.bucket"))
+    return (sig.select("doc_id", F.explode(band_cols).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket"))
+
+
+def minhash_bucket_index(documents: DataFrame, num_hashes: int = 64,
+                         bands: int = 16, n: int = 3,
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bucket): shingle → sign → band a corpus in one call —
+    the precomputed artifact `minhash_lsh_pairs_vs_index` consumes.
+    Persist/checkpoint the result; recomputing it per ingest trigger is
+    exactly the corpus-sized work the index exists to avoid."""
+    return minhash_band_buckets(
+        minhash_signatures(documents, num_hashes, n, text_col),
+        num_hashes, bands)
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
+                      bands: int = 16, n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """(src, dst, jaccard): LSH-bucketed candidate generation + exact
+    verification. bands*rows must equal num_hashes; with 16 bands × 4 rows
+    the S-curve catches ~all pairs with J ≥ 0.5."""
+    sig = minhash_signatures(documents, num_hashes, n, text_col)
+    buckets = minhash_band_buckets(sig, num_hashes, bands)
     cand = (
         buckets.alias("x").join(
             buckets.alias("y"),
@@ -295,6 +318,14 @@ def hamming_banded_pairs(sig: DataFrame, bits_total: int, chunks: int,
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole bound "
             f"chunks-1={chunks - 1}: banding would silently miss pairs")
+    if bits_total % chunks != 0:
+        # equal-width chunking would silently drop the top
+        # bits_total % chunks bits from every band — recall still holds
+        # by pigeonhole, but bucket selectivity degrades unannounced
+        raise ValueError(
+            f"bits_total={bits_total} is not divisible by chunks={chunks}: "
+            f"the top {bits_total % chunks} bits would be left out of "
+            f"every band")
     chunk_bits = bits_total // chunks
     mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(*[
@@ -347,35 +378,41 @@ def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
     batch (left) is deduped against the EXISTING corpus (right) without
     re-running corpus×corpus pairs.
 
-    Signatures are computed over the union here for self-containment; at
-    100 TB the right side's signatures/buckets are a precomputed table
-    (signatures are append-only — exactly what makes MinHash incremental:
-    bucket-join new signatures against the stored bucket index, touching
-    only colliding corpus docs). The candidate join is restricted to
-    cross-side pairs, so batch size — not corpus size — bounds the
-    quadratic stage.
+    Self-contained form: signs BOTH sides here, so the right (corpus)
+    side pays a full shingle+sign pass per call. Per-trigger streaming
+    ingest must NOT use this — precompute `minhash_bucket_index(right)`
+    once per corpus refresh and call `minhash_lsh_pairs_vs_index`, which
+    this function delegates to (identical results by construction).
     """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    tagged = (left.select("doc_id", text_col)
-              .withColumn("__side", F.lit("L"))
-              .unionByName(right.select("doc_id", text_col)
-                           .withColumn("__side", F.lit("R"))))
-    sig = minhash_signatures(tagged, num_hashes, n, text_col) \
-        .join(tagged.select("doc_id", "__side"), "doc_id")
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            _bucket_fold([F.element_at("minhash", b * rows + r + 1)
-                          for r in range(rows)]).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    buckets = (sig.select("doc_id", "__side", F.explode(band_cols).alias("bb"))
-               .select("doc_id", "__side", "bb.band", "bb.bucket"))
+    return minhash_lsh_pairs_vs_index(
+        left, right, minhash_bucket_index(right, num_hashes, bands, n,
+                                          text_col),
+        num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+        text_col=text_col)
+
+
+def minhash_lsh_pairs_vs_index(left: DataFrame, right_docs: DataFrame,
+                               right_index: DataFrame,
+                               num_hashes: int = 64, bands: int = 16,
+                               n: int = 3, threshold: float = 0.5,
+                               text_col: str = "text") -> DataFrame:
+    """(src=left doc, dst=right doc, jaccard) against a PRECOMPUTED corpus
+    bucket index (`minhash_bucket_index(right_docs)`, stored/checkpointed
+    by the batch tier) — the per-trigger ingest shape: only the new batch
+    is shingled and signed; the corpus contributes its stored (doc_id,
+    band, bucket) rows to the candidate join, and its TEXT is touched
+    only for colliding docs in the exact-Jaccard verify (a key-fetch,
+    pushed into the `right_docs` scan via semi-join). Batch size — never
+    corpus size — bounds every stage but that key-fetch.
+
+    `right_index` must have been built with the SAME num_hashes/bands/n —
+    bucket ids are not comparable across banding configurations."""
+    l_buckets = minhash_band_buckets(
+        minhash_signatures(left, num_hashes, n, text_col),
+        num_hashes, bands)
     cand = (
-        buckets.filter("__side = 'L'").alias("x").join(
-            buckets.filter("__side = 'R'").alias("y"),
+        l_buckets.alias("x").join(
+            right_index.alias("y"),
             on=(F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket")))
         .select(F.col("x.doc_id").alias("src"),
@@ -389,7 +426,7 @@ def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
     # only colliding docs pay the re-tokenization
     ls = _doc_shingles(left.join(l_docs, "doc_id", "left_semi"),
                        text_col, n)
-    rs = _doc_shingles(right.join(r_docs, "doc_id", "left_semi"),
+    rs = _doc_shingles(right_docs.join(r_docs, "doc_id", "left_semi"),
                        text_col, n)
     l_sizes = ls.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
     r_sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dst"))

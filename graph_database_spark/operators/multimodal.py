@@ -159,6 +159,11 @@ def _ppm_feature(content: bytes, dim: int) -> np.ndarray:
 def _resample_mean_grid(gray: np.ndarray, g: int) -> np.ndarray:
     """(H, W) → (g, g) of cell means, cells = equal index splits."""
     h, w = gray.shape
+    if h < g or w < g:
+        # same failure mode as image_dhash's guard: repeated edges →
+        # empty slices → NaN cell means → a NaN (then zero-div) feature
+        raise ValueError(f"image {h}x{w} is smaller than the {g}x{g} "
+                         f"feature grid")
     ye = np.linspace(0, h, g + 1).astype(np.int64)
     xe = np.linspace(0, w, g + 1).astype(np.int64)
     out = np.empty((g, g), dtype=np.float64)
@@ -197,6 +202,13 @@ def image_dhash(media: DataFrame, grid_w: int = 9,
                 img = decode_ppm(bytes(content))
                 gray = img.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
+                if h < grid_h or w < grid_w:
+                    # repeated linspace edges would yield empty slices →
+                    # NaN grid means → an all-zero hash that spuriously
+                    # matches every other degenerate image
+                    raise ValueError(
+                        f"media_id={mid}: image {h}x{w} is smaller than "
+                        f"the dHash grid {grid_h}x{grid_w}")
                 ye = np.linspace(0, h, grid_h + 1).astype(np.int64)
                 xe = np.linspace(0, w, grid_w + 1).astype(np.int64)
                 grid = np.empty((grid_h, grid_w), dtype=np.float64)

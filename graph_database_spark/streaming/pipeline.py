@@ -42,36 +42,44 @@ def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
                         embeddings_lookup: DataFrame,
                         semantic_threshold: float = 0.95,
                         text_col: str = "text",
-                        corpus_hashes: DataFrame | None = None) -> DataFrame:
+                        corpus_hashes: DataFrame | None = None,
+                        corpus_minhash_index: DataFrame | None = None,
+                        check_ids: bool = True) -> DataFrame:
     """(doc_id, quality, ws_tokens): the accepted rows of ONE batch of
     new documents vs the standing corpus; the exact function the
     streaming wrapper runs per trigger, exposed so the one-shot
     equivalence is the SAME code path, not a twin.
 
-    PRECONDITION (checked, loud): batch doc_ids must be disjoint from
-    corpus doc_ids — a colliding id would fetch the CORPUS doc's
-    embedding for the semantic decision and merge both texts into one
-    MinHash signature. Real ingests assign fresh ids upstream.
+    PRECONDITION (checked loudly when `check_ids`): batch doc_ids must be
+    disjoint from corpus doc_ids — a colliding id would fetch the CORPUS
+    doc's embedding for the semantic decision and merge both texts into
+    one MinHash signature. The check is a corpus-keyed semi-join — a full
+    Spark job — so ingests whose upstream already guarantees fresh ids
+    (monotonic sequence, UUID) should pass check_ids=False per trigger.
 
     `embeddings_lookup` stands in for the embedding service a real
     ingest calls between dedup and SemDeDup (here: a static
-    (vec_id, embedding) frame keyed by doc_id). `corpus_hashes` is the
-    precomputed `corpus_hash_set` artifact (derived from corpus_docs
-    when absent — fine one-shot, wasteful per-trigger; the MinHash
-    stage's analogous precomputed-signature form is documented in
-    `minhash_lsh_pairs_between`)."""
-    from ..operators.dedup import minhash_lsh_pairs_between
+    (vec_id, embedding) frame keyed by doc_id). `corpus_hashes` /
+    `corpus_minhash_index` are the precomputed `corpus_hash_set` and
+    `dedup.minhash_bucket_index` artifacts (derived from corpus_docs
+    when absent — fine one-shot, wasteful per-trigger: without the
+    minhash index the WHOLE corpus is re-shingled and re-signed every
+    micro-batch)."""
+    from ..operators.dedup import (minhash_bucket_index,
+                                   minhash_lsh_pairs_vs_index)
     from ..operators.ann import semantic_dedup_between
     from ..operators.text import curate_documents
 
-    collision = (batch_docs.select("doc_id")
-                 .join(corpus_docs.select("doc_id"), "doc_id", "left_semi")
-                 .limit(1).count())
-    if collision:
-        raise ValueError(
-            "batch doc_ids collide with corpus doc_ids — the id space "
-            "must be disjoint (embedding lookup and MinHash signatures "
-            "key on doc_id)")
+    if check_ids:
+        collision = (batch_docs.select("doc_id")
+                     .join(corpus_docs.select("doc_id"), "doc_id",
+                           "left_semi")
+                     .limit(1).count())
+        if collision:
+            raise ValueError(
+                "batch doc_ids collide with corpus doc_ids — the id space "
+                "must be disjoint (embedding lookup and MinHash signatures "
+                "key on doc_id)")
     curated = curate_documents(batch_docs, benchmark, text_col=text_col,
                                keep_cols=(text_col,))
     # exact dedup vs corpus: per-doc hash membership (no within-batch
@@ -82,10 +90,16 @@ def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
           .withColumn("__h", F.md5(F.col(text_col)))
           .join(corpus_hashes, "__h", "left_anti")
           .drop("__h"))
-    # near-dup vs corpus: cross-side pairs only; any hit drops the new doc
-    near = minhash_lsh_pairs_between(
-        s2.select("doc_id", text_col), corpus_docs,
-        text_col=text_col).select(F.col("src").alias("doc_id")).distinct()
+    # near-dup vs corpus: cross-side pairs against the STORED bucket
+    # index; any hit drops the new doc. Corpus text is touched only for
+    # colliding docs (the exact-Jaccard verify's key-fetch).
+    if corpus_minhash_index is None:
+        corpus_minhash_index = minhash_bucket_index(corpus_docs,
+                                                    text_col=text_col)
+    near = (minhash_lsh_pairs_vs_index(
+                s2.select("doc_id", text_col), corpus_docs,
+                corpus_minhash_index, text_col=text_col)
+            .select(F.col("src").alias("doc_id")).distinct())
     s3 = s2.join(near, "doc_id", "left_anti")
     # semantic vs corpus: cell-keyed, corpus wins; docs without an
     # embedding row pass through (no silent vanish)
@@ -107,13 +121,21 @@ def curate_dedup_ingest_stream(docs_stream: DataFrame,
                                embeddings_lookup: DataFrame,
                                sink: Callable[[DataFrame, int], None],
                                semantic_threshold: float = 0.95,
-                               text_col: str = "text"):
+                               text_col: str = "text",
+                               check_ids: bool = True):
     """Run `ingest_accept_batch` per trigger via foreachBatch;
     `sink(accepted_df, batch_id)` receives each trigger's accepted
-    (doc_id, quality, ws_tokens). The exact-dedup hash set is
-    precomputed ONCE here (checkpointed) — triggers must not re-hash
-    the corpus. Returns the started StreamingQuery."""
+    (doc_id, quality, ws_tokens). BOTH corpus dedup artifacts — the
+    exact-dedup hash set and the MinHash bucket index — are precomputed
+    ONCE here (checkpointed): triggers must never re-hash, re-shingle,
+    or re-sign the corpus. Pass check_ids=False when upstream guarantees
+    fresh doc_ids, dropping the per-trigger collision job. Returns the
+    started StreamingQuery."""
+    from ..operators.dedup import minhash_bucket_index
+
     hashes = corpus_hash_set(corpus_docs, text_col).localCheckpoint()
+    mh_index = minhash_bucket_index(
+        corpus_docs, text_col=text_col).localCheckpoint()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -122,7 +144,9 @@ def curate_dedup_ingest_stream(docs_stream: DataFrame,
                                  corpus_index, centroids,
                                  embeddings_lookup,
                                  semantic_threshold, text_col,
-                                 corpus_hashes=hashes), batch_id)
+                                 corpus_hashes=hashes,
+                                 corpus_minhash_index=mh_index,
+                                 check_ids=check_ids), batch_id)
 
     return (docs_stream.writeStream
             .foreachBatch(_process)

@@ -419,3 +419,37 @@ def test_semantic_dedup_cell_count_bounds_quadratic_work(spark):
     # 4x the cells must cut candidate pairs by well over 2x (exactly 4x
     # for perfectly balanced cells; real cells are skewed)
     assert p64 * 2 < p16, (p16, p64)
+
+
+def test_hamming_banded_pairs_rejects_bad_geometry(spark):
+    """Both geometry guards fail loudly: max_hamming past the pigeonhole
+    bound would silently MISS pairs; non-divisible bits_total would
+    silently drop the top remainder bits from every band."""
+    from graph_database_spark.operators.dedup import hamming_banded_pairs
+
+    sig = spark.createDataFrame([(1, 0), (2, 1)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="pigeonhole bound"):
+        hamming_banded_pairs(sig, bits_total=60, chunks=4, max_hamming=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        hamming_banded_pairs(sig, bits_total=60, chunks=7, max_hamming=3)
+
+
+def test_minhash_pairs_vs_stored_index_match_self_contained(docs):
+    """The stored-bucket-index path (per-trigger ingest shape) returns
+    exactly the self-contained cross-corpus pairs: the index is a pure
+    precomputation, not an approximation. Checkpointing the index —
+    which is how the batch tier serves it — must not change results."""
+    from graph_database_spark.operators.dedup import (
+        minhash_bucket_index, minhash_lsh_pairs_between,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    left = docs.filter(F.col("doc_id") % 4 == 0)
+    right = docs.filter(F.col("doc_id") % 4 != 0)
+    want = {(r["src"], r["dst"], r["jaccard"])
+            for r in minhash_lsh_pairs_between(left, right).collect()}
+    idx = minhash_bucket_index(right).localCheckpoint()
+    got = {(r["src"], r["dst"], r["jaccard"])
+           for r in minhash_lsh_pairs_vs_index(left, right, idx).collect()}
+    assert got == want
+    assert want, "expected cross-side near-dup pairs in the corpus"

@@ -134,12 +134,17 @@ def test_cooccurrence_viz_edges_and_dot(spark):
     assert all(2.0 < r["width"] <= 8.0 for r in rows)
     assert any(r["width"] == 8.0 for r in rows)  # the max-count edge
     dot = edges_to_dot(edges, limit=10)
-    assert dot.startswith("graph cooccurrence {")
+    assert dot.startswith('graph "cooccurrence" {')
     assert dot.rstrip().endswith("}")
     assert "truncated to top 10" in dot and dot.count(" -- ") == 10
     assert edges_to_dot(edges, limit=10) == dot  # deterministic
     full = edges_to_dot(edges, limit=len(rows))
     assert "truncated" not in full and full.count(" -- ") == len(rows)
+    # a hostile graph name goes through the same escaper as node ids —
+    # spaces, quotes, and DOT keywords must yield a valid quoted id
+    hostile = edges_to_dot(edges, graph_name='my "graph" {strict}',
+                           limit=1)
+    assert hostile.startswith('graph "my \\"graph\\" {strict}" {')
     # rendering needs networkx/matplotlib (absent here) — same
     # ImportError contract as the reference
     import pytest

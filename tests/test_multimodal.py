@@ -434,3 +434,24 @@ def test_audio_envelope_hash_stereo_and_perturbation(spark):
     assert got[0] == got[1]
     flipped = (got[0] ^ got[2]) & ((1 << 64) - 1)
     assert flipped == 1 << 20
+
+
+def test_image_dhash_rejects_undersized_images(spark):
+    """An image smaller than the dHash grid must fail loudly: empty
+    linspace slices would yield NaN grid means and an all-zero hash
+    that spuriously matches every other degenerate image."""
+    import numpy as np
+    import pytest
+
+    from graph_database_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_ppm, image_dhash,
+    )
+
+    tiny = np.full((4, 4, 3), 128, dtype=np.uint8)  # 4x4 < 8x9 grid
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(encode_ppm(tiny)), (4, 4, None, None,
+                                                    "ppm"))],
+        MEDIA_SCHEMA)
+    # the executor-side ValueError surfaces wrapped by the Python runner
+    with pytest.raises(Exception, match="smaller than the dHash grid"):
+        image_dhash(media).collect()

@@ -132,3 +132,50 @@ def test_ingest_pipeline_stream_equals_one_shot(spark, tmp_path):
     assert got == want
     # non-vacuous: the gate accepted some docs AND rejected some
     assert 0 < len(got) < new.count()
+
+
+def test_ingest_check_ids_flag_and_stored_index(spark):
+    """check_ids=True rejects colliding doc_ids loudly; check_ids=False
+    skips the per-trigger collision job (upstream guarantees fresh ids).
+    Passing the precomputed MinHash bucket index — the per-trigger
+    production shape — must not change the accepted set."""
+    import pytest
+
+    from graph_database_spark.operators.ann import semantic_cell_index
+    from graph_database_spark.operators.dedup import minhash_bucket_index
+    from graph_database_spark.streaming.pipeline import (
+        corpus_hash_set, ingest_accept_batch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    benchmark = docs.filter(F.col("source") == "src19")
+    new = docs.filter((F.col("doc_id") % 3 == 0)
+                      & (F.col("source") != "src19"))
+    corpus = docs.filter((F.col("doc_id") % 3 != 0)
+                         & (F.col("source") != "src19"))
+    emb = load_table(spark, sf, "embeddings")
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(
+        emb.join(corpus.select(F.col("doc_id").alias("vec_id")),
+                 "vec_id", "left_semi"), cents).localCheckpoint()
+
+    with pytest.raises(ValueError, match="collide"):
+        ingest_accept_batch(corpus.limit(5), benchmark, corpus,
+                            corpus_index, cents, emb)
+
+    base = {r["doc_id"] for r in
+            ingest_accept_batch(new, benchmark, corpus, corpus_index,
+                                cents, emb,
+                                semantic_threshold=0.45).collect()}
+    mh_idx = minhash_bucket_index(corpus).localCheckpoint()
+    hashes = corpus_hash_set(corpus).localCheckpoint()
+    fast = {r["doc_id"] for r in
+            ingest_accept_batch(new, benchmark, corpus, corpus_index,
+                                cents, emb, semantic_threshold=0.45,
+                                corpus_hashes=hashes,
+                                corpus_minhash_index=mh_idx,
+                                check_ids=False).collect()}
+    assert fast == base and base
