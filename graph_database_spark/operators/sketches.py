@@ -292,3 +292,73 @@ SELECT {g}CAST(ROUND(
   END, 6) AS DOUBLE) AS hll_estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (Gil Tene's High Dynamic Range histogram;
+# same log-bucket idea as DDSketch, Masson/Rim/Lee VLDB'19 — but the bucket
+# boundary is INTEGER-EXACT: keep the top HDR_SUB_BITS+1 significant bits,
+# zero the rest, no floating log whose boundary rounding could differ
+# between engines). Completes the sketch family: Misra-Gries (heavy
+# hitters), count-min (frequencies), HLL (cardinalities), HDR (quantiles).
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 4  #: significand bits kept → relative error < 2⁻⁴ = 6.25%
+
+
+def hdr_bucket_expr(int_col: str, sub_bits: int = HDR_SUB_BITS) -> Column:
+    """Bucket LOWER BOUND of a non-negative integer column: the value
+    with all but its top sub_bits+1 significant bits zeroed —
+    `(c >> s) << s`, s = max(bit_length(c) − (sub_bits+1), 0).
+
+    Distinct buckets have distinct lower bounds that sort in value
+    order, so the bound doubles as the sortable bucket key AND the
+    quantile estimate: for any member v of the bucket,
+    bound ≤ v < bound·(1 + 2^−sub_bits) (exact when bit_length ≤
+    sub_bits+1). bit_length = length(bin(c)) — bin() has identical
+    semantics in Spark and DuckDB, which is what makes the whole sketch
+    oracle-replayable. Precondition: c ≥ 0 (bin() of a negative is its
+    64-bit two's complement — callers mirror signs around zero first)."""
+    s = f"greatest(length(bin({int_col})) - {sub_bits + 1}, 0)"
+    return F.expr(f"shiftleft(shiftright({int_col}, {s}), {s})")
+
+
+def hdr_sketch(rows: DataFrame, int_col: str,
+               group_cols: tuple[str, ...] = (),
+               sub_bits: int = HDR_SUB_BITS) -> DataFrame:
+    """(group…, bucket, n): the HDR histogram per group — a plain
+    groupBy-count over ≤ (64−sub_bits)·2^sub_bits buckets per group
+    forever, so it is order-independent, mergeable by ADDITION across
+    partitions/shards/streams, and maintainable by Structured Streaming
+    as an ordinary streaming aggregation (`streaming_hdr`)."""
+    return (rows
+            .groupBy(*group_cols,
+                     hdr_bucket_expr(int_col, sub_bits).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def hdr_quantiles(sketch: DataFrame, qs: tuple[float, ...],
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group…, n, p<q>…) quantile estimates from an HDR sketch: the
+    smallest bucket whose cumulative count reaches rank ceil(q·N). The
+    estimate is the bucket lower bound — a deterministic ≤ 2^−sub_bits
+    relative underestimate of the true rank-q value. The window runs
+    over the SKETCH (bounded rows per group), never the raw data."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*[F.col(g) for g in group_cols])
+         .orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = sketch.withColumn("__cum", F.sum("n").over(w))
+    # per-group N via an unbounded frame over the same (tiny) sketch —
+    # rank ceil(q·N) then selects the smallest bucket reaching it
+    wN = (Window.partitionBy(*[F.col(g) for g in group_cols])
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = cum.withColumn("__N", F.sum("n").over(wN))
+    sel = [F.min(F.when(
+               F.col("__cum") >= F.ceil(F.lit(q) * F.col("__N")),
+               F.col("bucket"))).alias(f"p{int(round(q * 100))}")
+           for q in qs]
+    return (cum.groupBy(*group_cols)
+            .agg(F.max("__N").cast("long").alias("n"), *sel))

@@ -530,3 +530,48 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny agg; the oracle replays the identical moment formulas."""
     from ..operators.relational_ext import value_trend_by_type
     return value_trend_by_type(load_table(spark, sf_dir, "events"))
+
+
+@register("events_value_quantile_sketch", """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+sh AS (
+  SELECT event_type, c, GREATEST(LENGTH(bin(c)) - 5, 0) AS s FROM c
+),
+b AS (
+  SELECT event_type, (c >> s) << s AS bucket, COUNT(*) AS n
+  FROM sh GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS nn
+  FROM b
+)
+SELECT event_type, CAST(MAX(nn) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.50 * nn) THEN bucket END) AS BIGINT)
+    AS p50,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.90 * nn) THEN bucket END) AS BIGINT)
+    AS p90,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * nn) THEN bucket END) AS BIGINT)
+    AS p99
+FROM cum GROUP BY event_type
+""")
+def q_events_value_quantile_sketch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 of value (in integer cents) from the HDR
+    quantile sketch — the mergeable, bounded-state alternative to an
+    exact global sort: the only shuffle is the ≤ ~960-buckets-per-group
+    sketch aggregate, and the quantile window runs over the sketch, not
+    the facts. Estimates are bucket lower bounds (≤ 6.25% relative
+    underestimate by construction); the oracle replays the identical
+    integer bucket math, so the check is exact, not tolerance-based."""
+    from ..operators.sketches import hdr_quantiles, hdr_sketch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    sk = hdr_sketch(e, "cents", group_cols=("event_type",))
+    return hdr_quantiles(sk, (0.50, 0.90, 0.99),
+                         group_cols=("event_type",))

@@ -102,3 +102,18 @@ def streaming_hll(tokens: DataFrame, col: str = "token",
     Publish with `run_streaming_cms` (complete-mode epoch/pointer swap)."""
     from ..operators.sketches import hll_sketch
     return hll_sketch(tokens, col=col, group_cols=group_cols)
+
+
+def streaming_hdr(rows: DataFrame, int_col: str,
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group…, bucket, n) streaming aggregate of an integer-value
+    stream — the identical construction as the batch
+    `operators.sketches.hdr_sketch` (the bucket expression is row-local
+    and the sketch IS a count-aggregate, so Structured Streaming
+    maintains it as ordinary aggregation state, bounded by
+    ≤ ~960 buckets per group forever; micro-batch partials merge by
+    ADDITION — the histogram mergeability property). Publish with
+    `run_streaming_cms` (complete-mode epoch/pointer swap); probe with
+    `operators.sketches.hdr_quantiles` over the published table."""
+    from ..operators.sketches import hdr_sketch
+    return hdr_sketch(rows, int_col, group_cols=group_cols)

@@ -98,3 +98,67 @@ def test_cms_never_undercounts_and_bounds_overcount(spark):
                                    depth=4, width=2048), "token")
              .collect())
     assert all(r["n_cms"] >= r["n_true"] for r in crows)
+
+
+def test_hdr_quantiles_error_bound_and_merge(spark):
+    """HDR estimates are deterministic lower bounds within 2^-4 = 6.25%
+    relative error of the exact same-rank percentile, and sketches
+    built on disjoint halves merge by addition into the one-shot
+    sketch (mergeability — the 100 TB shard-then-merge path)."""
+    import math
+
+    from graph_database_spark.operators.sketches import (
+        hdr_quantiles, hdr_sketch,
+    )
+
+    e = (load_table(spark, "/root/testdata/sf0.01", "events")
+         .select("event_type",
+                 F.floor(F.col("value") * 100).cast("long").alias("cents")))
+    sk = hdr_sketch(e, "cents", group_cols=("event_type",))
+    got = {r["event_type"]: r
+           for r in hdr_quantiles(sk, (0.5, 0.9, 0.99),
+                                  group_cols=("event_type",)).collect()}
+
+    exact = {}
+    for r in e.collect():
+        exact.setdefault(r["event_type"], []).append(r["cents"])
+    for t, vals in exact.items():
+        vals.sort()
+        n = len(vals)
+        assert got[t]["n"] == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            true = vals[math.ceil(q * n) - 1]  # same rank convention
+            est = got[t][col]
+            assert est <= true, (t, col, est, true)
+            assert true < est * (1 + 2 ** -4) + 1, (t, col, est, true)
+
+    # mergeability: half-sketches sum into the one-shot sketch
+    h1 = hdr_sketch(e.filter(F.col("cents") % 2 == 0), "cents",
+                    group_cols=("event_type",))
+    h2 = hdr_sketch(e.filter(F.col("cents") % 2 == 1), "cents",
+                    group_cols=("event_type",))
+    merged = {(r["event_type"], r["bucket"]): r["mn"]
+              for r in h1.unionByName(h2)
+              .groupBy("event_type", "bucket")
+              .agg(F.sum("n").alias("mn")).collect()}
+    one = {(r["event_type"], r["bucket"]): r["n"] for r in sk.collect()}
+    assert merged == one
+
+    # bucket-count bound: the state that makes it a sketch
+    assert sk.count() <= 5 * (64 - 4) * 16
+
+
+def test_hdr_bucket_rejects_nothing_but_bounds_hold(spark):
+    """Bucket lower bounds are exact for small values (bit_length <= 5)
+    and within 1/16 below the value for large ones."""
+    from graph_database_spark.operators.sketches import hdr_bucket_expr
+
+    df = spark.range(0, 4096).select(F.col("id").alias("c"))
+    rows = df.select("c", hdr_bucket_expr("c").alias("b")).collect()
+    for r in rows:
+        c, b = r["c"], r["b"]
+        assert b <= c
+        if c < 32:
+            assert b == c, (c, b)
+        else:
+            assert c < b * (1 + 2 ** -4), (c, b)

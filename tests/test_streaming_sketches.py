@@ -163,3 +163,38 @@ def test_hll_error_bound_across_cardinalities(spark):
         toks = spark.range(n).selectExpr("concat('tok-', id) AS token")
         est = hll_estimate(hll_sketch(toks)).collect()[0]["hll_estimate"]
         assert abs(est - n) / n < 0.20, (n, est)
+
+
+def test_streaming_hdr_equals_batch(spark, tmp_path):
+    """The HDR bucket table maintained over an event stream must be
+    BIT-IDENTICAL to the batch sketch on the same rows — count-merge
+    across micro-batches is the histogram's mergeability property."""
+    from graph_database_spark.operators.sketches import hdr_sketch
+    from graph_database_spark.streaming.sketches import (
+        run_streaming_cms, streaming_hdr,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    feed = str(tmp_path / "feed")
+    events.repartition(4).write.parquet(feed)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    out = str(tmp_path / "hdr")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_cms(
+        streaming_hdr(stream, "cents", group_cols=("event_type",)),
+        out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r["event_type"], r["bucket"]): r["n"]
+                for r in read_current_sketch(spark, out).collect()}
+    batch = {(r["event_type"], r["bucket"]): r["n"]
+             for r in hdr_sketch(events, "cents",
+                                 group_cols=("event_type",)).collect()}
+    assert streamed == batch and streamed
