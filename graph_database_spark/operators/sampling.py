@@ -358,3 +358,38 @@ def weighted_exact_n(df: DataFrame, n_per_stratum: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
+
+
+def bloom_contamination(train: DataFrame, benchmark: DataFrame,
+                        n: int = 4, num_bits: int = 1 << 21, k: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, n_flagged): `ngram_contamination`'s Bloom-pruned scale
+    path — the benchmark shingle set collapses to a fixed-size bitmap
+    (`sketches.bloom_build`, ≤ 256 KiB at the default 2^21 bits)
+    instead of a broadcast of every distinct eval n-gram, so the
+    broadcast stays bounded no matter how many benchmarks accumulate.
+
+    GUARANTEE: flagged docs are a SUPERSET of exactly-contaminated docs
+    and n_flagged ≥ n_shared per doc (Bloom filters have no false
+    negatives); the FP surplus is bounded by the bits-per-key ratio
+    (≈2e-5 per probe at 30+ bits/key). At 100 TB: drop flagged docs
+    directly (cheap over-removal), or run the exact broadcast join only
+    on flagged docs as a verify — either way the full corpus pays one
+    map-side pass, zero shuffle before the per-doc count."""
+    from .sketches import bloom_build, bloom_may_contain
+
+    bench_shingles = (
+        benchmark
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_shingles, "shingle", num_bits, k)
+    train_shingles = (
+        spread(train)
+        .select("doc_id",
+                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    )
+    return (bloom_may_contain(train_shingles, bloom, "shingle",
+                              num_bits, k)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_flagged")))

@@ -362,3 +362,73 @@ def hdr_quantiles(sketch: DataFrame, qs: tuple[float, ...],
            for q in qs]
     return (cum.groupBy(*group_cols)
             .agg(F.max("__N").cast("long").alias("n"), *sel))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom, CACM 1970) — the set-membership sketch: build a
+# bounded bitmap over a key set, then test membership map-side with NO
+# join against the key set itself. False positives only (rate set by
+# bits-per-key), never false negatives — which is exactly the contract
+# decontamination pruning needs: a doc that shares an n-gram with the
+# benchmark is ALWAYS flagged; a few clean docs flagged spuriously just
+# ride along to the exact verify (or are cheap over-removal).
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32  #: bits per bitmap word — bit 31 max, so the mask
+#                        shift never hits the 1<<63 two's-complement trap
+
+
+def _bloom_positions(key: Column, num_bits: int, k: int) -> Column:
+    """array<long> of k bit positions: universal rehashes of the portable
+    60-bit md5 base (same coefficient pool as MinHash — one digest per
+    key, k arithmetic rehashes)."""
+    from .dedup import HASH_P, MINHASH_A, MINHASH_B
+
+    base = _md5_long(key) % F.lit(HASH_P)
+    return F.array(*[
+        ((F.lit(MINHASH_A[i]) * base + F.lit(MINHASH_B[i])) % F.lit(HASH_P))
+        % F.lit(num_bits)
+        for i in range(k)])
+
+
+def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 21,
+                k: int = 4) -> DataFrame:
+    """(word, bits): the Bloom bitmap of `keys` as ≤ num_bits/32 rows —
+    a pure bit_or aggregate, so the build is one scan with map-side
+    combine, mergeable across shards/streams by further bit_or. Default
+    2^21 bits ≈ 256 KiB: broadcastable at any benchmark size that fits
+    an eval suite (size num_bits ≳ 30× the key count for per-probe FP
+    ≲ 2e-5 at k=4)."""
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), num_bits, k)).alias("p"))
+    return (pos
+            .groupBy(F.shiftright(F.col("p"), 5).alias("word"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 32 as int))"))
+                .alias("bits")))
+
+
+def bloom_may_contain(probes: DataFrame, bloom: DataFrame, key_col: str,
+                      num_bits: int = 1 << 21, k: int = 4) -> DataFrame:
+    """The rows of `probes` whose `key_col` is POSSIBLY in the bloomed
+    set (all k bits set) — false positives possible, false negatives
+    impossible. The bitmap joins broadcast on the word key, so the probe
+    side is one map-side pass however large; `num_bits`/`k` must match
+    the build. Preserves all probe columns."""
+    pos = probes.withColumn(
+        "__p", F.explode(_bloom_positions(F.col(key_col), num_bits, k)))
+    hit = (pos
+           .withColumn("__word", F.shiftright(F.col("__p"), 5))
+           .withColumn("__mask", F.expr(
+               "shiftleft(cast(1 as bigint), cast(__p % 32 as int))"))
+           .join(F.broadcast(bloom),
+                 F.col("__word") == F.col("word"), "left")
+           .withColumn("__hit",
+                       F.col("bits").isNotNull()
+                       & (F.col("bits").bitwiseAND(F.col("__mask"))
+                          == F.col("__mask"))))
+    probe_cols = probes.columns
+    return (hit.groupBy(*probe_cols)
+            .agg(F.min("__hit").alias("__all"))
+            .filter(F.col("__all"))
+            .select(*probe_cols))

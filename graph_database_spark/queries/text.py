@@ -989,3 +989,61 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", F.col("neighbor_id").alias("doc_id"),
                    "arm_rank"))
     return rrf_fuse({"lex": lex, "dense": den}, k=10)
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of sketches.bloom_build/bloom_may_contain over the
+    4-gram decontamination shape — embeds the shared universal-hash
+    coefficients so the oracle replays the exact bitmap."""
+    from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+
+    num_bits, k = 1 << 21, 4
+    h_expr = ("(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) "
+              f"% {HASH_P})")
+    bp = "\n  UNION ALL ".join(
+        f"SELECT ((({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {HASH_P}) "
+        f"% {num_bits}) AS p FROM bh"
+        for i in range(k))
+    tp = "\n  UNION ALL ".join(
+        f"SELECT doc_id, shingle, ((({MINHASH_A[i]} * h + {MINHASH_B[i]}) "
+        f"% {HASH_P}) % {num_bits}) AS p FROM th"
+        for i in range(k))
+    return f"""
+WITH tr AS ({_SQL_SHINGLES4.format(op='<>')}),
+bench AS (SELECT DISTINCT shingle FROM ({_SQL_SHINGLES4.format(op='=')}) b),
+bh AS (SELECT {h_expr} AS h FROM bench),
+bp AS (
+  {bp}
+),
+bloom AS (SELECT p // 32 AS word,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+          FROM bp GROUP BY 1),
+th AS (SELECT doc_id, shingle, {h_expr} AS h FROM tr),
+tp AS (
+  {tp}
+),
+hits AS (
+  SELECT t.doc_id, t.shingle,
+         MIN(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << CAST(t.p % 32 AS INT)))
+                       = (1::BIGINT << CAST(t.p % 32 AS INT))
+              THEN 1 ELSE 0 END) AS allhit
+  FROM tp t LEFT JOIN bloom b ON t.p // 32 = b.word
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+FROM hits WHERE allhit = 1 GROUP BY doc_id
+"""
+
+
+@register("decontaminate_bloom", _bloom_sql())
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_ngram's 100 TB shape: the benchmark shingle set
+    collapses to a 2^21-bit Bloom bitmap (bounded broadcast however many
+    eval suites accumulate) and the training corpus pays ONE map-side
+    membership pass — no false negatives, FP surplus bounded by
+    bits-per-key. Oracle replays the exact bitmap bit-for-bit."""
+    from ..operators.sampling import bloom_contamination
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"), n=4)

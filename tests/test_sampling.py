@@ -277,3 +277,32 @@ def test_temperature_mixture_zero_mass_stratum_rate_zero(spark):
     assert plan["empty"]["token_mass"] == 0
     assert plan["empty"]["rate"] == 0.0
     assert plan["full"]["rate"] > 0
+
+
+def test_bloom_contamination_superset_and_bounded_fp(spark):
+    """Bloom decontamination can never miss a contaminated doc (no
+    false negatives: flagged ⊇ exact, n_flagged ≥ n_shared per doc) and
+    at 30+ bits/key the false-positive surplus stays tiny. The probe
+    side must stay a broadcast join — the corpus never shuffles before
+    the per-doc count."""
+    from graph_database_spark.operators.sampling import bloom_contamination
+
+    docs = _docs(spark)
+    train = docs.filter("source <> 'src19'")
+    bench = docs.filter("source = 'src19'")
+    exact = {r["doc_id"]: r["n_shared"]
+             for r in ngram_contamination(train, bench, n=4).collect()}
+    res = bloom_contamination(train, bench, n=4)
+    flagged = {r["doc_id"]: r["n_flagged"] for r in res.collect()}
+    assert set(flagged) >= set(exact) and exact
+    for d, n_shared in exact.items():
+        assert flagged[d] >= n_shared, d
+    # FP surplus: spurious docs ≤ 2% of the clean corpus at this scale
+    clean = train.count() - len(exact)
+    assert len(flagged) - len(exact) <= max(1, clean * 0.02)
+
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
