@@ -200,3 +200,63 @@ def test_ivf_cell_partitioned_embeddings_prune_at_plan_time(spark, tmp_path):
     assert {r["vec_id"] for r in got} == want_ids and want_ids
     # partition value round-trips as the partition column
     assert {r["cell"] for r in got} == {1, 5}
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange on either side (the
+    write-once-shuffle-never-again contract), and an equality filter on
+    the bucket column must prune to 1 of the buckets at plan time."""
+    from graph_database_spark.sources.layout import write_bucketed
+
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(cust, "t_cust_b", "c_custkey", num_buckets=8)
+    write_bucketed(orders.withColumnRenamed("o_custkey", "c_custkey"),
+                   "t_ord_b", "c_custkey", num_buckets=8)
+    try:
+        a = spark.table("t_cust_b")
+        b = spark.table("t_ord_b")
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "c_custkey").groupBy("c_mktsegment").count()
+            plan = j._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+            assert "SortMergeJoin" in plan
+            # the ONLY Exchange node allowed is the final groupBy's —
+            # an unbucketed SMJ would add one per join side (3 total)
+            assert plan.count("+- Exchange") == 1, plan
+            # correctness: same answer as the unbucketed join
+            want = (cust.join(
+                        orders.withColumnRenamed("o_custkey", "c_custkey"),
+                        "c_custkey")
+                    .groupBy("c_mktsegment").count())
+            assert sorted(map(tuple, j.collect())) \
+                == sorted(map(tuple, want.collect()))
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # bucket pruning: equality on the bucket column hits 1/8 files.
+        # For a bare filter (no join/agg to co-locate) the planner
+        # prefers full-parallelism scans — turn auto-bucketed-scan off
+        # to opt into pruning, as a point-lookup workload would.
+        key = cust.select("c_custkey").head()[0]
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        try:
+            pruned = spark.table("t_cust_b") \
+                .filter(F.col("c_custkey") == key)
+            pplan = pruned._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+            assert "SelectedBucketsCount: 1 out of 8" in pplan, pplan
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
