@@ -32,45 +32,47 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-7 ROTATION: after r6 all 130 then-registered entries had ≥1
-# green external row and max staleness was 2 rounds (the r4 cohort).
-# This window keeps the 10 canaries, leads with ALL 7 new r7 entries
-# (the tol-converged PageRank value checks, the 6-stage curation
-# composite, image dHash + audio envelope dedup, temperature mixture,
-# the Q9 viz edges), then re-confirms 33 of the 38 entries last checked
-# in r4 (deferred to r8: pii_scan — vacuous agreement,
-# doc_split_assignment — trivial-hash coverage, corpus_top_ngrams —
-# overlaps word_heavy_hitters' top-k token coverage,
-# customer_value_deciles — overlaps customer_rfm/quantity_quantiles'
-# window-rank coverage, order_baskets — overlaps order_frequency;
-# all five green in the local sweep). pagerank_global and
-# ppr_batch_focal stay out:
-# rows-only (no SQL oracle), and their tol-stop logic is now externally
-# value-checked via the *_converged_check twins in this window.
+# ROUND-8 ROTATION: after r7, every entry's latest green external row
+# is r7 (the 50-entry r7 window), r6, or r5 — except the five deferred
+# in r7 (last green r4) and the two rows-only-by-design entries.
+# This window keeps the 10 canaries, leads with the 2 new r8 entries
+# (HDR quantile sketch, Bloom decontamination), re-confirms the 5
+# deferred r4-stale entries, then 33 of the 40 entries last checked in
+# r5 (deferred to r9, all green in the local sweep, coverage carried by
+# a windowed twin: motif_cooccurrence_topn + cooccurrence_pairs —
+# cooccurrence_topn canary; dedup_exact — dedup_canonical_docs r7 +
+# dedup_minhash_lsh canary; token_count — word_counts_cms canary +
+# corpus_summary; orders_monthly_revenue — orders_rolling_revenue;
+# customers_inactive_since — fk_orphans r7 anti-join coverage;
+# doc_chunk_windows — doc_pack_sequences r7). pagerank_global and
+# ppr_batch_focal stay out: rows-only (no SQL oracle), tol-stop logic
+# externally value-checked r7 via the *_converged_check twins.
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
     "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (new r7 entries)
-    "pagerank_converged_check", "ppr_converged_check",
-    "pipeline_curate_pack", "dedup_image_phash", "dedup_audio_envelope",
-    "domain_mixture_temperature", "cooccurrence_viz_edges",
-    # last checked r4 — stalest re-confirmations (33 of 38)
-    "shipping_priority", "revenue_grouping_sets", "nation_revenue_share",
-    "customer_rfm", "fk_orphans",
-    "orders_profile", "events_value_anomalies",
-    "events_type_counts_salted", "events_sliding_counts",
-    "events_status_history", "events_value_winsorized", "graph_kcore",
-    "graph_lpa_communities", "graph_neighbor_agg",
-    "dedup_winnow_substrings", "ann_recall_lsh", "multimodal_features",
-    "embedding_cluster_sizes", "doc_quality_ecdf", "doc_sample_exact_n",
-    "doc_sample_stratified", "decontaminate_ngram", "documents_curated",
-    "doc_repetition", "domain_mixture_plan", "doc_sample_quality_weighted",
-    "doc_shards_by_tokens", "word_heavy_hitters",
-    "doc_tfidf_keywords", "doc_prefix_matches", "bpe_merge_candidates",
-    "doc_pack_sequences", "doc_quality_quantile_norm",
+    # never driver-checked (new r8 entries)
+    "events_value_quantile_sketch", "decontaminate_bloom",
+    # last checked r4 — the r7 deferrals, now the stalest
+    "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
+    "customer_value_deciles", "order_baskets",
+    # last checked r5 — stalest re-confirmations (33 of 40)
+    "ann_hard_negatives", "ann_ndcg_lsh", "connected_components",
+    "corpus_summary", "customer_cf", "customer_order_seq",
+    "dedup_ngram_jaccard", "doc_fingerprint",
+    "doc_sample_weighted_exact_n", "embedding_near_duplicates",
+    "embedding_topk_int8", "embedding_topk_ivf", "event_funnel",
+    "events_copresence", "events_dow_hour", "events_hourly_interp",
+    "graph_clustering_coeff", "graph_degree_histogram", "hits_fixed10",
+    "local_supplier_volume", "multimodal_frame_sample",
+    "multimodal_resize_plan", "order_priority_pivot",
+    "orders_rolling_revenue", "part_name_tokens",
+    "part_recency_popularity", "parts_intersect_nations",
+    "quantity_quantiles", "similarity_jaccard_topk",
+    "strategy_breakdown_focal", "supplier_balance_stats",
+    "top_parts_by_revenue", "weekly_retention",
 ]
 
 

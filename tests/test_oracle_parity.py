@@ -94,14 +94,12 @@ def test_driver_window_covers_priority_queries():
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
         "embedding_topk_lsh", "word_counts_cms",
-        # round-7 rotation: the new r7 entries (never driver-checked)
-        # lead, followed by the r4-stale cohort re-confirmations
-        "pagerank_converged_check", "ppr_converged_check",
-        "pipeline_curate_pack", "dedup_image_phash",
-        "dedup_audio_envelope", "domain_mixture_temperature",
-        "cooccurrence_viz_edges",
-        "doc_tfidf_keywords", "word_heavy_hitters",
-        "graph_lpa_communities", "graph_kcore",
+        # round-8 rotation: the new r8 entries (never driver-checked)
+        # lead, followed by the r4/r5-stale cohort re-confirmations
+        "events_value_quantile_sketch", "decontaminate_bloom",
+        "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
+        "hits_fixed10", "similarity_jaccard_topk",
+        "embedding_topk_ivf", "event_funnel", "weekly_retention",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
