@@ -117,3 +117,26 @@ def streaming_hdr(rows: DataFrame, int_col: str,
     `operators.sketches.hdr_quantiles` over the published table."""
     from ..operators.sketches import hdr_sketch
     return hdr_sketch(rows, int_col, group_cols=group_cols)
+
+
+def streaming_bloom(keys: DataFrame, key_col: str,
+                    num_bits: int = 1 << 21, k: int = 4) -> DataFrame:
+    """(word, bits) streaming aggregate of a key stream — the identical
+    construction as the batch `operators.sketches.bloom_build` (bit
+    positions are row-local and the bitmap IS a bit_or aggregate, so
+    Structured Streaming maintains it as ordinary aggregation state,
+    bounded by num_bits/32 rows forever; micro-batch partials merge by
+    bit_or — set-union mergeability). The live decontamination shape:
+    benchmark suites stream in, the bitmap stays current, probes read
+    the published epoch via `read_current_sketch` +
+    `operators.sketches.bloom_may_contain`."""
+    from ..operators.sketches import _bloom_positions
+
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), num_bits, k))
+        .alias("p"))
+    return (pos
+            .groupBy(F.shiftright(F.col("p"), 5).alias("word"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 32 as int))"))
+                .alias("bits")))

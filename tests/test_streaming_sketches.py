@@ -198,3 +198,38 @@ def test_streaming_hdr_equals_batch(spark, tmp_path):
              for r in hdr_sketch(events, "cents",
                                  group_cols=("event_type",)).collect()}
     assert streamed == batch and streamed
+
+
+def test_streaming_bloom_equals_batch(spark, tmp_path):
+    """The Bloom bitmap maintained over a shingle stream must be
+    BIT-IDENTICAL to the batch build on the same keys — bit_or merge
+    across micro-batches is set-union mergeability."""
+    from graph_database_spark.operators.dedup import word_shingles
+    from graph_database_spark.operators.sketches import bloom_build
+    from graph_database_spark.streaming.sketches import (
+        run_streaming_cms, streaming_bloom,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("source") == "src19")
+    feed = str(tmp_path / "feed")
+    bench.repartition(3).write.parquet(feed)
+
+    shingles = lambda df: df.select(
+        F.explode(word_shingles(F.col("text"), 4)).alias("shingle"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    out = str(tmp_path / "bloom")
+    q = run_streaming_cms(streaming_bloom(shingles(stream), "shingle"),
+                          out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {r["word"]: r["bits"]
+                for r in read_current_sketch(spark, out).collect()}
+    batch = {r["word"]: r["bits"]
+             for r in bloom_build(shingles(bench).distinct(),
+                                  "shingle").collect()}
+    assert streamed == batch and streamed
