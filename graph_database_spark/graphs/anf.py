@@ -1,0 +1,83 @@
+"""HyperANF: the approximate neighborhood function N(k) = Σ_v |B(v, k)|
+(how many (source, target) pairs lie within distance k) via per-vertex
+HyperLogLog registers — Boldi, Rosa & Vigna, "HyperANF: approximating
+the neighbourhood function of very large graphs on a budget", WWW 2011
+(itself the HLL refit of Palmer/Gibbons/Faloutsos's ANF, KDD 2002).
+
+Why a sketch: the exact neighborhood function needs all-pairs
+reachability — quadratic state, hopeless at 100 TB. HyperANF keeps ONE
+HLL counter per vertex (≤ m register rows) and runs the Pregel-style
+rule  B(v, k) = {v} ∪ ⋃_{(v,w)∈E} B(w, k−1)  with HLL union = per-
+register MAX, so each superstep is one edge join + one (id, register)
+max-aggregate: O(|E|·m̄) work, bounded state, no quadratic anything.
+The curve N(0), N(1), … yields the effective diameter (smallest k with
+N(k) ≥ 0.9·N(∞)) — the classic "four degrees of separation" metric.
+
+Engine-portable by the same construction as `operators/sketches`' HLL:
+md5-based register/rank assignment (integer-exact bin() ranks), BIGINT
+harmonic sums, integer-only ln in the linear-counting branch, and the
+cross-vertex total summed in DECIMAL after a 6-dp round — so a SQL
+oracle replays the whole iteration bit-for-bit (unlike a float-summed
+estimate, whose addition order would differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.sketches import hll_estimate, hll_sketch
+
+
+def hyperanf_states(vertices: DataFrame, edges: DataFrame,
+                    iters: int) -> list[DataFrame]:
+    """[(id, register, max_rank)] per ball radius 0..iters.
+
+    `vertices` must carry an `id` column; `edges` (src, dst) directed —
+    B(v, k) follows OUT-edges (symmetrize first for undirected balls).
+    State is long-form: a vertex holds one row per OCCUPIED register
+    (singletons start at exactly 1 row), so state size is
+    Σ_v min(m, |B(v, k)|) — never |V|·m until balls saturate. Each
+    superstep localCheckpoints, keeping plan depth constant (the
+    repo-wide iterative-graph discipline)."""
+    init = hll_sketch(
+        vertices.select("id", F.col("id").cast("string").alias("token")),
+        group_cols=("id",)).localCheckpoint()
+    states = [init]
+    state = init
+    for _ in range(iters):
+        contrib = (edges.alias("e")
+                   .join(state.alias("s"),
+                         F.col("e.dst") == F.col("s.id"))
+                   .select(F.col("e.src").alias("id"),
+                           F.col("s.register").alias("register"),
+                           F.col("s.max_rank").alias("max_rank")))
+        state = (state.unionByName(contrib)
+                 .groupBy("id", "register")
+                 .agg(F.max("max_rank").alias("max_rank"))
+                 .localCheckpoint())
+        states.append(state)
+    return states
+
+
+def hyperanf_curve(vertices: DataFrame, edges: DataFrame,
+                   iters: int = 3) -> DataFrame:
+    """(iter, nf): the neighborhood-function curve for radii 0..iters.
+
+    nf(k) = Σ_v HLL-estimate(B(v, k)), each per-vertex estimate rounded
+    to 6 dp and summed as DECIMAL(24,6) — exact, order-independent
+    addition, so the result is deterministic under any partitioning and
+    replayable by the DuckDB oracle. Each radius's total is a 1-row
+    aggregate of the ≤ Σ min(m, ball) register table; the union of
+    iters+1 such rows is driver-sized by definition."""
+    outs = []
+    for k, state in enumerate(hyperanf_states(vertices, edges, iters)):
+        est = hll_estimate(state, group_cols=("id",))
+        outs.append(
+            est.agg(F.round(F.sum(F.col("hll_estimate")
+                                  .cast("decimal(24,6)"))
+                            .cast("double"), 6).alias("nf"))
+            .select(F.lit(k).cast("int").alias("iter"), "nf"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

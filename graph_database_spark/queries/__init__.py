@@ -35,16 +35,17 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # ROUND-8 ROTATION: after r7, every entry's latest green external row
 # is r7 (the 50-entry r7 window), r6, or r5 — except the five deferred
 # in r7 (last green r4) and the two rows-only-by-design entries.
-# This window keeps the 10 canaries, leads with the 2 new r8 entries
+# This window keeps the 10 canaries, leads with the 3 new r8 entries
 # (HDR quantile sketch, Bloom decontamination), re-confirms the 5
-# deferred r4-stale entries, then 33 of the 40 entries last checked in
+# deferred r4-stale entries, then 32 of the 40 entries last checked in
 # r5 (deferred to r9, all green in the local sweep, coverage carried by
 # a windowed twin: motif_cooccurrence_topn + cooccurrence_pairs —
 # cooccurrence_topn canary; dedup_exact — dedup_canonical_docs r7 +
 # dedup_minhash_lsh canary; token_count — word_counts_cms canary +
 # corpus_summary; orders_monthly_revenue — orders_rolling_revenue;
 # customers_inactive_since — fk_orphans r7 anti-join coverage;
-# doc_chunk_windows — doc_pack_sequences r7). pagerank_global and
+# doc_chunk_windows — doc_pack_sequences r7; events_dow_hour —
+# events_hourly canary + events_hourly_interp windowed). pagerank_global and
 # ppr_batch_focal stay out: rows-only (no SQL oracle), tol-stop logic
 # externally value-checked r7 via the *_converged_check twins.
 _DRIVER_WINDOW_PRIORITY = [
@@ -55,16 +56,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_topk_lsh", "word_counts_cms",
     # never driver-checked (new r8 entries)
     "events_value_quantile_sketch", "decontaminate_bloom",
+    "graph_hyperanf_nf",
     # last checked r4 — the r7 deferrals, now the stalest
     "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
     "customer_value_deciles", "order_baskets",
-    # last checked r5 — stalest re-confirmations (33 of 40)
+    # last checked r5 — stalest re-confirmations (32 of 40)
     "ann_hard_negatives", "ann_ndcg_lsh", "connected_components",
     "corpus_summary", "customer_cf", "customer_order_seq",
     "dedup_ngram_jaccard", "doc_fingerprint",
     "doc_sample_weighted_exact_n", "embedding_near_duplicates",
     "embedding_topk_int8", "embedding_topk_ivf", "event_funnel",
-    "events_copresence", "events_dow_hour", "events_hourly_interp",
+    "events_copresence", "events_hourly_interp",
     "graph_clustering_coeff", "graph_degree_histogram", "hits_fixed10",
     "local_supplier_volume", "multimodal_frame_sample",
     "multimodal_resize_plan", "order_priority_pivot",

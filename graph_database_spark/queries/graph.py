@@ -777,3 +777,100 @@ def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = order_frequency(items).withColumnRenamed("product_id", "id")
     return neighbor_mean_agg(edges, feat, "order_count",
                              "mean_neighbor_orders")
+
+
+# ---------------------------------------------------------------------------
+# HyperANF (Boldi/Rosa/Vigna WWW'11): neighborhood-function curve over
+# the part co-occurrence graph via per-vertex HLL registers. Fully
+# SQL-expressible because every piece is the repo's integer-exact HLL
+# math (graphs/anf.py) and the supersteps unroll as chained CTEs.
+# ---------------------------------------------------------------------------
+
+def _hyperanf_sql(iters: int) -> str:
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_W
+
+    scale = HLL_W + 1
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""s{t} AS (
+  SELECT id, register, MAX(max_rank) AS max_rank FROM (
+    SELECT id, register, max_rank FROM s{t - 1}
+    UNION ALL
+    SELECT e.src AS id, s.register, s.max_rank
+    FROM edges e JOIN s{t - 1} s ON s.id = e.dst) u
+  GROUP BY 1, 2)""")
+    ests = []
+    for t in range(iters + 1):
+        ests.append(f"""agg{t} AS (
+  SELECT id, COUNT(*) AS present,
+         SUM((1::BIGINT << ({scale} - max_rank))) AS s_present
+  FROM s{t} GROUP BY id),
+est{t} AS (
+  SELECT CASE WHEN raw <= {2.5 * HLL_M} AND v0 > 0
+              THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                   * ROUND(LN(CAST({float(HLL_M)!r} AS DOUBLE))
+                           - LN(CAST(v0 AS DOUBLE)), 9)
+              ELSE raw END AS est
+  FROM (SELECT ({HLL_M} - present) AS v0,
+               CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+               * CAST({float(1 << scale)!r} AS DOUBLE)
+               / CAST(s_present + ({HLL_M} - present)
+                      * (1::BIGINT << {scale}) AS DOUBLE) AS raw
+        FROM agg{t}) r),
+nf{t} AS (
+  SELECT CAST({t} AS INT) AS iter,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(est, 6) AS DECIMAL(24,6)))
+                         AS DOUBLE), 6) AS DOUBLE) AS nf
+  FROM est{t})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT iter, nf FROM nf{t}" for t in range(iters + 1))
+    return f"""
+WITH verts AS (
+  SELECT 'Category:' || p_brand AS id FROM (SELECT DISTINCT p_brand FROM part) c
+  UNION ALL SELECT 'Product:' || CAST(p_partkey AS VARCHAR) FROM part
+  UNION ALL SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders),
+edges AS (
+  SELECT 'Product:' || CAST(p_partkey AS VARCHAR) AS src,
+         'Category:' || p_brand AS dst FROM part
+  UNION ALL
+  SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR),
+         'Order:' || CAST(o.o_orderkey AS VARCHAR)
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT DISTINCT 'Order:' || CAST(l_orderkey AS VARCHAR),
+         'Product:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+h AS (SELECT id, CAST(('0x' || substr(md5(id), 1, 15))
+                      AS BIGINT) AS b FROM verts),
+s0 AS (
+  SELECT id, b % {HLL_M} AS register,
+         CAST(CASE WHEN b // {HLL_M} = 0 THEN {scale}
+                   ELSE {scale} - LENGTH(bin(b // {HLL_M})) END AS INT)
+           AS max_rank
+  FROM h),
+{','.join(steps)},
+{','.join(ests)}
+{union}
+"""
+
+
+@register("graph_hyperanf_nf", _hyperanf_sql(3))
+def q_graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-function curve N(0..3) of the purchase property
+    graph (Customer→Order→Product→Category) by HyperANF — all-pairs
+    reachability WITHOUT quadratic state: one HLL counter per vertex,
+    superstep = edge join + register-max aggregate, per-vertex
+    estimates DECIMAL-summed after a 6-dp round so the oracle replays
+    the whole iteration exactly. The DAG depth bounds ball sizes, so
+    state stays ≈ Σ|B(v,k)| rows; the curve's plateau is the effective
+    diameter."""
+    from ..graphs.anf import hyperanf_curve
+    from ..graphs.builder import build_edges, build_vertices
+
+    t = _graph_inputs(spark, sf_dir)
+    vertices = build_vertices(t["customers"], t["categories"],
+                              t["products"], t["orders"]).select("id")
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency").select("src", "dst")
+    return hyperanf_curve(vertices, edges, iters=3)

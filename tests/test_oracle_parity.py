@@ -97,6 +97,7 @@ def test_driver_window_covers_priority_queries():
         # round-8 rotation: the new r8 entries (never driver-checked)
         # lead, followed by the r4/r5-stale cohort re-confirmations
         "events_value_quantile_sketch", "decontaminate_bloom",
+        "graph_hyperanf_nf",
         "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
         "hits_fixed10", "similarity_jaccard_topk",
         "embedding_topk_ivf", "event_funnel", "weekly_retention",

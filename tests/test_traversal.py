@@ -358,3 +358,32 @@ def test_sssp_warm_start_after_append(spark):
     assert got_w[n] == 1.5 + 2.0  # via the shortcut
     # the shortcut's two-hop tail, not the 24-hop line
     assert rounds_warm <= 4 < rounds_cold, (rounds_warm, rounds_cold)
+
+
+def test_hyperanf_tracks_exact_neighborhood_function(spark):
+    """HyperANF's N(1) must land within the HLL error band of the exact
+    value |V| + |E| (every ball of radius 1 is {v} ∪ out(v), and the
+    property-graph edge list is distinct per (src, dst)); the curve is
+    monotone non-decreasing in the radius."""
+    from graph_database_spark.graphs.anf import hyperanf_curve
+    from graph_database_spark.queries.graph import _graph_inputs
+    from graph_database_spark.graphs.builder import (
+        build_edges, build_vertices,
+    )
+
+    t = _graph_inputs(spark, "/root/testdata/sf0.001")
+    vertices = build_vertices(t["customers"], t["categories"],
+                              t["products"], t["orders"]).select("id")
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency").select("src", "dst")
+    nf = {r["iter"]: r["nf"]
+          for r in hyperanf_curve(vertices, edges, iters=2).collect()}
+    n_v = vertices.count()
+    n_e = edges.count()
+    assert edges.distinct().count() == n_e  # the closed form's premise
+    exact1 = n_v + n_e
+    assert abs(nf[1] - exact1) / exact1 < 0.08, (nf[1], exact1)
+    # radius-0 balls are singletons: per-vertex estimate ≈ 1
+    assert abs(nf[0] - n_v) / n_v < 0.01, (nf[0], n_v)
+    assert nf[0] <= nf[1] <= nf[2]
