@@ -81,3 +81,54 @@ def hyperanf_curve(vertices: DataFrame, edges: DataFrame,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def effective_diameter(vertices: DataFrame, edges: DataFrame,
+                       alpha: float = 0.9, max_iters: int = 16,
+                       growth_tol: float = 1e-6) -> tuple[float, list[float]]:
+    """(effective diameter, [N(0), N(1), …]): run supersteps until the
+    neighborhood function plateaus (relative growth ≤ growth_tol — the
+    HyperANF stopping rule; reachability sets only grow, so a flat curve
+    IS the fixpoint up to sketch noise), then interpolate the standard
+    α-effective diameter: the smallest x with N(⌊x⌋)+frac·(N(⌈x⌉)−N(⌊x⌋))
+    ≥ α·N(∞), linearly interpolated between radii (Palmer et al., KDD'02
+    convention). Each curve point is a 1-row aggregate; the driver holds
+    only the float curve — state stays distributed."""
+    from ..operators.sketches import hll_estimate
+
+    curve: list[float] = []
+    state = hll_sketch(
+        vertices.select("id", F.col("id").cast("string").alias("token")),
+        group_cols=("id",)).localCheckpoint()
+
+    def _nf(s: DataFrame) -> float:
+        est = hll_estimate(s, group_cols=("id",))
+        row = est.agg(
+            F.round(F.sum(F.col("hll_estimate").cast("decimal(24,6)"))
+                    .cast("double"), 6).alias("nf")).head()
+        return float(row["nf"])
+
+    curve.append(_nf(state))
+    for _ in range(max_iters):
+        contrib = (edges.alias("e")
+                   .join(state.alias("s"),
+                         F.col("e.dst") == F.col("s.id"))
+                   .select(F.col("e.src").alias("id"),
+                           F.col("s.register").alias("register"),
+                           F.col("s.max_rank").alias("max_rank")))
+        state = (state.unionByName(contrib)
+                 .groupBy("id", "register")
+                 .agg(F.max("max_rank").alias("max_rank"))
+                 .localCheckpoint())
+        curve.append(_nf(state))
+        if curve[-1] <= curve[-2] * (1.0 + growth_tol):
+            break
+    target = alpha * curve[-1]
+    for k, v in enumerate(curve):
+        if v >= target:
+            if k == 0:
+                return 0.0, curve
+            lo, hi = curve[k - 1], curve[k]
+            frac = (target - lo) / (hi - lo) if hi > lo else 0.0
+            return (k - 1) + frac, curve
+    return float(len(curve) - 1), curve

@@ -387,3 +387,28 @@ def test_hyperanf_tracks_exact_neighborhood_function(spark):
     # radius-0 balls are singletons: per-vertex estimate ≈ 1
     assert abs(nf[0] - n_v) / n_v < 0.01, (nf[0], n_v)
     assert nf[0] <= nf[1] <= nf[2]
+
+
+def test_effective_diameter_plateaus_and_interpolates(spark):
+    """The tol-stopped HyperANF run must stop at the reachability
+    fixpoint (curve flat at the tail), and the purchase DAG's
+    0.9-effective diameter lands inside its 3-hop depth."""
+    from graph_database_spark.graphs.anf import effective_diameter
+    from graph_database_spark.queries.graph import _graph_inputs
+    from graph_database_spark.graphs.builder import (
+        build_edges, build_vertices,
+    )
+
+    t = _graph_inputs(spark, "/root/testdata/sf0.001")
+    vertices = build_vertices(t["customers"], t["categories"],
+                              t["products"], t["orders"]).select("id")
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency").select("src", "dst")
+    d, curve = effective_diameter(vertices, edges, alpha=0.9)
+    # Customer→Order→Product→Category: every ball closes by radius 3,
+    # so the stop rule must fire at 4 supersteps max (curve len ≤ 6)
+    assert len(curve) <= 6
+    assert curve[-1] <= curve[-2] * (1 + 1e-6)
+    assert 0.0 < d <= 3.0, (d, curve)
+    assert all(b >= a for a, b in zip(curve, curve[1:]))
