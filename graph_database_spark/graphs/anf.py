@@ -39,24 +39,37 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
     Σ_v min(m, |B(v, k)|) — never |V|·m until balls saturate. Each
     superstep localCheckpoints, keeping plan depth constant (the
     repo-wide iterative-graph discipline)."""
-    init = hll_sketch(
-        vertices.select("id", F.col("id").cast("string").alias("token")),
-        group_cols=("id",)).localCheckpoint()
+    init = _init_state(vertices)
     states = [init]
     state = init
     for _ in range(iters):
-        contrib = (edges.alias("e")
-                   .join(state.alias("s"),
-                         F.col("e.dst") == F.col("s.id"))
-                   .select(F.col("e.src").alias("id"),
-                           F.col("s.register").alias("register"),
-                           F.col("s.max_rank").alias("max_rank")))
-        state = (state.unionByName(contrib)
-                 .groupBy("id", "register")
-                 .agg(F.max("max_rank").alias("max_rank"))
-                 .localCheckpoint())
+        state = _superstep(state, edges)
         states.append(state)
     return states
+
+
+def _init_state(vertices: DataFrame) -> DataFrame:
+    """Radius-0 register state: each vertex's singleton HLL (one row)."""
+    return hll_sketch(
+        vertices.select("id", F.col("id").cast("string").alias("token")),
+        group_cols=("id",)).localCheckpoint()
+
+
+def _superstep(state: DataFrame, edges: DataFrame) -> DataFrame:
+    """B(v, k) = B(v, k−1) ∪ ⋃ B(w, k−1) over out-edges (v, w): one edge
+    join + one (id, register) max-aggregate, checkpointed — the single
+    superstep body shared by the curve and the tol-stopped diameter (the
+    two paths must never drift)."""
+    contrib = (edges.alias("e")
+               .join(state.alias("s"),
+                     F.col("e.dst") == F.col("s.id"))
+               .select(F.col("e.src").alias("id"),
+                       F.col("s.register").alias("register"),
+                       F.col("s.max_rank").alias("max_rank")))
+    return (state.unionByName(contrib)
+            .groupBy("id", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .localCheckpoint())
 
 
 def hyperanf_curve(vertices: DataFrame, edges: DataFrame,
@@ -73,9 +86,10 @@ def hyperanf_curve(vertices: DataFrame, edges: DataFrame,
     for k, state in enumerate(hyperanf_states(vertices, edges, iters)):
         est = hll_estimate(state, group_cols=("id",))
         outs.append(
-            est.agg(F.round(F.sum(F.col("hll_estimate")
-                                  .cast("decimal(24,6)"))
-                            .cast("double"), 6).alias("nf"))
+            est.agg(F.round(F.coalesce(  # empty graph → 0.0, not NULL
+                        F.sum(F.col("hll_estimate")
+                              .cast("decimal(24,6)")).cast("double"),
+                        F.lit(0.0)), 6).alias("nf"))
             .select(F.lit(k).cast("int").alias("iter"), "nf"))
     res = outs[0]
     for o in outs[1:]:
@@ -94,32 +108,20 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
     ≥ α·N(∞), linearly interpolated between radii (Palmer et al., KDD'02
     convention). Each curve point is a 1-row aggregate; the driver holds
     only the float curve — state stays distributed."""
-    from ..operators.sketches import hll_estimate
-
     curve: list[float] = []
-    state = hll_sketch(
-        vertices.select("id", F.col("id").cast("string").alias("token")),
-        group_cols=("id",)).localCheckpoint()
+    state = _init_state(vertices)
 
     def _nf(s: DataFrame) -> float:
         est = hll_estimate(s, group_cols=("id",))
         row = est.agg(
-            F.round(F.sum(F.col("hll_estimate").cast("decimal(24,6)"))
-                    .cast("double"), 6).alias("nf")).head()
+            F.round(F.coalesce(
+                F.sum(F.col("hll_estimate").cast("decimal(24,6)"))
+                .cast("double"), F.lit(0.0)), 6).alias("nf")).head()
         return float(row["nf"])
 
     curve.append(_nf(state))
     for _ in range(max_iters):
-        contrib = (edges.alias("e")
-                   .join(state.alias("s"),
-                         F.col("e.dst") == F.col("s.id"))
-                   .select(F.col("e.src").alias("id"),
-                           F.col("s.register").alias("register"),
-                           F.col("s.max_rank").alias("max_rank")))
-        state = (state.unionByName(contrib)
-                 .groupBy("id", "register")
-                 .agg(F.max("max_rank").alias("max_rank"))
-                 .localCheckpoint())
+        state = _superstep(state, edges)
         curve.append(_nf(state))
         if curve[-1] <= curve[-2] * (1.0 + growth_tol):
             break

@@ -187,6 +187,29 @@ def apply_mixture_plan(df: DataFrame, plan: DataFrame,
                              default_fraction=0.0, key_col=key_col)
 
 
+def _contamination_shingles(train: DataFrame, benchmark: DataFrame,
+                            n: int, text_col: str
+                            ) -> tuple[DataFrame, DataFrame]:
+    """((doc_id, shingle) train side, (shingle) distinct bench side) —
+    the SHARED shingle prep of `ngram_contamination` and
+    `bloom_contamination`: the two paths must stay shingle-for-shingle
+    identical or the Bloom superset guarantee (flagged ⊇ exact) breaks.
+    spread(): a small parquet scans as ONE partition and shingling is
+    CPU-bound — repartition the narrow input to full parallelism first
+    (same guard as dedup._doc_shingles)."""
+    bench_shingles = (
+        benchmark
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    train_shingles = (
+        spread(train)
+        .select("doc_id",
+                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    )
+    return train_shingles, bench_shingles
+
+
 def ngram_contamination(train: DataFrame, benchmark: DataFrame,
                         n: int = 5, text_col: str = "text") -> DataFrame:
     """(doc_id, n_shared): training docs sharing ≥1 word n-gram with the
@@ -198,19 +221,8 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame,
     scanned once with no shuffle before the per-doc count. Docs with
     n_shared > 0 are the contamination-removal candidates.
     """
-    bench_shingles = (
-        benchmark
-        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
-    )
-    # spread(): a small parquet scans as ONE partition and shingling is
-    # CPU-bound — repartition the narrow input to full parallelism first
-    # (same guard as dedup._doc_shingles)
-    train_shingles = (
-        spread(train)
-        .select("doc_id",
-                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-    )
+    train_shingles, bench_shingles = _contamination_shingles(
+        train, benchmark, n, text_col)
     return (
         train_shingles
         .join(F.broadcast(bench_shingles), "shingle")
@@ -378,17 +390,9 @@ def bloom_contamination(train: DataFrame, benchmark: DataFrame,
     map-side pass, zero shuffle before the per-doc count."""
     from .sketches import bloom_build, bloom_may_contain
 
-    bench_shingles = (
-        benchmark
-        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+    train_shingles, bench_shingles = _contamination_shingles(
+        train, benchmark, n, text_col)
     bloom = bloom_build(bench_shingles, "shingle", num_bits, k)
-    train_shingles = (
-        spread(train)
-        .select("doc_id",
-                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-    )
     return (bloom_may_contain(train_shingles, bloom, "shingle",
                               num_bits, k)
             .groupBy("doc_id")

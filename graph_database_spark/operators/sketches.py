@@ -317,10 +317,15 @@ def hdr_bucket_expr(int_col: str, sub_bits: int = HDR_SUB_BITS) -> Column:
     bound ≤ v < bound·(1 + 2^−sub_bits) (exact when bit_length ≤
     sub_bits+1). bit_length = length(bin(c)) — bin() has identical
     semantics in Spark and DuckDB, which is what makes the whole sketch
-    oracle-replayable. Precondition: c ≥ 0 (bin() of a negative is its
-    64-bit two's complement — callers mirror signs around zero first)."""
+    oracle-replayable. Negative inputs fail LOUDLY (bin() of a negative
+    is its 64-bit two's complement, which would silently collapse every
+    negative into one −2^59 bucket) — mirror signs around zero first."""
     s = f"greatest(length(bin({int_col})) - {sub_bits + 1}, 0)"
-    return F.expr(f"shiftleft(shiftright({int_col}, {s}), {s})")
+    return F.expr(
+        f"CASE WHEN {int_col} < 0 THEN raise_error("
+        f"'hdr_bucket_expr: negative value in {int_col} — mirror signs "
+        f"around zero first') "
+        f"ELSE shiftleft(shiftright({int_col}, {s}), {s}) END")
 
 
 def hdr_sketch(rows: DataFrame, int_col: str,
@@ -374,8 +379,12 @@ def hdr_quantiles(sketch: DataFrame, qs: tuple[float, ...],
 # ride along to the exact verify (or are cheap over-removal).
 # ---------------------------------------------------------------------------
 
-BLOOM_WORD_BITS = 32  #: bits per bitmap word — bit 31 max, so the mask
-#                        shift never hits the 1<<63 two's-complement trap
+#: bits per bitmap word. 32 keeps the max mask shift at bit 31, clear of
+#: the 1<<63 two's-complement trap in engines that raise. The DuckDB
+#: oracle twins (`queries/text._bloom_sql`) embed the 32/shift-5 layout
+#: as literals — change it here and there together.
+BLOOM_WORD_BITS = 32
+_BLOOM_WORD_SHIFT = BLOOM_WORD_BITS.bit_length() - 1  # log2(32) = 5
 
 
 def _bloom_positions(key: Column, num_bits: int, k: int) -> Column:
@@ -391,6 +400,12 @@ def _bloom_positions(key: Column, num_bits: int, k: int) -> Column:
         for i in range(k)])
 
 
+def _bloom_mask(pos_col: str) -> Column:
+    """1 << (position within its word), as a BIGINT — bit index ≤ 31."""
+    return F.expr(f"shiftleft(cast(1 as bigint), "
+                  f"cast({pos_col} % {BLOOM_WORD_BITS} as int))")
+
+
 def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 21,
                 k: int = 4) -> DataFrame:
     """(word, bits): the Bloom bitmap of `keys` as ≤ num_bits/32 rows —
@@ -402,33 +417,41 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 21,
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), num_bits, k)).alias("p"))
     return (pos
-            .groupBy(F.shiftright(F.col("p"), 5).alias("word"))
-            .agg(F.bit_or(F.expr(
-                "shiftleft(cast(1 as bigint), cast(p % 32 as int))"))
-                .alias("bits")))
+            .groupBy(F.shiftright(F.col("p"), _BLOOM_WORD_SHIFT)
+                     .alias("word"))
+            .agg(F.bit_or(_bloom_mask("p")).alias("bits")))
 
 
 def bloom_may_contain(probes: DataFrame, bloom: DataFrame, key_col: str,
                       num_bits: int = 1 << 21, k: int = 4) -> DataFrame:
     """The rows of `probes` whose `key_col` is POSSIBLY in the bloomed
     set (all k bits set) — false positives possible, false negatives
-    impossible. The bitmap joins broadcast on the word key, so the probe
-    side is one map-side pass however large; `num_bits`/`k` must match
-    the build. Preserves all probe columns."""
-    pos = probes.withColumn(
-        "__p", F.explode(_bloom_positions(F.col(key_col), num_bits, k)))
-    hit = (pos
-           .withColumn("__word", F.shiftright(F.col("__p"), 5))
-           .withColumn("__mask", F.expr(
-               "shiftleft(cast(1 as bigint), cast(__p % 32 as int))"))
-           .join(F.broadcast(bloom),
-                 F.col("__word") == F.col("word"), "left")
-           .withColumn("__hit",
-                       F.col("bits").isNotNull()
-                       & (F.col("bits").bitwiseAND(F.col("__mask"))
-                          == F.col("__mask"))))
-    probe_cols = probes.columns
-    return (hit.groupBy(*probe_cols)
-            .agg(F.min("__hit").alias("__all"))
-            .filter(F.col("__all"))
-            .select(*probe_cols))
+    impossible. Implemented as k successive broadcast word-lookups ANDed
+    into one filter: no explode, no regroup, so the probe side is
+    GENUINELY one map-side pass (zero probe-row shuffle) and duplicate
+    probe rows are preserved verbatim. `num_bits`/`k` must match the
+    build."""
+    from .dedup import HASH_P, MINHASH_A, MINHASH_B
+
+    # materialize the bitmap ONCE: Catalyst re-expands an un-materialized
+    # build subtree under each of the k broadcast joins (k redundant
+    # benchmark scans); the frame is ≤ num_bits/32 rows, checkpoint-cheap
+    bloom = bloom.localCheckpoint()
+    out = probes.withColumn(
+        "__bloom_base", _md5_long(F.col(key_col)) % F.lit(HASH_P))
+    cond = F.lit(True)
+    for i in range(k):
+        pos = ((F.lit(MINHASH_A[i]) * F.col("__bloom_base")
+                + F.lit(MINHASH_B[i])) % F.lit(HASH_P)) % F.lit(num_bits)
+        out = out.withColumn(f"__bp{i}", pos)
+        side = F.broadcast(bloom.select(
+            F.col("word").alias(f"__bw{i}"),
+            F.col("bits").alias(f"__bb{i}")))
+        out = out.join(
+            side,
+            F.shiftright(F.col(f"__bp{i}"), _BLOOM_WORD_SHIFT)
+            == F.col(f"__bw{i}"), "left")
+        mask = _bloom_mask(f"__bp{i}")
+        cond = cond & F.col(f"__bb{i}").isNotNull() \
+            & (F.col(f"__bb{i}").bitwiseAND(mask) == mask)
+    return out.filter(cond).select(*probes.columns)

@@ -130,13 +130,5 @@ def streaming_bloom(keys: DataFrame, key_col: str,
     benchmark suites stream in, the bitmap stays current, probes read
     the published epoch via `read_current_sketch` +
     `operators.sketches.bloom_may_contain`."""
-    from ..operators.sketches import _bloom_positions
-
-    pos = keys.select(
-        F.explode(_bloom_positions(F.col(key_col), num_bits, k))
-        .alias("p"))
-    return (pos
-            .groupBy(F.shiftright(F.col("p"), 5).alias("word"))
-            .agg(F.bit_or(F.expr(
-                "shiftleft(cast(1 as bigint), cast(p % 32 as int))"))
-                .alias("bits")))
+    from ..operators.sketches import bloom_build
+    return bloom_build(keys, key_col, num_bits, k)

@@ -162,3 +162,41 @@ def test_hdr_bucket_rejects_nothing_but_bounds_hold(spark):
             assert b == c, (c, b)
         else:
             assert c < b * (1 + 2 ** -4), (c, b)
+
+
+def test_hdr_bucket_rejects_negative_values(spark):
+    """Negative inputs must fail loudly: bin() of a negative is its
+    64-bit two's complement, which would silently collapse every
+    negative value into one -2^59 bucket."""
+    import pytest
+
+    from graph_database_spark.operators.sketches import hdr_bucket_expr
+
+    df = spark.range(1).select(F.lit(-7).cast("long").alias("c"))
+    with pytest.raises(Exception, match="negative value"):
+        df.select(hdr_bucket_expr("c")).collect()
+
+
+def test_bloom_probe_is_map_side_and_keeps_duplicates(spark):
+    """bloom_may_contain must not shuffle probe rows (k broadcast word
+    lookups, no Exchange on the probe side) and must preserve duplicate
+    probe rows verbatim — it is a filter, not a distinct."""
+    from graph_database_spark.operators.sketches import (
+        bloom_build, bloom_may_contain,
+    )
+
+    keys = spark.createDataFrame([("alpha",), ("beta",)], ["k"])
+    bloom = bloom_build(keys, "k")
+    probes = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("gamma",)], ["k"])
+    got = [r["k"] for r in bloom_may_contain(probes, bloom, "k").collect()]
+    assert sorted(got) == ["alpha", "alpha"]  # dup kept, gamma dropped
+
+    plan = bloom_may_contain(probes, bloom, "k") \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    # broadcast lookups only — zero probe-row shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan
