@@ -373,7 +373,7 @@ def weighted_exact_n(df: DataFrame, n_per_stratum: int,
 
 
 def bloom_contamination(train: DataFrame, benchmark: DataFrame,
-                        n: int = 4, num_bits: int = 1 << 21, k: int = 4,
+                        n: int = 5, num_bits: int = 1 << 21, k: int = 4,
                         text_col: str = "text") -> DataFrame:
     """(doc_id, n_flagged): `ngram_contamination`'s Bloom-pruned scale
     path — the benchmark shingle set collapses to a fixed-size bitmap
@@ -381,10 +381,12 @@ def bloom_contamination(train: DataFrame, benchmark: DataFrame,
     instead of a broadcast of every distinct eval n-gram, so the
     broadcast stays bounded no matter how many benchmarks accumulate.
 
-    GUARANTEE: flagged docs are a SUPERSET of exactly-contaminated docs
-    and n_flagged ≥ n_shared per doc (Bloom filters have no false
+    GUARANTEE (for the SAME n on both sides — the default matches
+    `ngram_contamination`'s n=5; mixing shingle widths voids it):
+    flagged docs are a SUPERSET of exactly-contaminated docs and
+    n_flagged ≥ n_shared per doc (Bloom filters have no false
     negatives); the FP surplus is bounded by the bits-per-key ratio
-    (≈2e-5 per probe at 30+ bits/key). At 100 TB: drop flagged docs
+    (≈2.4e-4 per probe at 30 bits/key, k=4). At 100 TB: drop flagged docs
     directly (cheap over-removal), or run the exact broadcast join only
     on flagged docs as a verify — either way the full corpus pays one
     map-side pass, zero shuffle before the per-doc count."""

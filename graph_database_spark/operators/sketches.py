@@ -348,7 +348,13 @@ def hdr_quantiles(sketch: DataFrame, qs: tuple[float, ...],
     smallest bucket whose cumulative count reaches rank ceil(q·N). The
     estimate is the bucket lower bound — a deterministic ≤ 2^−sub_bits
     relative underestimate of the true rank-q value. The window runs
-    over the SKETCH (bounded rows per group), never the raw data."""
+    over the SKETCH (bounded rows per group), never the raw data.
+
+    Rank math is integer-exact: q is scaled to q₄ = round(q·10⁴) and the
+    reach test is 10⁴·cum ≥ q₄·N in BIGINT — equivalent to cum ≥ ⌈q·N⌉
+    for integer cum, but with no binary-double boundary (CEIL(0.9*N) in
+    a float engine can disagree with a DECIMAL engine at exact-multiple
+    N). q must have ≤ 4 decimal digits."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy(*[F.col(g) for g in group_cols])
@@ -361,8 +367,12 @@ def hdr_quantiles(sketch: DataFrame, qs: tuple[float, ...],
           .rowsBetween(Window.unboundedPreceding,
                        Window.unboundedFollowing))
     cum = cum.withColumn("__N", F.sum("n").over(wN))
+    for q in qs:
+        assert abs(q * 10000 - round(q * 10000)) < 1e-9, \
+            f"quantile {q} needs more than 4 decimal digits"
     sel = [F.min(F.when(
-               F.col("__cum") >= F.ceil(F.lit(q) * F.col("__N")),
+               F.col("__cum") * F.lit(10000)
+               >= F.lit(int(round(q * 10000))) * F.col("__N"),
                F.col("bucket"))).alias(f"p{int(round(q * 100))}")
            for q in qs]
     return (cum.groupBy(*group_cols)
@@ -412,8 +422,9 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 21,
     a pure bit_or aggregate, so the build is one scan with map-side
     combine, mergeable across shards/streams by further bit_or. Default
     2^21 bits ≈ 256 KiB: broadcastable at any benchmark size that fits
-    an eval suite (size num_bits ≳ 30× the key count for per-probe FP
-    ≲ 2e-5 at k=4)."""
+    an eval suite. Per-probe FP ≈ (1−e^(−k/bpk))^k: at 30 bits/key and
+    k=4 that is ≈ 2.4e-4; reaching ≲ 2e-5 needs ≈ 64 bits/key (or a
+    larger k tuned to the ratio, k* = bpk·ln2)."""
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), num_bits, k)).alias("p"))
     return (pos

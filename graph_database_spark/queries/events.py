@@ -550,11 +550,11 @@ cum AS (
   FROM b
 )
 SELECT event_type, CAST(MAX(nn) AS BIGINT) AS n,
-  CAST(MIN(CASE WHEN cum >= CEIL(0.50 * nn) THEN bucket END) AS BIGINT)
+  CAST(MIN(CASE WHEN cum * 10000 >= 5000 * nn THEN bucket END) AS BIGINT)
     AS p50,
-  CAST(MIN(CASE WHEN cum >= CEIL(0.90 * nn) THEN bucket END) AS BIGINT)
+  CAST(MIN(CASE WHEN cum * 10000 >= 9000 * nn THEN bucket END) AS BIGINT)
     AS p90,
-  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * nn) THEN bucket END) AS BIGINT)
+  CAST(MIN(CASE WHEN cum * 10000 >= 9900 * nn THEN bucket END) AS BIGINT)
     AS p99
 FROM cum GROUP BY event_type
 """)

@@ -386,7 +386,10 @@ def test_hyperanf_tracks_exact_neighborhood_function(spark):
     assert abs(nf[1] - exact1) / exact1 < 0.08, (nf[1], exact1)
     # radius-0 balls are singletons: per-vertex estimate ≈ 1
     assert abs(nf[0] - n_v) / n_v < 0.01, (nf[0], n_v)
-    assert nf[0] <= nf[1] <= nf[2]
+    # near-monotone, not strict: summed HLL estimates can dip a hair at
+    # the linear-counting→raw-estimator crossover even though the
+    # underlying register sets only grow
+    assert nf[1] >= nf[0] * (1 - 1e-6) and nf[2] >= nf[1] * (1 - 1e-6)
 
 
 def test_effective_diameter_plateaus_and_interpolates(spark):
@@ -411,4 +414,5 @@ def test_effective_diameter_plateaus_and_interpolates(spark):
     assert len(curve) <= 6
     assert curve[-1] <= curve[-2] * (1 + 1e-6)
     assert 0.0 < d <= 3.0, (d, curve)
-    assert all(b >= a for a, b in zip(curve, curve[1:]))
+    # same near-monotone allowance as the nf test (HLL branch crossover)
+    assert all(b >= a * (1 - 1e-6) for a, b in zip(curve, curve[1:]))
