@@ -290,6 +290,52 @@ def semantic_dedup(embeddings: DataFrame,
                     F.col("__dropped").isNull().alias("kept")))
 
 
+def auto_nlist(n: int, target_occupancy: int = 32,
+               min_nlist: int = 16) -> int:
+    """Cell count for a corpus of n vectors: ⌈n / target_occupancy⌉,
+    floored at min_nlist — the SemDeDup paper's design point (cluster
+    count grows WITH the corpus so expected cell occupancy, and with it
+    the within-cell quadratic pair work, stays a constant per cell).
+    At 100 TB this lands in the paper's ~10⁵-cluster regime: centroid
+    matrix ≈ nlist·dim·8 B (e.g. 100k × 64 dims ≈ 51 MB) — still a
+    broadcastable closure constant; beyond that, shard the assignment
+    with a coarse first-level quantizer."""
+    import math
+    return max(min_nlist, math.ceil(n / target_occupancy))
+
+
+def semantic_dedup_auto(embeddings: DataFrame,
+                        target_occupancy: int = 32,
+                        threshold: float = 0.95,
+                        centroids: list[list[float]] | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_nlist: int = 16,
+                        seed: int = 42) -> DataFrame:
+    """`semantic_dedup` with scale-adaptive cell count: nlist =
+    ⌈n / target_occupancy⌉ (see `auto_nlist`), so the within-cell
+    self-join stays near-linear in corpus size instead of quadratic —
+    the fix for a pinned nlist whose cells grow ∝ corpus.
+
+    `centroids=None` is the production path: train k-means once via
+    `train_ivf_centroids` (at 100 TB, on a deterministic sample — cell
+    quality converges long before full scans) and treat the trained
+    centroids as a STORED artifact of the corpus. Passing `centroids`
+    (len must equal the auto nlist) replays a stored artifact
+    deterministically — the registry entry uses the first-nlist corpus
+    vectors so an external SQL engine reconstructs the identical
+    assignment from the data alone."""
+    n = embeddings.count()
+    nlist = auto_nlist(n, target_occupancy, min_nlist)
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, nlist=nlist,
+                                        seed=seed, vec_col=vec_col)
+    assert len(centroids) == nlist, \
+        f"stored centroids ({len(centroids)}) != auto nlist ({nlist})"
+    return semantic_dedup(embeddings, centroids, threshold,
+                          id_col, vec_col)
+
+
 def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,
                    tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",

@@ -358,6 +358,50 @@ def test_semantic_dedup_nonvacuous_on_corpus(spark):
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
 
 
+def test_semantic_dedup_auto_scales_nlist_and_bounds_occupancy(spark):
+    """The scale-adaptive form: nlist tracks ⌈n/32⌉ across SFs, max
+    cell occupancy stays bounded (the pinned-nlist form's occupancy
+    grows ∝ corpus), the registry entry makes real drop decisions, and
+    the production path (trained k-means centroids) agrees with the
+    stored-centroid path on the output contract."""
+    from graph_database_spark.operators.ann import (
+        _assign_cells, auto_nlist, semantic_dedup_auto,
+    )
+    from graph_database_spark.registry import QUERIES
+    from graph_database_spark.sources.testdata import load_table
+
+    assert auto_nlist(500) == 16 and auto_nlist(2000) == 63
+    assert auto_nlist(2_000_000) == 62500  # keeps growing, never pinned
+
+    occs = {}
+    for sf in ("0.01", "0.1"):
+        emb = load_table(spark, f"/root/testdata/sf{sf}", "embeddings")
+        nlist = auto_nlist(emb.count(), target_occupancy=32)
+        cents = [list(r[0]) for r in
+                 emb.orderBy("vec_id").select("embedding").limit(nlist)
+                    .collect()]
+        occs[sf] = (_assign_cells(emb, cents, 1, "vec_id", "embedding")
+                    .groupBy("cell").count().agg(F.max("count"))
+                    .first()[0])
+    # 4x the corpus, same occupancy ceiling — the near-linear d2 claim
+    assert occs["0.1"] <= occs["0.01"] * 1.5, occs
+
+    out = QUERIES["dedup_semantic_auto"](spark, "/root/testdata/sf0.01")
+    counts = {r["kept"]: r["n"] for r in
+              out.groupBy("kept").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
+
+    # production path: centroids=None trains k-means at the auto nlist;
+    # same schema, all vectors accounted for, survivors non-empty
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    trained = semantic_dedup_auto(emb, target_occupancy=32,
+                                  threshold=0.45)
+    assert trained.columns == ["vec_id", "cell", "centroid_cos", "kept"]
+    assert trained.count() == emb.count()
+    assert trained.filter("kept").count() > 0
+
+
 def test_rrf_fuse_blends_both_arms(spark):
     from graph_database_spark.operators.ann import rrf_fuse
     lex = spark.createDataFrame(
