@@ -97,25 +97,15 @@ def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q7: global PageRank over the part co-occurrence graph (tp1 semantics,
-# SURVEY §4.3). Iterative — not SQL-expressible as a fixed query; the
-# driver records the weaker rows-only check (no oracle entry).
+# SURVEY §4.3). The tol-converged loop has no fixed-SQL form in general,
+# but on the driver's DETERMINISTIC corpus it stops at a measured,
+# drift-guarded k* (= 9; tests/test_traversal.py re-measures), so the
+# named entry carries the k*-unrolled recursive-CTE oracle DIRECTLY —
+# the same pattern pagerank_converged_check proved in r7 — closing the
+# external-verification ledger at 140/140 (r8 verdict #3).
 # ---------------------------------------------------------------------------
 
-@register("pagerank_global")
-def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..graphs.pagerank import pagerank
-    items = _items(spark, sf_dir)
-    pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
-    # product catalog << pair table: broadcast the row sums (no edge shuffle)
-    adj = row_normalized_adjacency(pairs, broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    ranks = pagerank(vertices, adj)
-    return ranks.select(F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# Fixed-iteration twin of pagerank_global: k damped power-iteration steps,
+# Fixed-iteration unrolled oracle: k damped power-iteration steps,
 # no early stop. Same per-step semantics as tp1 (uniform dangling
 # redistribution), but with the iteration count pinned the whole fixed
 # point IS SQL-expressible — the oracle replays it as a recursive CTE,
@@ -157,6 +147,24 @@ pr(iter, id, rank) AS (
 SELECT id AS product_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank
 FROM pr WHERE iter = {steps}
 """
+
+
+# The REAL tol-converged path (pagerank defaults: tol=1e-6, max_iter=50)
+# against the oracle unrolled to the measured k* = 9 — identical
+# computation to pagerank_converged_check; registering the oracle here
+# too removes the last rows-only gap on this entry.
+@register("pagerank_global", _pagerank_unrolled_sql(9))
+def q_pagerank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank
+    items = _items(spark, sf_dir)
+    pairs = cooccurrence_ordered(items)  # symmetric store of unordered pairs
+    # product catalog << pair table: broadcast the row sums (no edge shuffle)
+    adj = row_normalized_adjacency(pairs, broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    ranks = pagerank(vertices, adj)
+    return ranks.select(F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
 
 
 @register("pagerank_fixed20", _pagerank_unrolled_sql(20))
@@ -382,36 +390,15 @@ def q_sssp_weighted_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Batched personalized PageRank (SURVEY §4.3 / §7.1 step 7): every focal
 # customer's PPR computed in the SAME driver loop — the 100 TB-idiomatic
-# replacement for tp1's per-request iteration. Iterative → rows-only.
+# replacement for tp1's per-request iteration. Like pagerank_global, the
+# named entry now carries the k*-unrolled oracle directly (all three
+# focal keys freeze at the measured, drift-guarded k* = 9 on the
+# deterministic corpus — the ppr_converged_check pattern from r7).
 # ---------------------------------------------------------------------------
 
-@register("ppr_batch_focal")
-def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..graphs.pagerank import pagerank_batch
-    items = _items(spark, sf_dir)
-    adj = row_normalized_adjacency(cooccurrence_ordered(items),
-                                   broadcast_row_sums=True)
-    vertices = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"))
-    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
-    focal = (load_table(spark, sf_dir, "orders")
-             .select("o_custkey").distinct()
-             .orderBy("o_custkey").limit(3))
-    pers = (inc.join(F.broadcast(focal),
-                     inc["customer_id"] == focal["o_custkey"])
-            .select(F.col("customer_id").alias("key"),
-                    F.col("product_id").alias("id"),
-                    F.lit(1.0).alias("p")))
-    ranks = pagerank_batch(vertices, adj, pers)
-    return ranks.select(F.col("key").alias("customer_id"), F.col("id").alias("product_id"),
-                        F.round("rank", 6).alias("rank"))
-
-
-# Fixed-iteration twin of ppr_batch_focal (same rationale as
-# pagerank_fixed20): 3 focal customers' personalized PageRank, 20 pinned
-# power-iteration steps, replayed by the oracle as a (key, id)-state
-# recursive CTE. Verifies the BATCHED multi-key iteration path — per-key
-# personalization normalization, per-key sink mass — at the value level.
+# (key, id)-state recursive-CTE oracle for the BATCHED multi-key
+# iteration path — per-key personalization normalization, per-key sink
+# mass — unrolled to a pinned step count.
 def _ppr_unrolled_sql(steps: int) -> str:
     return f"""
 WITH RECURSIVE base AS ({_SQL_ITEMS}),
@@ -465,6 +452,32 @@ SELECT key AS customer_id, id AS product_id,
        CAST(ROUND(rank, 6) AS DOUBLE) AS rank
 FROM ppr WHERE iter = {steps}
 """
+
+
+# The REAL tol-converged batch path (pagerank_batch defaults: tol=1e-6,
+# max_iter=50) against the oracle unrolled to the measured k* = 9 —
+# identical computation to ppr_converged_check.
+@register("ppr_batch_focal", _ppr_unrolled_sql(9))
+def q_ppr_batch_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graphs.pagerank import pagerank_batch
+    items = _items(spark, sf_dir)
+    adj = row_normalized_adjacency(cooccurrence_ordered(items),
+                                   broadcast_row_sums=True)
+    vertices = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"))
+    inc = incidence_pairs(_order_customer_pairs(spark, sf_dir))
+    focal = (load_table(spark, sf_dir, "orders")
+             .select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(3))
+    pers = (inc.join(F.broadcast(focal),
+                     inc["customer_id"] == focal["o_custkey"])
+            .select(F.col("customer_id").alias("key"),
+                    F.col("product_id").alias("id"),
+                    F.lit(1.0).alias("p")))
+    ranks = pagerank_batch(vertices, adj, pers)
+    return ranks.select(F.col("key").alias("customer_id"),
+                        F.col("id").alias("product_id"),
+                        F.round("rank", 6).alias("rank"))
 
 
 @register("ppr_fixed20_batch", _ppr_unrolled_sql(20))
