@@ -867,6 +867,36 @@ s0 AS (
 """
 
 
+def _hyperanf_diameter_sql(iters: int, alpha: float) -> str:
+    """The α-effective-diameter oracle: the nf curve unrolled to the
+    MEASURED plateau k* (= iters supersteps — the driver's deterministic
+    graph closes every ball by radius 3, so N(4) = N(3) fires the
+    relative-growth stop; the row count therefore externally verifies
+    the stopping rule itself), plus the Palmer-style linear
+    interpolation replayed with the exact IEEE operation order of
+    `graphs/anf.effective_diameter` (target = α·N(last), frac =
+    (target−lo)/(hi−lo), d = (k−1)+frac)."""
+    return f"""
+WITH curve AS (SELECT iter, nf FROM ({_hyperanf_sql(iters)}) q),
+lastnf AS (SELECT nf AS nlast FROM curve
+           WHERE iter = (SELECT MAX(iter) FROM curve)),
+tt AS (SELECT {alpha!r} * nlast AS target FROM lastnf),
+kk AS (SELECT MIN(iter) AS k FROM curve CROSS JOIN tt WHERE nf >= target),
+dia AS (
+  SELECT CASE WHEN kk.k = 0 THEN 0.0
+              ELSE (kk.k - 1)
+                   + CASE WHEN hi.nf > lo.nf
+                          THEN (tt.target - lo.nf) / (hi.nf - lo.nf)
+                          ELSE 0.0 END
+         END AS d
+  FROM kk CROSS JOIN tt
+  JOIN curve hi ON hi.iter = kk.k
+  LEFT JOIN curve lo ON lo.iter = kk.k - 1)
+SELECT c.iter, c.nf, CAST(ROUND(dia.d, 6) AS DOUBLE) AS eff_diameter
+FROM curve c CROSS JOIN dia
+"""
+
+
 @register("graph_hyperanf_nf", _hyperanf_sql(3))
 def q_graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-function curve N(0..3) of the purchase property
@@ -887,3 +917,32 @@ def q_graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         t["orders"], t["order_items"],
                         item_recency_col="recency").select("src", "dst")
     return hyperanf_curve(vertices, edges, iters=3)
+
+
+@register("graph_hyperanf_diameter", _hyperanf_diameter_sql(4, 0.9))
+def q_graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0.9-effective diameter of the purchase graph via the REAL
+    plateau-stopped HyperANF loop (`graphs/anf.effective_diameter`):
+    supersteps run until relative nf growth ≤ 1e-6, then the diameter
+    interpolates between the bracketing radii. On the deterministic
+    corpus the stop fires after exactly 4 supersteps (measured at
+    sf0.001 AND sf0.01 — balls close by radius 3, N(4) = N(3)), so the
+    oracle unrolls k* = 4 steps and replays the interpolation: a
+    regression in the stopping rule changes the row count, a regression
+    in the interpolation changes eff_diameter — both hash-mismatch.
+    Output: the (iter, nf) curve with the constant interpolated
+    diameter; only this driver-sized curve ever leaves the executors."""
+    from ..graphs.anf import effective_diameter
+    from ..graphs.builder import build_edges, build_vertices
+
+    t = _graph_inputs(spark, sf_dir)
+    vertices = build_vertices(t["customers"], t["categories"],
+                              t["products"], t["orders"]).select("id")
+    edges = build_edges(t["products"], t["categories"], t["customers"],
+                        t["orders"], t["order_items"],
+                        item_recency_col="recency").select("src", "dst")
+    d, curve = effective_diameter(vertices, edges, alpha=0.9)
+    out = spark.createDataFrame(
+        [(k, v) for k, v in enumerate(curve)], "iter int, nf double")
+    return out.withColumn("eff_diameter",
+                          F.round(F.lit(float(d)), 6).cast("double"))
