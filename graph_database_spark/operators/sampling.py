@@ -231,6 +231,55 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame,
     )
 
 
+def bloom_pruned_contamination(train: DataFrame, benchmark: DataFrame,
+                               n: int = 5, num_bits: int = 1 << 21,
+                               k: int = 4, text_col: str = "text",
+                               bloom: DataFrame | None = None
+                               ) -> DataFrame:
+    """(doc_id, n_shared): EXACTLY `ngram_contamination`'s answer, but
+    the training side probes a Bloom bitmap of the benchmark shingles
+    FIRST — no false negatives means the Bloom survivors are a superset
+    of the true hits, and the exact benchmark-set join then touches only
+    those survivors. At 100 TB the full corpus pays one fixed-size
+    (≤ 256 KiB) bitmap broadcast map-side; the exact shingle broadcast
+    join runs on the (tiny) pruned candidate set instead of every
+    corpus shingle.
+
+    `bloom` is the precomputed `sketches.bloom_build` artifact of the
+    benchmark's n-shingles (the third standing-corpus artifact in
+    `streaming/pipeline`, alongside the hash set and MinHash index) —
+    built here when absent; num_bits/k/n must match the build."""
+    from .sketches import bloom_build, bloom_may_contain
+
+    train_shingles, bench_shingles = _contamination_shingles(
+        train, benchmark, n, text_col)
+    if bloom is None:
+        bloom = bloom_build(bench_shingles, "shingle", num_bits, k)
+    survivors = bloom_may_contain(train_shingles, bloom, "shingle",
+                                  num_bits, k)
+    return (survivors
+            .join(F.broadcast(bench_shingles), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def benchmark_shingle_bloom(benchmark: DataFrame, n: int = 4,
+                            num_bits: int = 1 << 21, k: int = 4,
+                            text_col: str = "text") -> DataFrame:
+    """The (word, bits) Bloom bitmap of the benchmark's word n-shingles
+    — the decontamination artifact a standing corpus precomputes once
+    per benchmark refresh (default n matches `curate_documents`'s
+    contamination_ngram=4; it must equal the n probed against it)."""
+    from .sketches import bloom_build
+
+    bench_shingles = (
+        benchmark
+        .select(F.explode(word_shingles(F.col(text_col), n))
+                .alias("shingle"))
+        .distinct())
+    return bloom_build(bench_shingles, "shingle", num_bits, k)
+
+
 def quality_weighted_sample(df: DataFrame, quality_col: str = "quality",
                             base_rate: float = 1.0,
                             key_col: str = "doc_id") -> DataFrame:

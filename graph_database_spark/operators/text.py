@@ -539,7 +539,8 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
                      min_tokens: int = 50, max_tokens: int = 10_000,
                      contamination_ngram: int = 4,
                      text_col: str = "text",
-                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                     keep_cols: tuple[str, ...] = (),
+                     benchmark_bloom: DataFrame | None = None) -> DataFrame:
     """End-to-end curation: (doc_id, *keep_cols, quality, ws_tokens) for
     docs that are the target language, above the quality floor, inside
     the token budget, and NOT contaminated by the benchmark corpus.
@@ -554,8 +555,16 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
     single pass over the data — the property a curation pipeline must
     have, and one the equivalent four-way-join SQL formulation (see the
     oracle) only reaches if its optimizer collapses the self-joins.
+
+    `benchmark_bloom` (a precomputed `sampling.benchmark_shingle_bloom`
+    bitmap of the benchmark's contamination_ngram-shingles) switches the
+    contamination stage to the Bloom-pruned-but-exact path: SAME
+    accepted set (no false negatives ⇒ the exact verify sees every true
+    hit), but the corpus pays a fixed ≤ 256 KiB bitmap broadcast instead
+    of re-broadcasting every distinct benchmark n-gram — the standing-
+    corpus form `streaming/pipeline` rides per trigger.
     """
-    from .sampling import ngram_contamination
+    from .sampling import bloom_pruned_contamination, ngram_contamination
 
     text = F.col(text_col)
     ws_tokens = _match_count(text, WS_TOKEN_PATTERN)
@@ -575,9 +584,15 @@ def curate_documents(documents: DataFrame, benchmark: DataFrame,
         # anti-join; checkpoint so the regex-metric scan runs once
         .localCheckpoint()
     )
-    contaminated = ngram_contamination(
-        kept.select("doc_id", text_col), benchmark,
-        n=contamination_ngram, text_col=text_col).select("doc_id")
+    if benchmark_bloom is not None:
+        contaminated = bloom_pruned_contamination(
+            kept.select("doc_id", text_col), benchmark,
+            n=contamination_ngram, text_col=text_col,
+            bloom=benchmark_bloom).select("doc_id")
+    else:
+        contaminated = ngram_contamination(
+            kept.select("doc_id", text_col), benchmark,
+            n=contamination_ngram, text_col=text_col).select("doc_id")
     return (kept.join(contaminated, "doc_id", "left_anti")
             .select("doc_id", *[c for c in keep_cols if c != "doc_id"],
                     "quality", "ws_tokens"))

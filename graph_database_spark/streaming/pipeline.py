@@ -44,7 +44,9 @@ def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
                         text_col: str = "text",
                         corpus_hashes: DataFrame | None = None,
                         corpus_minhash_index: DataFrame | None = None,
-                        check_ids: bool = True) -> DataFrame:
+                        check_ids: bool = True,
+                        benchmark_bloom: DataFrame | None = None
+                        ) -> DataFrame:
     """(doc_id, quality, ws_tokens): the accepted rows of ONE batch of
     new documents vs the standing corpus; the exact function the
     streaming wrapper runs per trigger, exposed so the one-shot
@@ -60,11 +62,14 @@ def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
     `embeddings_lookup` stands in for the embedding service a real
     ingest calls between dedup and SemDeDup (here: a static
     (vec_id, embedding) frame keyed by doc_id). `corpus_hashes` /
-    `corpus_minhash_index` are the precomputed `corpus_hash_set` and
-    `dedup.minhash_bucket_index` artifacts (derived from corpus_docs
+    `corpus_minhash_index` / `benchmark_bloom` are the precomputed
+    `corpus_hash_set`, `dedup.minhash_bucket_index`, and
+    `sampling.benchmark_shingle_bloom` artifacts (derived on the fly
     when absent — fine one-shot, wasteful per-trigger: without the
     minhash index the WHOLE corpus is re-shingled and re-signed every
-    micro-batch)."""
+    micro-batch). The bloom changes the curation PLAN, not its answer
+    (Bloom-pruned candidates are exactly verified), so passing it per
+    trigger preserves batch≡stream equivalence verbatim."""
     from ..operators.dedup import (minhash_bucket_index,
                                    minhash_lsh_pairs_vs_index)
     from ..operators.ann import semantic_dedup_between
@@ -81,7 +86,8 @@ def ingest_accept_batch(batch_docs: DataFrame, benchmark: DataFrame,
                 "must be disjoint (embedding lookup and MinHash signatures "
                 "key on doc_id)")
     curated = curate_documents(batch_docs, benchmark, text_col=text_col,
-                               keep_cols=(text_col,))
+                               keep_cols=(text_col,),
+                               benchmark_bloom=benchmark_bloom)
     # exact dedup vs corpus: per-doc hash membership (no within-batch
     # min-id pick — see module docstring on intra-ingest duplicates)
     if corpus_hashes is None:
@@ -125,17 +131,24 @@ def curate_dedup_ingest_stream(docs_stream: DataFrame,
                                check_ids: bool = True):
     """Run `ingest_accept_batch` per trigger via foreachBatch;
     `sink(accepted_df, batch_id)` receives each trigger's accepted
-    (doc_id, quality, ws_tokens). BOTH corpus dedup artifacts — the
-    exact-dedup hash set and the MinHash bucket index — are precomputed
-    ONCE here (checkpointed): triggers must never re-hash, re-shingle,
-    or re-sign the corpus. Pass check_ids=False when upstream guarantees
-    fresh doc_ids, dropping the per-trigger collision job. Returns the
-    started StreamingQuery."""
+    (doc_id, quality, ws_tokens). ALL THREE standing-corpus artifacts —
+    the exact-dedup hash set, the MinHash bucket index, and the
+    benchmark-shingle Bloom bitmap — are precomputed ONCE here
+    (checkpointed): triggers must never re-hash, re-shingle, or re-sign
+    the corpus, and decontamination rides the fixed ≤ 256 KiB bitmap
+    broadcast instead of re-broadcasting the benchmark n-gram set every
+    micro-batch (its exact verify keeps the accepted set identical).
+    Pass check_ids=False when upstream guarantees fresh doc_ids,
+    dropping the per-trigger collision job. Returns the started
+    StreamingQuery."""
     from ..operators.dedup import minhash_bucket_index
+    from ..operators.sampling import benchmark_shingle_bloom
 
     hashes = corpus_hash_set(corpus_docs, text_col).localCheckpoint()
     mh_index = minhash_bucket_index(
         corpus_docs, text_col=text_col).localCheckpoint()
+    bench_bloom = benchmark_shingle_bloom(
+        benchmark, text_col=text_col).localCheckpoint()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -146,7 +159,8 @@ def curate_dedup_ingest_stream(docs_stream: DataFrame,
                                  semantic_threshold, text_col,
                                  corpus_hashes=hashes,
                                  corpus_minhash_index=mh_index,
-                                 check_ids=check_ids), batch_id)
+                                 check_ids=check_ids,
+                                 benchmark_bloom=bench_bloom), batch_id)
 
     return (docs_stream.writeStream
             .foreachBatch(_process)

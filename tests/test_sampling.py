@@ -306,3 +306,39 @@ def test_bloom_contamination_superset_and_bounded_fp(spark):
             "formatted"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_pruned_contamination_is_exact(spark):
+    """The Bloom-pruned path returns EXACTLY ngram_contamination's
+    answer (Bloom has no false negatives, so the exact verify sees
+    every true hit; its inner join then discards every Bloom false
+    positive) — the property that lets the streaming ingest pipeline
+    ride the fixed-size bitmap broadcast per trigger without changing
+    the accepted set. Checked with and without a precomputed bitmap,
+    and through curate_documents' benchmark_bloom switch."""
+    from graph_database_spark.operators.sampling import (
+        benchmark_shingle_bloom, bloom_pruned_contamination,
+    )
+    from graph_database_spark.operators.text import curate_documents
+
+    docs = _docs(spark)
+    train = docs.filter("source <> 'src19'")
+    bench = docs.filter("source = 'src19'")
+    exact = {(r["doc_id"], r["n_shared"])
+             for r in ngram_contamination(train, bench, n=4).collect()}
+    assert exact
+    got = {(r["doc_id"], r["n_shared"])
+           for r in bloom_pruned_contamination(train, bench, n=4)
+           .collect()}
+    assert got == exact
+    bloom = benchmark_shingle_bloom(bench, n=4).localCheckpoint()
+    got_pre = {(r["doc_id"], r["n_shared"])
+               for r in bloom_pruned_contamination(
+                   train, bench, n=4, bloom=bloom).collect()}
+    assert got_pre == exact
+    plain = {r["doc_id"] for r in
+             curate_documents(train, bench).collect()}
+    bloomed = {r["doc_id"] for r in
+               curate_documents(train, bench,
+                                benchmark_bloom=bloom).collect()}
+    assert plain == bloomed and plain
