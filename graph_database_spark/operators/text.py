@@ -287,17 +287,18 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
     9 dp into DECIMAL sums (order-free), dl/avgdl is expressed as
     dl·N/T to keep one division.
 
-    Scale shape: exactly TWO corpus scans, each query-shaped instead of
-    vocabulary-shaped (down from the r6 four). Scan 1 computes document
-    lengths directly from the token stream — a |docs|-row aggregate with
-    map-side combine, never the vocabulary×docs tf frame the old
-    dl-from-tf derivation forced. Scan 2 applies the BROADCAST query-term
-    filter BEFORE the tf aggregate, so that shuffle carries only
-    matching-term rows (query-bounded, not corpus-bounded); df and the
-    scoring join derive from it. n_docs/total_tokens are a 1-row
-    aggregate of dl. With a persisted `postings` table (the production
-    inverted-index path, see `bm25_postings`) the corpus is scanned ZERO
-    times — everything derives from the postings. Top-k per query is
+    Scale shape: exactly ONE corpus scan (down from two in r7, four in
+    r6). The token stream is aggregated ONCE by (doc_id, masked token),
+    where the mask — a broadcast left join against the distinct query
+    terms — keeps a query term as its own group and collapses every
+    non-query token into a per-doc NULL group, so the shuffle carries
+    ≤ |docs|·(|query terms| + 1) rows with map-side combine (query-
+    bounded, never vocabulary-shaped). Document length (dl = Σ counts),
+    per-query tf (the non-NULL groups joined back to query_ids), df,
+    and n_docs/total_tokens all derive from that one tiny aggregate.
+    With a persisted `postings` table (the production inverted-index
+    path, see `bm25_postings`) the corpus is scanned ZERO times —
+    everything derives from the postings. Top-k per query is
     rank-limited (WindowGroupLimit), never a global sort.
     """
     from pyspark.sql import Window
@@ -318,12 +319,28 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
                         F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                           r"\s+")).alias("token"))
                 .filter(F.col("token") != ""))
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # the ONE corpus-scan aggregate: query terms keep their token as
+        # the group key, everything else collapses into a per-doc NULL
+        # group — both dl and tf derive from this frame, so the token
+        # stream is exploded exactly once
+        masked = (toks
+                  .join(F.broadcast(
+                            queries.select(F.col("term").alias("token"))
+                            .distinct().withColumn("__q", F.lit(True))),
+                        "token", "left")
+                  .groupBy("doc_id",
+                           F.when(F.col("__q"), F.col("token"))
+                           .alias("__qtok"))
+                  .agg(F.count(F.lit(1)).alias("__cnt"))
+                  .localCheckpoint())
+        dl = masked.groupBy("doc_id").agg(F.sum("__cnt").alias("dl"))
         # query_id stays in the group keys (two queries sharing a term
         # each need their own scoring row; tf itself is query-invariant)
-        tf_q = (toks.join(q_terms, "token")
-                .groupBy("query_id", "doc_id", "token")
-                .agg(F.count(F.lit(1)).alias("tf")))
+        tf_q = (masked.filter(F.col("__qtok").isNotNull())
+                .select("doc_id", F.col("__qtok").alias("token"),
+                        F.col("__cnt").alias("tf"))
+                .join(q_terms, "token")
+                .select("query_id", "doc_id", "token", "tf"))
     # dl and tf_q are each consumed TWICE below (totals+scoring,
     # df+scoring); Catalyst re-expands a diamond's subtree per reference,
     # which is where the old shape's 4 corpus scans came from. Both

@@ -98,17 +98,17 @@ SHOWCASE = {
     "message-passing layer; feature side is vertex-sized",
     "doc_pack_sequences": "two windows, coarse (stratum) then finer "
     "(stratum, shard) — packing never concentrates a stratum on one task",
-    "bm25_topk": "TWO query-shaped corpus reads, checkpoint-pinned: dl "
-    "straight off the token stream (never the vocabulary×docs tf frame), "
-    "tf aggregated AFTER the broadcast query-term filter so its shuffle "
-    "carries matching terms only; the scoring plan reads only the two "
-    "small materialized frames — zero corpus rescans (r6 shape "
-    "re-derived four). Persisted-postings path scans the corpus zero "
+    "bm25_topk": "ONE query-shaped corpus read (r9; two in r7, four in "
+    "r6): the token stream aggregates once by (doc_id, masked token) "
+    "with the broadcast query-term mask applied BEFORE the shuffle "
+    "(≤ |docs|·(|terms|+1) rows, map-side combined); dl AND per-query "
+    "tf derive from that one checkpointed frame, so the scoring plan "
+    "reads zero parquet. Persisted-postings path scans the corpus zero "
     "times",
     "hybrid_rrf_topk": "both retrieval arms arrive as k-row-per-query "
     "frames and fuse in one outer join + WindowGroupLimit; the BM25 "
-    "arm's checkpointed dl/tf frames cap the whole composite at two "
-    "corpus reads",
+    "arm's single masked-aggregate scan caps the whole composite at "
+    "one documents read + one embeddings read",
     "pipeline_curate_pack": "6-stage curation composite runs off "
     "stage-boundary checkpoints: the final plan reads ZERO parquet "
     "(documents scanned exactly twice at curation materialization, "

@@ -399,17 +399,17 @@ def test_tfidf_plan_shape(spark):
 
 
 def test_bm25_plan_shape(spark):
-    """BM25's scale posture: exactly TWO pruned (doc_id,text) corpus
-    scans — dl straight off the token stream (no vocabulary×docs tf
-    frame), and a tf aggregate whose broadcast query-term filter runs
-    BEFORE the shuffle so it carries matching terms only (down from the
-    r6 four-scan shape). Per-query top-10 is rank-limited, never a
+    """BM25's scale posture: exactly ONE pruned (doc_id,text) corpus
+    scan — the token stream aggregates once by (doc_id, masked token)
+    with the broadcast query-term mask applied BEFORE the shuffle, so
+    the shuffle carries ≤ |docs|·(|terms|+1) rows; dl AND the per-query
+    tf both derive from that one checkpointed frame (down from two scans
+    in r7, four in r6). Per-query top-10 is rank-limited, never a
     global sort."""
     plan = _formatted_plan(spark, "bm25_topk")
-    # the scoring plan reads ONLY the two checkpointed frames (dl and the
-    # query-filtered tf) — the corpus was scanned exactly twice, at their
-    # materialization, and never again no matter how often the diamonds
-    # reference them
+    # the scoring plan reads ONLY checkpointed frames — the corpus was
+    # scanned exactly once, at the masked aggregate's materialization,
+    # and never again no matter how often the diamonds reference them
     assert not [l for l in plan.split("\n")
                 if "ReadSchema" in l and "text" in l]
     assert "Scan ExistingRDD" in plan
@@ -419,11 +419,11 @@ def test_bm25_plan_shape(spark):
 
 
 def test_bm25_materialized_frames_are_small_and_pruned(spark):
-    """The two frames bm25_topk pins with localCheckpoint must stay
-    SMALL (|docs|-row dl, query-term-bounded tf) — checkpointing the
-    vocabulary×docs postings would trade 4 scans for a worse
-    materialization. Also pin that the corpus scan under each is pruned
-    to doc_id+text."""
+    """The frames bm25_topk pins with localCheckpoint must stay SMALL
+    (|docs|-row dl, query-term-bounded tf, and the masked aggregate
+    that bounds both) — checkpointing the vocabulary×docs postings
+    would trade scans for a worse materialization. Also pin that the
+    corpus scan underneath is pruned to doc_id+text."""
     from pyspark.sql import functions as F
     from graph_database_spark.sources.testdata import load_table
     docs = load_table(spark, SF_DIR, "documents")
