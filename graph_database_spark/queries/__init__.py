@@ -32,49 +32,49 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-8 ROTATION: after r7, every entry's latest green external row
-# is r7 (the 50-entry r7 window), r6, or r5 — except the five deferred
-# in r7 (last green r4) and the two rows-only-by-design entries.
-# This window keeps the 10 canaries, leads with the 3 new r8 entries
-# (HDR quantile sketch, Bloom decontamination), re-confirms the 5
-# deferred r4-stale entries, then 32 of the 40 entries last checked in
-# r5 (deferred to r9, all green in the local sweep, coverage carried by
-# a windowed twin: motif_cooccurrence_topn + cooccurrence_pairs —
-# cooccurrence_topn canary; dedup_exact — dedup_canonical_docs r7 +
-# dedup_minhash_lsh canary; token_count — word_counts_cms canary +
-# corpus_summary; orders_monthly_revenue — orders_rolling_revenue;
-# customers_inactive_since — fk_orphans r7 anti-join coverage;
-# doc_chunk_windows — doc_pack_sequences r7; events_dow_hour —
-# events_hourly canary + events_hourly_interp windowed). pagerank_global and
-# ppr_batch_focal stay out: rows-only (no SQL oracle), tol-stop logic
-# externally value-checked r7 via the *_converged_check twins.
+# ROUND-9 ROTATION (latest-green histogram going in: 50 r8, 40 r7,
+# 40 r6, 8 r5, 4 never — the 2 new r9 entries plus pagerank_global /
+# ppr_batch_focal, which carry a direct k*-unrolled oracle for the
+# first time this round). This window keeps the 10 canaries, leads
+# with the 4 never-checked entries, clears ALL 8 r5-stale entries
+# (the r8 verdict's #2), then 28 of the 40 entries last checked in
+# r6. The 12 r6 deferrals (to r10) each have an in-window or fresher
+# twin: dedup_semantic — dedup_semantic_auto (same math, windowed);
+# ppr_fixed20_batch — ppr_batch_focal windowed + ppr_converged_check
+# r7; embedding_topk_bruteforce — embedding_topk_lsh canary + int8/ivf
+# r8; connected_components_star — connected_components r8;
+# adjacency_row_norm + cooccurrence_weighted — cooccurrence_topn
+# canary + cooccurrence_pairs windowed; graph_vertices — graph_edges
+# canary; events_value_histogram — events_value_quantile_sketch r8;
+# events_followup_purchase — events_asof_order canary;
+# events_props_stats — corpus_summary r8; events_skew_whale_counts —
+# events_type_counts_salted r7; pk_violations — fk_orphans r7.
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
     "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (new r8 entries)
-    "events_value_quantile_sketch", "decontaminate_bloom",
-    "graph_hyperanf_nf",
-    # last checked r4 — the r7 deferrals, now the stalest
-    "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
-    "customer_value_deciles", "order_baskets",
-    # last checked r5 — stalest re-confirmations (32 of 40)
-    "ann_hard_negatives", "ann_ndcg_lsh", "connected_components",
-    "corpus_summary", "customer_cf", "customer_order_seq",
-    "dedup_ngram_jaccard", "doc_fingerprint",
-    "doc_sample_weighted_exact_n", "embedding_near_duplicates",
-    "embedding_topk_int8", "embedding_topk_ivf", "event_funnel",
-    "events_copresence", "events_hourly_interp",
-    "graph_clustering_coeff", "graph_degree_histogram", "hits_fixed10",
-    "local_supplier_volume", "multimodal_frame_sample",
-    "multimodal_resize_plan", "order_priority_pivot",
-    "orders_rolling_revenue", "part_name_tokens",
-    "part_recency_popularity", "parts_intersect_nations",
-    "quantity_quantiles", "similarity_jaccard_topk",
-    "strategy_breakdown_focal", "supplier_balance_stats",
-    "top_parts_by_revenue", "weekly_retention",
+    # never driver-checked: new r9 entries + the two tol-converged
+    # loops that now carry the measured-k* unrolled oracle directly
+    "dedup_semantic_auto", "graph_hyperanf_diameter",
+    "pagerank_global", "ppr_batch_focal",
+    # last checked r5 — the stalest, all re-confirmed this round
+    "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
+    "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
+    "orders_monthly_revenue", "token_count",
+    # last checked r6 — 28 of 40 (rest deferred to r10, twins above)
+    "bm25_topk", "dedup_canonical_docs", "dedup_incremental_minhash",
+    "dedup_simhash", "distinct_reach", "doc_unigram_logprob",
+    "embedding_truncation_recall", "event_transitions",
+    "event_weights_by_user", "events_hourly_gapfill",
+    "events_value_trend", "graph_triangle_count", "hybrid_rrf_topk",
+    "incidence_pairs", "lang_id", "media_format_detect",
+    "multimodal_frame_extract", "multimodal_video_motion",
+    "order_frequency", "pricing_summary", "recommend_batch",
+    "revenue_by_nation", "revenue_rollup", "seed_expansion",
+    "shortest_paths_landmark", "sssp_weighted_fixed8", "text_quality",
+    "vocab_hll_by_source",
 ]
 
 

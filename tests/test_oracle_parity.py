@@ -94,13 +94,15 @@ def test_driver_window_covers_priority_queries():
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
         "embedding_topk_lsh", "word_counts_cms",
-        # round-8 rotation: the new r8 entries (never driver-checked)
-        # lead, followed by the r4/r5-stale cohort re-confirmations
-        "events_value_quantile_sketch", "decontaminate_bloom",
-        "graph_hyperanf_nf",
-        "pii_scan", "doc_split_assignment", "corpus_top_ngrams",
-        "hits_fixed10", "similarity_jaccard_topk",
-        "embedding_topk_ivf", "event_funnel", "weekly_retention",
+        # round-9 rotation: the never-checked entries lead (new r9 +
+        # the tol-converged loops that now carry a direct k* oracle),
+        # followed by the full r5-stale cohort
+        "dedup_semantic_auto", "graph_hyperanf_diameter",
+        "pagerank_global", "ppr_batch_focal",
+        "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
+        "doc_chunk_windows", "events_dow_hour",
+        "motif_cooccurrence_topn", "orders_monthly_revenue",
+        "token_count",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
