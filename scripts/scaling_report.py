@@ -45,7 +45,58 @@ DEEP_QUERIES = [
     # r8 additions: sketch aggregates — both should be ~linear scans
     # with bounded-state shuffles (bucket table / bitmap words)
     "events_value_quantile_sketch", "decontaminate_bloom",
+    # r8/r9 additions (VERDICT r8 #8 + #1): HyperANF's register state is
+    # ball-bounded; auto-nlist SemDeDup must read near-linear where the
+    # pinned-nlist form read >10×; bm25 re-measured after the 1-scan fuse
+    "graph_hyperanf_nf", "dedup_semantic_auto", "bm25_topk",
 ]
+
+
+# Measured-once A/B appendices (r6 blocked PPR, r9 bucketed join) —
+# preserved verbatim across regenerations; re-measure with
+# /tmp/bench_ppr.py-style one-offs / scripts/bench_bucketed_ab.py if
+# the underlying operators change.
+_APPENDICES = """## Appendix: blocked batch PPR A/B at sf1 (measured r6, same host)
+
+The ≤64-key blocked column dispatch (`graphs/pagerank._pagerank_batch_blocked`)
+vs the long (key, id) form on the identical 3-key workload:
+
+| variant | sf0.1 (s) | sf1 (s) | d2 ratio |
+|---|---|---|---|
+| ppr_fixed20_batch (blocked) | 16.5 | 81.2 | 4.9× |
+| ppr_fixed20_batch (long (key,id) form, same host) | — | 116.3 | — |
+| ppr_batch_focal (blocked, tol=1e-6) | 13.5 | 128.0 | 9.5× |
+
+Blocked is 1.43× faster at sf1 and the gap grows with scale (the edge
+table is joined once per power step instead of once per key-copy).
+ppr_batch_focal's higher d2 is ITERATION COUNT, not probe overhead:
+switching the per-key delta probe from every iteration to every 3rd
+moved sf1 from 128.0 s to 128.2 s — a wash, pinning the cost on the
+power steps themselves (since r7 all three PageRank loops probe the
+same every-3rd-iteration cadence, so freeze points agree across the
+_BLOCKED_KEYS_MAX boundary).
+
+## Appendix: bucketed fact-to-fact join A/B at sf1 (measured r9)
+
+`write_bucketed` (`sources/layout.py`) on the sf1 lineitem ⋈ orders
+per-order rollup (6M ⋈ 1.5M rows, 1.5M output groups; join AND
+aggregate key on the bucket column), `scripts/bench_bucketed_ab.py`,
+min over 3 passes, broadcast disabled so the plain arm pays its SMJ
+shuffles:
+
+| variant | sf1 (s) | Exchanges in plan |
+|---|---|---|
+| plain sort-merge join | 1.26 | 2 (one per join side, reused by the agg) |
+| bucketed ×32 both sides | 0.85 | **0** |
+| one-time bucketed write | 6.04 | — (paid once per corpus refresh) |
+
+1.48× per query at local[32] where the shuffle is a memory copy; on a
+real cluster the deleted Exchanges are NETWORK, so the gap widens with
+data size and executor count — the write-once-shuffle-never-again
+contract the 100 TB fact-to-fact design relies on. The zero-Exchange
+plan and result parity vs the shuffled form are asserted in the
+script and pinned in `tests/test_layout.py`.
+""".split("\n")
 
 
 def main() -> None:
@@ -168,14 +219,18 @@ def main() -> None:
             "that vertex count, not the edge count — the r5 hits_fixed10",
             "6.5× cliff was that gate flipping at 5.99M edges; it now",
             "reads 2.9×). dedup_semantic's d2 above 10× is the documented",
-            "fixed-nlist bound: its 16 centroids are pinned for oracle",
-            "determinism, so cell occupancy grows linearly with the corpus",
-            "and the within-cell pair join quadratically — production",
-            "scaling grows nlist ∝ corpus (the SemDeDup paper's bounded-",
-            "occupancy design, same re-train lever as IVF); the operator",
-            "takes centroids as a parameter, so the fix is operational.",
+            "fixed-nlist bound: its 16 centroids are pinned, so cell",
+            "occupancy grows linearly with the corpus and the within-cell",
+            "pair join quadratically. dedup_semantic_auto (r9) is the fix",
+            "MEASURED: nlist = ⌈n/32⌉ grows with the corpus (16 cells at",
+            "sf0.01 → 63 at sf0.1 → 625 at sf1), max cell occupancy stays",
+            "flat, so its d2 row should read near-linear where the pinned",
+            "twin reads >10× — the SemDeDup paper's bounded-occupancy",
+            "design, with centroids stored so the oracle still replays",
+            "assignment exactly.",
             "",
         ]
+        lines += _APPENDICES
     else:
         lines += [
             f"_(second-decade table skipped: {SF1_DIR} not generated — "
