@@ -294,6 +294,124 @@ FROM agg
 """
 
 
+def hll_pairwise_overlap(sketch: DataFrame, group_col: str) -> DataFrame:
+    """(a, b, est_a, est_b, est_union, est_overlap, jaccard) for every
+    unordered group pair a < b of a grouped HLL register table
+    (`hll_sketch(..., group_cols=(group_col,))` output).
+
+    HLL union is EXACT at the sketch level: the per-register max-merge
+    of two sketches equals the sketch of the union (Flajolet et al.
+    2007), so est_union carries the same σ ≈ 1.04/√m as any single
+    estimate; the intersection comes from inclusion-exclusion
+    (est_a + est_b − est_union, clamped ≥ 0 for the Jaccard ratio) —
+    the standard mixture-planning / cross-source-contamination readout
+    (how much vocabulary two corpus sources share) without ever
+    materializing either vocabulary.
+
+    Scale shape: everything here is SKETCH-sized — the corpus was
+    scanned once to build `sketch` (≤ m rows per group forever), and
+    the pair matrix works on ≤ |groups|²·m register rows with the pair
+    frame broadcast; nothing rescans or shuffles the corpus. Estimates
+    are 6-dp rounded before the inclusion-exclusion arithmetic, so an
+    external engine replays every value bit-for-bit."""
+    est = hll_estimate(sketch, group_cols=(group_col,))
+    s = sketch.select(F.col(group_col).alias("__g"),
+                      "register", "max_rank")
+    groups = s.select(F.col("__g")).distinct()
+    pairs = (groups.select(F.col("__g").alias("a"))
+             .join(groups.select(F.col("__g").alias("b")),
+                   F.col("a") < F.col("b"))
+             .localCheckpoint())  # tiny; feeds two register joins
+    a_regs = (s.join(F.broadcast(pairs), F.col("a") == F.col("__g"))
+              .select("a", "b", "register", "max_rank"))
+    b_regs = (s.join(F.broadcast(pairs), F.col("b") == F.col("__g"))
+              .select("a", "b", "register", "max_rank"))
+    union_sketch = (a_regs.unionByName(b_regs)
+                    .groupBy("a", "b", "register")
+                    .agg(F.max("max_rank").alias("max_rank")))
+    u = hll_estimate(union_sketch, group_cols=("a", "b")) \
+        .withColumnRenamed("hll_estimate", "est_union")
+    ea = est.select(F.col(group_col).alias("a"),
+                    F.col("hll_estimate").alias("est_a"))
+    eb = est.select(F.col(group_col).alias("b"),
+                    F.col("hll_estimate").alias("est_b"))
+    out = (u.join(F.broadcast(ea), "a").join(F.broadcast(eb), "b")
+           .withColumn("est_overlap",
+                       F.round(F.col("est_a") + F.col("est_b")
+                               - F.col("est_union"), 6)))
+    jac = F.round(F.greatest(F.col("est_overlap"), F.lit(0.0))
+                  / F.col("est_union"), 6)
+    return out.select("a", "b", "est_a", "est_b", "est_union",
+                      "est_overlap", jac.alias("jaccard"))
+
+
+def _hll_est_case_sql() -> str:
+    """The estimate CASE over (present, s_present) columns — the SQL
+    twin of `hll_estimate`'s arithmetic, shared by `hll_sql` and
+    `hll_overlap_sql` so the two can never drift."""
+    scale = HLL_W + 1
+    raw = (f"(CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE) "
+           f"* CAST({float(1 << scale)!r} AS DOUBLE) "
+           f"/ CAST(s_present + ({HLL_M} - present) "
+           f"* (1::BIGINT << {scale}) AS DOUBLE))")
+    return f"""CAST(ROUND(
+  CASE WHEN {raw} <= {2.5 * HLL_M}
+            AND ({HLL_M} - present) > 0
+       THEN CAST({float(HLL_M)!r} AS DOUBLE)
+            * ROUND(LN(CAST({float(HLL_M)!r} AS DOUBLE))
+            - LN(CAST({HLL_M} - present AS DOUBLE)), 9)
+       ELSE {raw}
+  END, 6) AS DOUBLE)"""
+
+
+def hll_overlap_sql(token_source_cte: str, group_col: str) -> str:
+    """DuckDB twin of hll_sketch → hll_pairwise_overlap over a CTE
+    named `toks` (columns: token, {group_col}) — replays the register
+    build, the per-register max-merge union, and the 6-dp
+    inclusion-exclusion exactly."""
+    scale = HLL_W + 1
+    g = group_col
+    est_case = _hll_est_case_sql()
+    return f"""
+WITH toks AS ({token_source_cte}),
+hashed AS (
+  SELECT {g}, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS base
+  FROM toks),
+regs AS (
+  SELECT {g}, base % {HLL_M} AS register,
+         MAX(CASE WHEN base // {HLL_M} = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W + 1} - LENGTH(bin(base // {HLL_M})) END)
+           AS max_rank
+  FROM hashed GROUP BY {g}, register),
+gs AS (SELECT DISTINCT {g} FROM regs),
+pairs AS (SELECT ga.{g} AS a, gb.{g} AS b
+          FROM gs ga JOIN gs gb ON ga.{g} < gb.{g}),
+single_agg AS (
+  SELECT {g}, COUNT(*) AS present,
+         SUM((1::BIGINT << ({scale} - max_rank))) AS s_present
+  FROM regs GROUP BY {g}),
+single_est AS (SELECT {g}, {est_case} AS est FROM single_agg),
+uregs AS (
+  SELECT p.a, p.b, r.register, MAX(r.max_rank) AS max_rank
+  FROM pairs p JOIN regs r ON r.{g} = p.a OR r.{g} = p.b
+  GROUP BY 1, 2, 3),
+u_agg AS (
+  SELECT a, b, COUNT(*) AS present,
+         SUM((1::BIGINT << ({scale} - max_rank))) AS s_present
+  FROM uregs GROUP BY a, b),
+u_est AS (SELECT a, b, {est_case} AS est_union FROM u_agg)
+SELECT u.a, u.b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+       CAST(ROUND(ea.est + eb.est - u.est_union, 6) AS DOUBLE)
+         AS est_overlap,
+       CAST(ROUND(GREATEST(
+              CAST(ROUND(ea.est + eb.est - u.est_union, 6) AS DOUBLE),
+              0.0) / u.est_union, 6) AS DOUBLE) AS jaccard
+FROM u_est u
+JOIN single_est ea ON ea.{g} = u.a
+JOIN single_est eb ON eb.{g} = u.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # HDR-histogram quantile sketch (Gil Tene's High Dynamic Range histogram;
 # same log-bucket idea as DDSketch, Masson/Rim/Lee VLDB'19 — but the bucket

@@ -48,7 +48,10 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # canary; events_value_histogram — events_value_quantile_sketch r8;
 # events_followup_purchase — events_asof_order canary;
 # events_props_stats — corpus_summary r8; events_skew_whale_counts —
-# events_type_counts_salted r7; pk_violations — fk_orphans r7.
+# events_type_counts_salted r7; pk_violations — fk_orphans r7;
+# distinct_reach — displaced by the new vocab_overlap_sources (its
+# count-distinct semantics ride vocab_hll_by_source, windowed, and
+# corpus_summary r8).
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
@@ -58,14 +61,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # never driver-checked: new r9 entries + the two tol-converged
     # loops that now carry the measured-k* unrolled oracle directly
     "dedup_semantic_auto", "graph_hyperanf_diameter",
-    "pagerank_global", "ppr_batch_focal",
+    "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
     # last checked r5 — the stalest, all re-confirmed this round
     "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
     "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
     "orders_monthly_revenue", "token_count",
     # last checked r6 — 28 of 40 (rest deferred to r10, twins above)
     "bm25_topk", "dedup_canonical_docs", "dedup_incremental_minhash",
-    "dedup_simhash", "distinct_reach", "doc_unigram_logprob",
+    "dedup_simhash", "doc_unigram_logprob",
     "embedding_truncation_recall", "event_transitions",
     "event_weights_by_user", "events_hourly_gapfill",
     "events_value_trend", "graph_triangle_count", "hybrid_rrf_topk",

@@ -902,6 +902,35 @@ def q_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_distinct", "hll_estimate"))
 
 
+def _vocab_overlap_sql() -> str:
+    from ..operators.sketches import hll_overlap_sql
+    return hll_overlap_sql(_HLL_TOKS_SQL, "source")
+
+
+@register("vocab_overlap_sources", _vocab_overlap_sql())
+def q_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources from the SAME
+    per-source HLL sketches `vocab_hll_by_source` maintains: the union
+    is the per-register max-merge (exact at the sketch level), the
+    intersection is 6-dp inclusion-exclusion, jaccard its ratio — the
+    mixture-planning / cross-source-contamination readout (which
+    sources duplicate each other's vocabulary) with NOTHING
+    vocabulary-sized ever materialized: the corpus is scanned once to
+    build ≤ 256 registers per source, and the 190-pair matrix works on
+    register rows only. The oracle replays register build, max-merge,
+    and the inclusion-exclusion arithmetic bit-for-bit."""
+    from ..operators.sketches import hll_pairwise_overlap, hll_sketch
+    from ..operators.util import spread
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (spread(docs)
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    return hll_pairwise_overlap(hll_sketch(toks, group_cols=("source",)),
+                                "source")
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm and the
 # brute-force dense (embedding cosine) arm — the standard two-tower RAG

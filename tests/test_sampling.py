@@ -308,6 +308,41 @@ def test_bloom_contamination_superset_and_bounded_fp(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_pairwise_overlap_bounds_and_exact_agreement(spark):
+    """Sketch-level union/intersection sanity on real per-source
+    vocabularies: est_union within [max(est_a, est_b), est_a + est_b],
+    jaccard in [0, 1], and the inclusion-exclusion overlap tracks the
+    EXACT pairwise intersection within the ~3σ HLL envelope on a
+    spot-checked pair."""
+    from graph_database_spark.operators.sketches import (
+        hll_pairwise_overlap, hll_sketch,
+    )
+    from graph_database_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = (docs.select(
+                "source",
+                F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                  r"\s+")).alias("token"))
+            .filter(F.col("token") != "").localCheckpoint())
+    out = hll_pairwise_overlap(
+        hll_sketch(toks, group_cols=("source",)), "source").collect()
+    n_sources = toks.select("source").distinct().count()
+    assert len(out) == n_sources * (n_sources - 1) // 2
+    for r in out:
+        assert max(r["est_a"], r["est_b"]) <= r["est_union"] * (1 + 1e-9)
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-9
+        assert 0.0 <= r["jaccard"] <= 1.0
+    # spot-check one pair against the exact intersection (m=256 → σ≈6.5%
+    # per estimate; inclusion-exclusion compounds to ~3 estimates)
+    r = next(x for x in out if x["a"] == "src0" and x["b"] == "src1")
+    exact = (toks.filter("source = 'src0'").select("token").distinct()
+             .intersect(toks.filter("source = 'src1'")
+                        .select("token").distinct()).count())
+    assert abs(r["est_overlap"] - exact) <= 3 * 0.065 * 3 * exact, (
+        r["est_overlap"], exact)
+
+
 def test_bloom_pruned_contamination_is_exact(spark):
     """The Bloom-pruned path returns EXACTLY ngram_contamination's
     answer (Bloom has no false negatives, so the exact verify sees
