@@ -115,6 +115,17 @@ SHOWCASE = {
     "embeddings twice); packing windows stay per-stratum",
     "dedup_image_phash": "dHash pairs via the shared pigeonhole core: "
     "chunk-equality bucket join (never all-pairs), bit_count verify",
+    "dedup_semantic_auto": "scale-adaptive SemDeDup: nlist = ⌈n/32⌉ "
+    "grows with the corpus so cell occupancy (and within-cell pair "
+    "work) stays flat — the pinned-nlist twin's >10× d2 bound cleared; "
+    "within-cell self-join shuffles on the cell key only",
+    "graph_hyperanf_diameter": "plateau-stopped HyperANF: superstep = "
+    "edge join + register-max agg on ball-bounded long-form state; "
+    "only the float curve reaches the driver",
+    "vocab_overlap_sources": "pairwise source-vocabulary overlap on "
+    "SKETCH-sized data only: corpus scanned once into ≤256 registers "
+    "per source; pair matrix max-merges register rows with the pair "
+    "frame broadcast — nothing vocabulary-sized materializes",
 }
 
 
