@@ -51,7 +51,9 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # events_type_counts_salted r7; pk_violations — fk_orphans r7;
 # distinct_reach — displaced by the new vocab_overlap_sources (its
 # count-distinct semantics ride vocab_hll_by_source, windowed, and
-# corpus_summary r8).
+# corpus_summary r8); order_frequency — displaced by the new
+# decontaminate_bloom_pruned (frequency-rollup semantics ride
+# part_recency_popularity r8 + top_parts_by_revenue r8).
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
@@ -62,6 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # loops that now carry the measured-k* unrolled oracle directly
     "dedup_semantic_auto", "graph_hyperanf_diameter",
     "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
+    "decontaminate_bloom_pruned",
     # last checked r5 — the stalest, all re-confirmed this round
     "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
     "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
@@ -74,7 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_value_trend", "graph_triangle_count", "hybrid_rrf_topk",
     "incidence_pairs", "lang_id", "media_format_detect",
     "multimodal_frame_extract", "multimodal_video_motion",
-    "order_frequency", "pricing_summary", "recommend_batch",
+    "pricing_summary", "recommend_batch",
     "revenue_by_nation", "revenue_rollup", "seed_expansion",
     "shortest_paths_landmark", "sssp_weighted_fixed8", "text_quality",
     "vocab_hll_by_source",

@@ -245,6 +245,29 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src19"), n=4)
 
 
+@register("decontaminate_bloom_pruned", f"""
+WITH tr AS ({_SQL_SHINGLES4.format(op='<>')}),
+bench AS (SELECT DISTINCT shingle FROM ({_SQL_SHINGLES4.format(op='=')}) b)
+SELECT tr.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr JOIN bench USING (shingle)
+GROUP BY tr.doc_id
+""")
+def q_decontaminate_bloom_pruned(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The Bloom-pruned-but-EXACT decontamination path
+    (`sampling.bloom_pruned_contamination`, the per-trigger form the
+    streaming ingest pipeline rides): the corpus probes the fixed
+    256 KiB benchmark bitmap map-side, and the exact shingle verify
+    joins only the Bloom survivors. The oracle is decontaminate_ngram's
+    EXACT SQL — deliberately: a hash match here externally proves the
+    no-false-negative pruning changes the plan, never the answer."""
+    from ..operators.sampling import bloom_pruned_contamination
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_pruned_contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"), n=4)
+
+
 @register("documents_curated", f"""
 WITH lang AS ({{lang}}),
 q AS ({{quality}}),
