@@ -441,6 +441,69 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 50,
             .limit(k))
 
 
+def bpe_train(documents: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """(rank, lhs, rhs, merged, pair_count): the BPE merge table — the
+    full tokenizer-training loop `bpe_merge_candidates` is iteration 1
+    of (Sennrich et al. 2016). Each round picks the most frequent
+    adjacent token pair (weighted by word frequency, ties broken on
+    (lhs, rhs) asc) and applies the merge greedily left-to-right.
+
+    Plan shape for 100 TB: the corpus collapses to the word-frequency
+    table FIRST and every iteration — pair count, argmax, merge
+    rewrite — runs on that vocabulary-sized frame; the corpus is
+    scanned exactly once, like the classic dictionary-based BPE
+    trainers. The merge rewrite is a JVM-side F.aggregate fold (acc
+    ends with lhs ∧ next == rhs → replace tail with merged, else
+    append), whose greedy non-overlapping semantics an external
+    engine replays with the identical list fold; the per-round argmax
+    is a bounded 1-row collect (the merge table IS driver-sized by
+    definition). State localCheckpoints per round — the repo-wide
+    iterative discipline."""
+    spark = documents.sparkSession
+    words = (spread(documents)
+             .select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                       r"\s+")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    chars = F.transform(F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1)))
+    state = words.select(chars.alias("toks"), "freq").localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = state.select(
+            F.explode(F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs"))))
+            .alias("p"), "freq")
+        best = (pairs.select("p.lhs", "p.rhs", "freq")
+                .groupBy("lhs", "rhs")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1).collect())
+        if not best:
+            break  # vocabulary fully merged — nothing adjacent left
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, cnt))
+        # greedy left-to-right apply: F.get is 0-based and OOB-null, so
+        # the empty-accumulator first step falls to the append branch
+        # with no ANSI out-of-bounds error
+        fold = F.aggregate(
+            "toks", F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(lhs))
+                & (t == F.lit(rhs)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(t))))
+        state = state.select(fold.alias("toks"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_count long")
+
+
 def corpus_summary(documents: DataFrame,
                    text_col: str = "text") -> DataFrame:
     """(lang, source, n_docs, total_tokens, total_quality, p50_chars):

@@ -53,7 +53,9 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # count-distinct semantics ride vocab_hll_by_source, windowed, and
 # corpus_summary r8); order_frequency — displaced by the new
 # decontaminate_bloom_pruned (frequency-rollup semantics ride
-# part_recency_popularity r8 + top_parts_by_revenue r8).
+# part_recency_popularity r8 + top_parts_by_revenue r8); lang_id —
+# displaced by the new bpe_train_merges (lang predicate rides
+# documents_curated r7 + corpus_summary r8).
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
@@ -64,7 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # loops that now carry the measured-k* unrolled oracle directly
     "dedup_semantic_auto", "graph_hyperanf_diameter",
     "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
-    "decontaminate_bloom_pruned",
+    "decontaminate_bloom_pruned", "bpe_train_merges",
     # last checked r5 — the stalest, all re-confirmed this round
     "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
     "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
@@ -75,7 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_truncation_recall", "event_transitions",
     "event_weights_by_user", "events_hourly_gapfill",
     "events_value_trend", "graph_triangle_count", "hybrid_rrf_topk",
-    "incidence_pairs", "lang_id", "media_format_detect",
+    "incidence_pairs", "media_format_detect",
     "multimodal_frame_extract", "multimodal_video_motion",
     "pricing_summary", "recommend_batch",
     "revenue_by_nation", "revenue_rollup", "seed_expansion",

@@ -723,6 +723,58 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 k=50)
 
 
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled BPE-training oracle: each round is a pair-count CTE, a
+    deterministic argmax (count desc, pair asc), and the greedy
+    left-to-right merge replayed as the SAME list fold the Spark side
+    runs (DuckDB list_reduce seeds with the first element; Spark's
+    F.aggregate starts from an empty accumulator whose first step is a
+    plain append — identical results, asserted value-for-value)."""
+    parts = [r"""
+WITH w AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents) WHERE word <> '' GROUP BY word),
+v0 AS (
+  SELECT list_transform(generate_series(1, length(word)),
+                        i -> substr(word, i, 1)) AS toks, freq
+  FROM w)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT l, r, SUM(freq) AS cnt FROM (
+    SELECT toks[i] AS l, toks[i+1] AS r, freq
+    FROM v{k - 1}, unnest(generate_series(1, len(toks)-1)) AS u(i))
+  GROUP BY 1, 2),
+m{k} AS (
+  SELECT {k} AS rank, l AS lhs, r AS rhs, l || r AS merged,
+         CAST(cnt AS BIGINT) AS pair_count
+  FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v{k} AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+           (acc, x) -> CASE WHEN acc[-1] = m.lhs AND x[1] = m.rhs
+                            THEN list_append(acc[1:length(acc)-1], m.merged)
+                            ELSE list_concat(acc, x) END) AS toks, freq
+  FROM v{k - 1} CROSS JOIN m{k} m)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1))
+    return "".join(parts) + "\n" + union
+
+
+@register("bpe_train_merges", _bpe_train_sql(8))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE tokenizer-training loop (8 merge rounds) —
+    `bpe_merge_candidates` is round 1 of this. Every round's pair
+    count, argmax, and greedy merge rewrite run on the
+    VOCABULARY-sized word-frequency table (the corpus is scanned
+    exactly once, the dictionary-BPE trainer shape); the oracle
+    unrolls all 8 rounds, so a regression in the merge-apply fold, the
+    tie-break, or the weighting shifts some round's winner and
+    hash-mismatches."""
+    from ..operators.text import bpe_train
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 _SQL_QUALITY = r"""
 ROUND(
   LEAST(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5

@@ -272,6 +272,30 @@ def test_bpe_merge_candidates_weighted_by_word_freq(spark):
     assert rows["cc"] == 1 and rows["cd"] == 1 and rows["xz"] == 1
 
 
+def test_bpe_train_greedy_merges_hand_computed(spark):
+    """The full trainer on a corpus small enough to run BPE by hand:
+    round winners, tie-breaks, frequency weighting, and the greedy
+    left-to-right non-overlap rule ('aaa' + merge (a,a) yields ONE
+    'aa', never two overlapping) must all match."""
+    from graph_database_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa ab"), (2, "aaa ab ab")], ["doc_id", "text"])
+    # vocab: aaa×3, ab×3. round 1 pairs: (a,a)×2 per 'aaa' → 6; (a,b) → 3
+    rows = bpe_train(docs, n_merges=3).collect()
+    assert [tuple(r) for r in rows][:2] == [
+        (1, "a", "a", "aa", 6),
+        # after merge: 'aaa' → [aa, a]; pairs now (aa,a)×3 and (a,b)×3 —
+        # tie on count 3 breaks on lhs asc: ('a','b') < ('aa','a')
+        (2, "a", "b", "ab", 3),
+    ]
+    assert tuple(rows[2]) == (3, "aa", "a", "aaa", 3)
+    # early stop: a fully-merged vocabulary yields fewer rows, no error
+    tiny = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    got = bpe_train(tiny, n_merges=5).collect()
+    assert [r["merged"] for r in got] == ["ab"]
+
+
 def test_corpus_summary_values(spark):
     from graph_database_spark.operators.text import corpus_summary
     docs = spark.createDataFrame(

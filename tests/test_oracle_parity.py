@@ -98,7 +98,8 @@ def test_driver_window_covers_priority_queries():
         # the tol-converged loops that now carry a direct k* oracle),
         # followed by the full r5-stale cohort
         "dedup_semantic_auto", "graph_hyperanf_diameter",
-        "pagerank_global", "ppr_batch_focal",
+        "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
+        "decontaminate_bloom_pruned", "bpe_train_merges",
         "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
         "doc_chunk_windows", "events_dow_hour",
         "motif_cooccurrence_topn", "orders_monthly_revenue",
