@@ -343,14 +343,17 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
                 .select("query_id", "doc_id", "token", "tf"))
     # dl and tf_q are each consumed TWICE below (totals+scoring,
     # df+scoring); Catalyst re-expands a diamond's subtree per reference,
-    # which is where the old shape's 4 corpus scans came from. Both
-    # frames are SMALL (|docs| rows / query-term-bounded), so pinning
-    # them with localCheckpoint costs ~nothing and caps the plan at one
-    # corpus scan per frame. Streaming frames can't checkpoint — there
-    # the reuse question belongs to the streaming planner anyway.
-    if not dl.isStreaming:
+    # which is where the old shape's 4 corpus scans came from. In the
+    # corpus path both already derive from the CHECKPOINTED masked
+    # aggregate, so a re-expansion just re-reads that small ExistingRDD —
+    # further checkpoints would add two blocking jobs for nothing. The
+    # postings path has no materialized parent (re-expansion would scan
+    # the postings table once per reference), so there the two small
+    # frames are pinned. Streaming frames can't checkpoint — the reuse
+    # question belongs to the streaming planner anyway.
+    if postings is not None and not dl.isStreaming:
         dl = dl.localCheckpoint()
-    if not tf_q.isStreaming:
+    if postings is not None and not tf_q.isStreaming:
         tf_q = tf_q.localCheckpoint()
     totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("dl").alias("total_tokens"))
