@@ -507,6 +507,59 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
         "rank int, lhs string, rhs string, merged string, pair_count long")
 
 
+def bpe_encode_stats(documents: DataFrame, n_merges: int = 8,
+                     text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """(group, ws_tokens, bpe_tokens, tokens_per_word): tokenize the
+    corpus with the merges `bpe_train` just learned and report
+    per-group compression — the train→encode round trip that proves the
+    merge table is USABLE, and the fertility readout (tokens per word)
+    a tokenizer evaluation starts with.
+
+    The encode is the training fold replayed per merge in rank order —
+    a chain of row-local F.aggregate folds over the character array, no
+    shuffle — and it runs on the (group, word)-frequency table, so like
+    training it never re-walks token occurrences. The merge table is a
+    driver literal by definition (n_merges rows)."""
+    merges = [(r["lhs"], r["rhs"], r["merged"])
+              for r in bpe_train(documents, n_merges, text_col).collect()]
+    sw = (spread(documents)
+          .select(group_col,
+                  F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                    r"\s+")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy(group_col, "word")
+          .agg(F.count(F.lit(1)).alias("n_occ")))
+    arr = F.transform(F.sequence(F.lit(1), F.length("word")),
+                      lambda i: F.col("word").substr(i, F.lit(1)))
+
+    def _merge_step(lhs: str, rhs: str, merged: str):
+        # factory: pyspark inspects the lambda's arity, so the merge
+        # constants must close over scope, not ride default args
+        def step(acc, t):
+            return F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(lhs))
+                & (t == F.lit(rhs)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged)))) \
+                .otherwise(F.concat(acc, F.array(t)))
+        return step
+
+    for lhs, rhs, merged in merges:
+        arr = F.aggregate(arr, F.array().cast("array<string>"),
+                          _merge_step(lhs, rhs, merged))
+    enc = sw.withColumn("__ntok", F.size(arr))
+    ws = F.sum("n_occ")
+    bpe = F.sum(F.col("n_occ") * F.col("__ntok"))
+    return (enc.groupBy(group_col)
+            .agg(ws.cast("long").alias("ws_tokens"),
+                 bpe.cast("long").alias("bpe_tokens"))
+            .select(group_col, "ws_tokens", "bpe_tokens",
+                    F.round(F.col("bpe_tokens").cast("double")
+                            / F.col("ws_tokens").cast("double"), 6)
+                    .alias("tokens_per_word")))
+
+
 def corpus_summary(documents: DataFrame,
                    text_col: str = "text") -> DataFrame:
     """(lang, source, n_docs, total_tokens, total_quality, p50_chars):

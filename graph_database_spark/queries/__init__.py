@@ -33,13 +33,14 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
 # ROUND-9 ROTATION (latest-green histogram going in: 50 r8, 40 r7,
-# 40 r6, 8 r5, 4 never — the 2 new r9 entries plus pagerank_global /
-# ppr_batch_focal, which carry a direct k*-unrolled oracle for the
-# first time this round). This window keeps the 10 canaries, leads
-# with the 4 never-checked entries, clears ALL 8 r5-stale entries
-# (the r8 verdict's #2), then 28 of the 40 entries last checked in
-# r6. The 12 r6 deferrals (to r10) each have an in-window or fresher
-# twin: dedup_semantic — dedup_semantic_auto (same math, windowed);
+# 40 r6, 8 r5, plus the never-checked cohort — the 5 new r9 entries
+# and pagerank_global / ppr_batch_focal, which carry a direct
+# k*-unrolled oracle for the first time this round). This window keeps
+# the 10 canaries, leads with the 8 never-checked entries, clears ALL
+# 8 r5-stale entries (the r8 verdict's #2), then 24 of the 40 entries
+# last checked in r6. The 16 r6 deferrals (to r10) each have an
+# in-window or fresher twin:
+# dedup_semantic — dedup_semantic_auto (same math, windowed);
 # ppr_fixed20_batch — ppr_batch_focal windowed + ppr_converged_check
 # r7; embedding_topk_bruteforce — embedding_topk_lsh canary + int8/ivf
 # r8; connected_components_star — connected_components r8;
@@ -55,7 +56,9 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # decontaminate_bloom_pruned (frequency-rollup semantics ride
 # part_recency_popularity r8 + top_parts_by_revenue r8); lang_id —
 # displaced by the new bpe_train_merges (lang predicate rides
-# documents_curated r7 + corpus_summary r8).
+# documents_curated r7 + corpus_summary r8); text_quality — displaced
+# by the new bpe_encode_stats (quality scoring rides documents_curated
+# r7, doc_quality_ecdf r7, corpus_summary r8 total_quality).
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
@@ -67,6 +70,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_semantic_auto", "graph_hyperanf_diameter",
     "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
     "decontaminate_bloom_pruned", "bpe_train_merges",
+    "bpe_encode_stats",
     # last checked r5 — the stalest, all re-confirmed this round
     "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
     "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
@@ -81,7 +85,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_frame_extract", "multimodal_video_motion",
     "pricing_summary", "recommend_batch",
     "revenue_by_nation", "revenue_rollup", "seed_expansion",
-    "shortest_paths_landmark", "sssp_weighted_fixed8", "text_quality",
+    "shortest_paths_landmark", "sssp_weighted_fixed8",
     "vocab_hll_by_source",
 ]
 

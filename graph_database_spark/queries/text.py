@@ -723,13 +723,14 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 k=50)
 
 
-def _bpe_train_sql(n_merges: int) -> str:
-    """Unrolled BPE-training oracle: each round is a pair-count CTE, a
-    deterministic argmax (count desc, pair asc), and the greedy
-    left-to-right merge replayed as the SAME list fold the Spark side
-    runs (DuckDB list_reduce seeds with the first element; Spark's
-    F.aggregate starts from an empty accumulator whose first step is a
-    plain append — identical results, asserted value-for-value)."""
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared unrolled BPE-training CTE chain: each round is a
+    pair-count CTE, a deterministic argmax (count desc, pair asc), and
+    the greedy left-to-right merge replayed as the SAME list fold the
+    Spark side runs (DuckDB list_reduce seeds with the first element;
+    Spark's F.aggregate starts from an empty accumulator whose first
+    step is a plain append — identical results, asserted
+    value-for-value). Used by both the train and encode oracles."""
     parts = [r"""
 WITH w AS (
   SELECT word, COUNT(*) AS freq FROM (
@@ -756,9 +757,43 @@ v{k} AS (
                             THEN list_append(acc[1:length(acc)-1], m.merged)
                             ELSE list_concat(acc, x) END) AS toks, freq
   FROM v{k - 1} CROSS JOIN m{k} m)""")
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM m{k}" for k in range(1, n_merges + 1))
-    return "".join(parts) + "\n" + union
+    return _bpe_chain_sql(n_merges) + "\n" + union
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Encode oracle: re-runs the training chain, then tokenizes each
+    (source, word) with the learned merges — the fold nested once per
+    merge rank, exactly the Spark-side chained F.aggregate."""
+    inner = ("list_transform(generate_series(1, length(word)), "
+             "i -> substr(word, i, 1))")
+    for k in range(1, n_merges + 1):
+        inner = f"""list_reduce(list_transform({inner}, t -> [t]),
+          (acc, x) -> CASE WHEN acc[-1] = m{k}.lhs AND x[1] = m{k}.rhs
+                           THEN list_append(acc[1:length(acc)-1], m{k}.merged)
+                           ELSE list_concat(acc, x) END)"""
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(1, n_merges + 1))
+    return rf"""{_bpe_chain_sql(n_merges)},
+sw AS (
+  SELECT source, word, COUNT(*) AS n_occ FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents) WHERE word <> '' GROUP BY 1, 2),
+enc AS (
+  SELECT source, n_occ, len({inner}) AS ntok
+  FROM sw {crosses})
+SELECT source, CAST(SUM(n_occ) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_occ * ntok) AS BIGINT) AS bpe_tokens,
+       CAST(ROUND(CAST(SUM(n_occ * ntok) AS DOUBLE)
+                  / CAST(SUM(n_occ) AS DOUBLE), 6) AS DOUBLE)
+         AS tokens_per_word
+FROM enc GROUP BY source
+"""
 
 
 @register("bpe_train_merges", _bpe_train_sql(8))
@@ -773,6 +808,20 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches."""
     from ..operators.text import bpe_train
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register("bpe_encode_stats", _bpe_encode_sql(8))
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→encode round trip: tokenize the corpus with the 8 merges
+    `bpe_train_merges` just learned and report per-source fertility
+    (BPE tokens per whitespace word) — the first number a tokenizer
+    evaluation reads. Encode is the training fold chained per merge
+    rank, row-local over the (source, word)-frequency table (no
+    shuffle, no per-occurrence walk); the oracle replays training AND
+    the nested encode folds end-to-end."""
+    from ..operators.text import bpe_encode_stats
+    return bpe_encode_stats(load_table(spark, sf_dir, "documents"),
+                            n_merges=8)
 
 
 _SQL_QUALITY = r"""
