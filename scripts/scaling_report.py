@@ -49,6 +49,11 @@ DEEP_QUERIES = [
     # ball-bounded; auto-nlist SemDeDup must read near-linear where the
     # pinned-nlist form read >10×; bm25 re-measured after the 1-scan fuse
     "graph_hyperanf_nf", "dedup_semantic_auto", "bm25_topk",
+    # late-r9 additions: BPE train/encode iterate on the vocab table
+    # (corpus scanned once — d2 should track vocab growth, sublinear);
+    # the overlap matrix and pruned decontamination are sketch-bounded
+    "bpe_train_merges", "bpe_encode_stats", "vocab_overlap_sources",
+    "decontaminate_bloom_pruned", "graph_hyperanf_diameter",
 ]
 
 
