@@ -229,8 +229,8 @@ def main() -> None:
             "pair join quadratically. dedup_semantic_auto (r9) is the fix",
             "MEASURED: nlist = ⌈n/32⌉ grows with the corpus (16 cells at",
             "sf0.01 → 63 at sf0.1 → 625 at sf1), max cell occupancy stays",
-            "flat, and its MEASURED d2 is 2.7× against the pinned twin's",
-            "17.0× on the same run — the SemDeDup paper's bounded-occupancy",
+            "flat, and its MEASURED d2 is 2.2× against the pinned twin's",
+            "28.5× on the same run — the SemDeDup paper's bounded-occupancy",
             "design, with centroids stored so the oracle still replays",
             "assignment exactly.",
             "",
