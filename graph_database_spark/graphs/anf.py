@@ -39,6 +39,7 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
     Σ_v min(m, |B(v, k)|) — never |V|·m until balls saturate. Each
     superstep localCheckpoints, keeping plan depth constant (the
     repo-wide iterative-graph discipline)."""
+    edges = _pin_edges(edges)
     init = _init_state(vertices)
     states = [init]
     state = init
@@ -46,6 +47,18 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
         state = _superstep(state, edges)
         states.append(state)
     return states
+
+
+def _pin_edges(edges: DataFrame) -> DataFrame:
+    """Checkpoint the edge frame ONCE, pre-partitioned by dst (the
+    superstep's join key), before iterating — the same discipline as
+    `pagerank`: without this every superstep re-executes the caller's
+    whole edge-building subtree (for the purchase graph, a 4-table ETL
+    join), and with the dst partitioning the per-superstep join
+    shuffles only the state side."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return edges.repartition(n, "dst").localCheckpoint()
 
 
 def _init_state(vertices: DataFrame) -> DataFrame:
@@ -109,6 +122,7 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
     convention). Each curve point is a 1-row aggregate; the driver holds
     only the float curve — state stays distributed."""
     curve: list[float] = []
+    edges = _pin_edges(edges)
     state = _init_state(vertices)
 
     def _nf(s: DataFrame) -> float:
