@@ -231,6 +231,50 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame,
     )
 
 
+def negative_samples(positives: DataFrame, catalog: DataFrame,
+                     k: int = 3,
+                     user_col: str = "customer_id",
+                     item_col: str = "product_id") -> DataFrame:
+    """(user, item, draw): k deterministic negative examples per user —
+    the contrastive/recommender training-data primitive (BPR, word2vec
+    negative sampling, two-tower recsys all start here).
+
+    Draw i for a user picks the catalog item at dense position
+    md5(user:'#':i) mod |catalog| — pure hash math, so the sample is
+    REPRODUCIBLE under any partitioning and an external engine replays
+    it exactly (`rand()` would re-deal per layout). Draws that collide
+    with the user's own positives are DROPPED, not re-drawn (the
+    standard uniform-sampling contract: expected loss per draw is
+    |user positives| / |catalog|, negligible against a real catalog;
+    rejection loops would make the output depend on iteration order).
+
+    Scale shape: the catalog is a dimension — its dense-rank window is
+    one dimension-sized sort, broadcast into the draw join; the draws
+    frame is |users|·k rows built by a row-local sequence explode; the
+    positive-collision anti-join shuffles on the (user, item) key.
+    Nothing corpus-sized sorts or collects."""
+    n = catalog.count()
+    from pyspark.sql import Window
+
+    ranked = catalog.select(
+        F.col(item_col),
+        (F.row_number().over(Window.orderBy(item_col)) - 1).alias("__pos"))
+    users = positives.select(user_col).distinct()
+    draws = (users
+             .select(user_col,
+                     F.explode(F.sequence(F.lit(1), F.lit(k)))
+                     .alias("draw"))
+             .withColumn(
+                 "__pos",
+                 md5_long(F.concat_ws("#", F.col(user_col).cast("string"),
+                                      F.col("draw").cast("string")))
+                 % F.lit(n)))
+    return (draws.join(F.broadcast(ranked), "__pos")
+            .join(positives.select(user_col, item_col).distinct(),
+                  [user_col, item_col], "left_anti")
+            .select(user_col, item_col, F.col("draw").cast("int")))
+
+
 def bloom_pruned_contamination(train: DataFrame, benchmark: DataFrame,
                                n: int = 5, num_bits: int = 1 << 21,
                                k: int = 4, text_col: str = "text",

@@ -59,6 +59,9 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # documents_curated r7 + corpus_summary r8); text_quality — displaced
 # by the new bpe_encode_stats (quality scoring rides documents_curated
 # r7, doc_quality_ecdf r7, corpus_summary r8 total_quality).
+# training_negatives (new late-r9) debuts OUTSIDE the window — locally
+# value-gated every round; rotate it into the r10 head with the 16 r6
+# deferrals.
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",

@@ -636,3 +636,48 @@ def q_part_recency_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("quantity"))
     return recency_decayed_popularity(
         load_table(spark, sf_dir, "orders"), li)
+
+
+@register("training_negatives", """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+nn AS (SELECT COUNT(*) AS n FROM part),
+ranked AS (
+  SELECT p_partkey AS product_id,
+         ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pos
+  FROM part),
+draws AS (
+  SELECT customer_id, i AS draw,
+         CAST(('0x' || substr(md5(CAST(customer_id AS VARCHAR)
+                                  || '#' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % (SELECT n FROM nn) AS pos
+  FROM (SELECT DISTINCT customer_id FROM pos) u,
+       unnest(generate_series(1, 3)) AS g(i))
+SELECT d.customer_id, r.product_id, CAST(d.draw AS INT) AS draw
+FROM draws d JOIN ranked r USING (pos)
+LEFT JOIN pos p ON p.customer_id = d.customer_id
+               AND p.product_id = r.product_id
+WHERE p.customer_id IS NULL
+""")
+def q_training_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the purchase interactions —
+    the contrastive/recommender training-data primitive (BPR, two-tower
+    recsys): 3 hash-drawn catalog items per customer, positives dropped
+    rather than re-drawn (the uniform-sampling contract; expected loss
+    per draw is |positives|/|catalog|). The hash draw makes the sample
+    layout-independent and exactly oracle-replayable where rand() would
+    re-deal per partitioning; the catalog rank window is dimension-sized
+    and broadcasts into the draw join."""
+    from ..operators.sampling import negative_samples
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    pos = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_custkey").alias("customer_id"),
+                   F.col("l_partkey").alias("product_id"))
+           .distinct())
+    cat = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"))
+    return negative_samples(pos, cat, k=3)

@@ -308,6 +308,33 @@ def test_bloom_contamination_superset_and_bounded_fp(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_negative_samples_deterministic_and_positive_free(spark):
+    """k hash-drawn negatives per user: never a user's own positive,
+    at most k per user (collision draws DROPPED, not re-drawn), items
+    from the catalog only, and bit-identical across calls and
+    partitionings (the reproducibility contract rand() can't give)."""
+    from graph_database_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)],
+        ["customer_id", "product_id"])
+    cat = spark.createDataFrame([(i,) for i in range(10, 20)],
+                                ["product_id"])
+    out = negative_samples(pos, cat, k=4).collect()
+    by_user: dict[int, list] = {}
+    positives = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    for r in out:
+        assert (r["customer_id"], r["product_id"]) not in positives
+        assert 10 <= r["product_id"] < 20
+        by_user.setdefault(r["customer_id"], []).append(r["product_id"])
+    assert set(by_user) <= {1, 2, 3}
+    assert all(len(v) <= 4 for v in by_user.values())
+    assert sum(len(v) for v in by_user.values()) >= 8  # mostly kept
+    again = negative_samples(pos.repartition(7), cat.repartition(3),
+                             k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_hll_pairwise_overlap_bounds_and_exact_agreement(spark):
     """Sketch-level union/intersection sanity on real per-source
     vocabularies: est_union within [max(est_a, est_b), est_a + est_b],
