@@ -78,7 +78,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
     "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
     "orders_monthly_revenue", "token_count",
-    # last checked r6 — 28 of 40 (rest deferred to r10, twins above)
+    # last checked r6 — 24 of 40 (rest deferred to r10, twins above)
     "bm25_topk", "dedup_canonical_docs", "dedup_incremental_minhash",
     "dedup_simhash", "doc_unigram_logprob",
     "embedding_truncation_recall", "event_transitions",
