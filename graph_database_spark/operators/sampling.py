@@ -292,13 +292,19 @@ def bloom_pruned_contamination(train: DataFrame, benchmark: DataFrame,
     `bloom` is the precomputed `sketches.bloom_build` artifact of the
     benchmark's n-shingles (the third standing-corpus artifact in
     `streaming/pipeline`, alongside the hash set and MinHash index) —
-    built here when absent; num_bits/k/n must match the build."""
-    from .sketches import bloom_build, bloom_may_contain
+    built here when absent. num_bits/k/n must match the build: the
+    artifact carries them as schema metadata (`benchmark_shingle_bloom`
+    stamps `bloom_shingle_n`; `bloom_build` stamps num_bits/k) and a
+    mismatched probe raises at plan time — probing n=5 shingles against
+    an n=4 bitmap would otherwise silently produce false negatives,
+    voiding the exactness guarantee."""
+    from .sketches import _bloom_check_meta, bloom_build, bloom_may_contain
 
     train_shingles, bench_shingles = _contamination_shingles(
         train, benchmark, n, text_col)
     if bloom is None:
         bloom = bloom_build(bench_shingles, "shingle", num_bits, k)
+    _bloom_check_meta(bloom, bloom_shingle_n=n)
     survivors = bloom_may_contain(train_shingles, bloom, "shingle",
                                   num_bits, k)
     return (survivors
@@ -313,7 +319,11 @@ def benchmark_shingle_bloom(benchmark: DataFrame, n: int = 4,
     """The (word, bits) Bloom bitmap of the benchmark's word n-shingles
     — the decontamination artifact a standing corpus precomputes once
     per benchmark refresh (default n matches `curate_documents`'s
-    contamination_ngram=4; it must equal the n probed against it)."""
+    contamination_ngram=4; it must equal the n probed against it —
+    enforced: the shingle width is stamped into the artifact's schema
+    metadata and `bloom_pruned_contamination` refuses a mismatched
+    probe, so the n=4-build/n=5-probe default-collision trap fails
+    loudly instead of silently missing contamination)."""
     from .sketches import bloom_build
 
     bench_shingles = (
@@ -321,7 +331,10 @@ def benchmark_shingle_bloom(benchmark: DataFrame, n: int = 4,
         .select(F.explode(word_shingles(F.col(text_col), n))
                 .alias("shingle"))
         .distinct())
-    return bloom_build(bench_shingles, "shingle", num_bits, k)
+    bloom = bloom_build(bench_shingles, "shingle", num_bits, k)
+    meta = dict(bloom.schema["bits"].metadata or {})
+    meta["bloom_shingle_n"] = n
+    return bloom.select("word", F.col("bits").alias("bits", metadata=meta))
 
 
 def quality_weighted_sample(df: DataFrame, quality_col: str = "quality",

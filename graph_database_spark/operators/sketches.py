@@ -276,20 +276,7 @@ agg AS (
   SELECT {g}COUNT(*) AS present,
          SUM((1::BIGINT << ({scale} - max_rank))) AS s_present
   FROM regs {gby})
-SELECT {g}CAST(ROUND(
-  CASE WHEN (CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
-             * CAST({float(1 << scale)!r} AS DOUBLE)
-             / CAST(s_present + ({HLL_M} - present)
-                    * (1::BIGINT << {scale}) AS DOUBLE)) <= {2.5 * HLL_M}
-            AND ({HLL_M} - present) > 0
-       THEN CAST({float(HLL_M)!r} AS DOUBLE)
-            * ROUND(LN(CAST({float(HLL_M)!r} AS DOUBLE))
-            - LN(CAST({HLL_M} - present AS DOUBLE)), 9)
-       ELSE CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
-            * CAST({float(1 << scale)!r} AS DOUBLE)
-            / CAST(s_present + ({HLL_M} - present)
-                   * (1::BIGINT << {scale}) AS DOUBLE)
-  END, 6) AS DOUBLE) AS hll_estimate
+SELECT {g}{_hll_est_case_sql()} AS hll_estimate
 FROM agg
 """
 
@@ -542,13 +529,40 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 21,
     2^21 bits ≈ 256 KiB: broadcastable at any benchmark size that fits
     an eval suite. Per-probe FP ≈ (1−e^(−k/bpk))^k: at 30 bits/key and
     k=4 that is ≈ 2.4e-4; reaching ≲ 2e-5 needs ≈ 64 bits/key (or a
-    larger k tuned to the ratio, k* = bpk·ln2)."""
+    larger k tuned to the ratio, k* = bpk·ln2).
+
+    The build parameters ride along as schema metadata on `bits`
+    (StructField metadata survives checkpoints and parquet round-trips),
+    so a probe against a mismatched bitmap fails loudly at plan time
+    instead of silently returning false negatives — see
+    `_bloom_check_meta`."""
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), num_bits, k)).alias("p"))
     return (pos
             .groupBy(F.shiftright(F.col("p"), _BLOOM_WORD_SHIFT)
                      .alias("word"))
-            .agg(F.bit_or(_bloom_mask("p")).alias("bits")))
+            .agg(F.bit_or(_bloom_mask("p"))
+                 .alias("bits",
+                        metadata={"bloom_num_bits": num_bits,
+                                  "bloom_k": k})))
+
+
+def _bloom_check_meta(bloom: DataFrame, **expect: int) -> None:
+    """Assert that the probe-side Bloom parameters match the build-side
+    metadata stamped by `bloom_build` (and enriched by wrappers such as
+    `sampling.benchmark_shingle_bloom`, which adds `bloom_shingle_n`).
+    A hand-built (word, bits) frame without metadata passes untouched —
+    the check only protects artifacts that carry their provenance."""
+    meta = bloom.schema["bits"].metadata or {}
+    bad = {key: (meta[key], want) for key, want in expect.items()
+           if key in meta and meta[key] != want}
+    if bad:
+        detail = ", ".join(f"{key}: artifact has {have}, probe wants "
+                           f"{want}" for key, (have, want) in bad.items())
+        raise ValueError(
+            f"Bloom artifact/probe parameter mismatch ({detail}) — "
+            f"probing with different parameters than the build silently "
+            f"voids the no-false-negative guarantee")
 
 
 def bloom_may_contain(probes: DataFrame, bloom: DataFrame, key_col: str,
@@ -559,8 +573,11 @@ def bloom_may_contain(probes: DataFrame, bloom: DataFrame, key_col: str,
     into one filter: no explode, no regroup, so the probe side is
     GENUINELY one map-side pass (zero probe-row shuffle) and duplicate
     probe rows are preserved verbatim. `num_bits`/`k` must match the
-    build."""
+    build — enforced against the artifact's schema metadata when
+    present (`_bloom_check_meta`)."""
     from .dedup import HASH_P, MINHASH_A, MINHASH_B
+
+    _bloom_check_meta(bloom, bloom_num_bits=num_bits, bloom_k=k)
 
     # materialize the bitmap ONCE: Catalyst re-expands an un-materialized
     # build subtree under each of the k broadcast joins (k redundant

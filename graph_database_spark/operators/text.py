@@ -331,8 +331,12 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
                   .groupBy("doc_id",
                            F.when(F.col("__q"), F.col("token"))
                            .alias("__qtok"))
-                  .agg(F.count(F.lit(1)).alias("__cnt"))
-                  .localCheckpoint())
+                  .agg(F.count(F.lit(1)).alias("__cnt")))
+        # streaming frames can't localCheckpoint — leave the reuse
+        # question to the streaming planner (same guard as the postings
+        # path below); batch frames pin the one corpus scan here
+        if not masked.isStreaming:
+            masked = masked.localCheckpoint()
         dl = masked.groupBy("doc_id").agg(F.sum("__cnt").alias("dl"))
         # query_id stays in the group keys (two queries sharing a term
         # each need their own scoring row; tf itself is query-invariant)

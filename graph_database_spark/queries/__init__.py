@@ -32,64 +32,66 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-9 ROTATION (latest-green histogram going in: 50 r8, 40 r7,
-# 40 r6, 8 r5, plus the never-checked cohort — the 5 new r9 entries
-# and pagerank_global / ppr_batch_focal, which carry a direct
-# k*-unrolled oracle for the first time this round). This window keeps
-# the 10 canaries, leads with the 8 never-checked entries, clears ALL
-# 8 r5-stale entries (the r8 verdict's #2), then 24 of the 40 entries
-# last checked in r6. The 16 r6 deferrals (to r10) each have an
-# in-window or fresher twin:
-# dedup_semantic — dedup_semantic_auto (same math, windowed);
-# ppr_fixed20_batch — ppr_batch_focal windowed + ppr_converged_check
-# r7; embedding_topk_bruteforce — embedding_topk_lsh canary + int8/ivf
-# r8; connected_components_star — connected_components r8;
-# adjacency_row_norm + cooccurrence_weighted — cooccurrence_topn
-# canary + cooccurrence_pairs windowed; graph_vertices — graph_edges
-# canary; events_value_histogram — events_value_quantile_sketch r8;
-# events_followup_purchase — events_asof_order canary;
-# events_props_stats — corpus_summary r8; events_skew_whale_counts —
-# events_type_counts_salted r7; pk_violations — fk_orphans r7;
-# distinct_reach — displaced by the new vocab_overlap_sources (its
-# count-distinct semantics ride vocab_hll_by_source, windowed, and
-# corpus_summary r8); order_frequency — displaced by the new
-# decontaminate_bloom_pruned (frequency-rollup semantics ride
-# part_recency_popularity r8 + top_parts_by_revenue r8); lang_id —
-# displaced by the new bpe_train_merges (lang predicate rides
-# documents_curated r7 + corpus_summary r8); text_quality — displaced
-# by the new bpe_encode_stats (quality scoring rides documents_curated
-# r7, doc_quality_ecdf r7, corpus_summary r8 total_quality).
-# training_negatives (new late-r9) debuts OUTSIDE the window — locally
-# value-gated every round; rotate it into the r10 head with the 16 r6
-# deferrals.
+# ROUND-10 ROTATION (latest-green histogram going in: 50 r9, 40 r8,
+# 40 r7, 16 r6, 1 never — training_negatives, which debuted after the
+# r9 window froze). Registry growth is FROZEN this round (r9 verdict
+# #1): at 147 entries / 50 slots, every addition raises steady-state
+# staleness. This window leads with training_negatives (the only
+# never-checked entry), clears ALL 16 r6-stale entries, re-verifies
+# the 3 entries whose behavior changes this round
+# (dedup_semantic_auto → two-level coarse-quantizer assignment;
+# hybrid_rrf_topk → int8 dense arm; embedding_cluster_sizes → pinned
+# stored centroids), then 20 more of the 40 r7-stale entries. The 19
+# r7 deferrals (to r11) each have an in-window or fresher twin:
+# ann_recall_lsh — embedding_topk_lsh canary + ann_ndcg_lsh r8;
+# bpe_merge_candidates — bpe_train_merges r9 (full trainer);
+# cooccurrence_viz_edges — cooccurrence_topn + graph_edges canaries;
+# decontaminate_ngram — decontaminate_bloom_pruned r9 (identical
+# exact answer by construction); doc_quality_ecdf +
+# doc_quality_quantile_norm — text_quality windowed +
+# customer_value_deciles / quantity_quantiles r8; doc_sample_exact_n
+# + doc_sample_quality_weighted — doc_sample_weighted_exact_n r8
+# (same A-ES core) + training_negatives windowed (hash-draw);
+# documents_curated — pipeline_curate_pack windowed (contains the
+# curation stage verbatim); events_type_counts_salted —
+# events_skew_whale_counts windowed; fk_orphans — pk_violations
+# windowed; multimodal_features — dedup_image_phash windowed (same
+# PPM decode core) + multimodal_frame_sample r8; nation_revenue_share
+# — revenue_by_nation r9; orders_profile — pricing_summary +
+# orders_monthly_revenue r9; pagerank_converged_check —
+# pagerank_global r9 (identical k*-unrolled oracle);
+# ppr_converged_check — ppr_batch_focal r9 + ppr_fixed20_batch
+# windowed; revenue_grouping_sets — revenue_rollup r9;
+# shipping_priority — top_parts_by_revenue + local_supplier_volume
+# r8; word_heavy_hitters — word_counts_cms canary.
 _DRIVER_WINDOW_PRIORITY = [
     # canaries (kept every round)
     "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
     "sessionization", "events_asof_order", "graph_edges",
     "pagerank_fixed20", "dedup_minhash_lsh",
     "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked: new r9 entries + the two tol-converged
-    # loops that now carry the measured-k* unrolled oracle directly
-    "dedup_semantic_auto", "graph_hyperanf_diameter",
-    "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
-    "decontaminate_bloom_pruned", "bpe_train_merges",
-    "bpe_encode_stats",
-    # last checked r5 — the stalest, all re-confirmed this round
-    "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
-    "doc_chunk_windows", "events_dow_hour", "motif_cooccurrence_topn",
-    "orders_monthly_revenue", "token_count",
-    # last checked r6 — 24 of 40 (rest deferred to r10, twins above)
-    "bm25_topk", "dedup_canonical_docs", "dedup_incremental_minhash",
-    "dedup_simhash", "doc_unigram_logprob",
-    "embedding_truncation_recall", "event_transitions",
-    "event_weights_by_user", "events_hourly_gapfill",
-    "events_value_trend", "graph_triangle_count", "hybrid_rrf_topk",
-    "incidence_pairs", "media_format_detect",
-    "multimodal_frame_extract", "multimodal_video_motion",
-    "pricing_summary", "recommend_batch",
-    "revenue_by_nation", "revenue_rollup", "seed_expansion",
-    "shortest_paths_landmark", "sssp_weighted_fixed8",
-    "vocab_hll_by_source",
+    # never driver-checked (debuted late r9)
+    "training_negatives",
+    # behavior changes this round — must re-verify externally
+    "dedup_semantic_auto", "hybrid_rrf_topk", "embedding_cluster_sizes",
+    # last checked r6 — the full stale cohort, all 16
+    "adjacency_row_norm", "connected_components_star",
+    "cooccurrence_weighted", "dedup_semantic", "distinct_reach",
+    "embedding_topk_bruteforce", "events_followup_purchase",
+    "events_props_stats", "events_skew_whale_counts",
+    "events_value_histogram", "graph_vertices", "lang_id",
+    "order_frequency", "pk_violations", "ppr_fixed20_batch",
+    "text_quality",
+    # last checked r7 — 20 of 40 (rest deferred to r11, twins above)
+    "customer_rfm", "dedup_audio_envelope", "dedup_image_phash",
+    "dedup_winnow_substrings", "doc_pack_sequences",
+    "doc_prefix_matches", "doc_repetition", "doc_sample_stratified",
+    "doc_shards_by_tokens", "doc_tfidf_keywords",
+    "domain_mixture_plan", "domain_mixture_temperature",
+    "events_sliding_counts", "events_status_history",
+    "events_value_anomalies", "events_value_winsorized",
+    "graph_kcore", "graph_lpa_communities", "graph_neighbor_agg",
+    "pipeline_curate_pack",
 ]
 
 

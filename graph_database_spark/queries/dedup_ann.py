@@ -1122,7 +1122,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_semantic_auto", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-nl AS (SELECT CAST(CEIL(COUNT(*) / 32.0) AS INT) AS nlist FROM e),
+nl AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 32.0) AS INT)) AS nlist
+       FROM e),
 cents AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
   FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT nlist FROM nl)),

@@ -404,3 +404,35 @@ def test_bloom_pruned_contamination_is_exact(spark):
                curate_documents(train, bench,
                                 benchmark_bloom=bloom).collect()}
     assert plain == bloomed and plain
+
+
+def test_bloom_artifact_rejects_mismatched_probe(spark):
+    """Probing a Bloom artifact with different parameters than its
+    build silently voids the no-false-negative guarantee — the artifact
+    carries (shingle_n, num_bits, k) as schema metadata (surviving a
+    localCheckpoint, the streaming pipeline's storage form) and a
+    mismatched probe raises instead of missing contamination."""
+    import pytest
+
+    from graph_database_spark.operators.sampling import (
+        benchmark_shingle_bloom, bloom_pruned_contamination,
+    )
+    from graph_database_spark.operators.sketches import bloom_may_contain
+
+    docs = _docs(spark)
+    train = docs.filter("source <> 'src19'")
+    bench = docs.filter("source = 'src19'")
+    bloom = benchmark_shingle_bloom(bench, n=4).localCheckpoint()
+    # the exact default-collision trap the r9 advice named: n=5 probe
+    # (bloom_pruned_contamination's default) against the n=4 artifact
+    with pytest.raises(ValueError, match="bloom_shingle_n"):
+        bloom_pruned_contamination(train, bench, bloom=bloom).collect()
+    with pytest.raises(ValueError, match="bloom_num_bits"):
+        bloom_may_contain(train.select(F.col("text").alias("shingle")),
+                          bloom, "shingle", num_bits=1 << 20)
+    with pytest.raises(ValueError, match="bloom_k"):
+        bloom_may_contain(train.select(F.col("text").alias("shingle")),
+                          bloom, "shingle", k=3)
+    # matching parameters pass through the guard untouched
+    assert bloom_pruned_contamination(
+        train, bench, n=4, bloom=bloom).count() > 0
