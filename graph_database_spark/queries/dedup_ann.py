@@ -1127,13 +1127,33 @@ nl AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 32.0) AS INT)) AS nlist
 cents AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
   FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT nlist FROM nl)),
+coarse AS (
+  SELECT cell AS ccell, cvec AS covec FROM cents
+  WHERE cell < (SELECT CAST(CEIL(SQRT(nlist)) AS INT) FROM nl)),
+f2c AS (
+  SELECT cell, ccell FROM (
+    SELECT c.cell, co.ccell,
+           ROW_NUMBER() OVER (PARTITION BY c.cell
+                              ORDER BY list_dot_product(c.cvec, co.covec)
+                                         DESC,
+                                       co.ccell ASC) AS rn
+    FROM cents c CROSS JOIN coarse co) WHERE rn = 1),
+vcoarse AS (
+  SELECT vec_id, ccell FROM (
+    SELECT e.vec_id, co.ccell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, co.covec) DESC,
+                                       co.ccell ASC) AS rn
+    FROM e CROSS JOIN coarse co) WHERE rn = 1),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY list_dot_product(e.v, c.cvec) DESC,
                                        c.cell ASC) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn <= 1),
+    FROM e JOIN vcoarse vc USING (vec_id)
+           JOIN f2c ON f2c.ccell = vc.ccell
+           JOIN cents c ON c.cell = f2c.cell) WHERE rn = 1),
 base AS (
   SELECT a.vec_id, a.cell, e.v,
          ROUND(list_dot_product(e.v, c.cvec), 6) AS ccos
@@ -1149,13 +1169,18 @@ SELECT CAST(base.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
 FROM base LEFT JOIN dropped d USING (vec_id)
 """)
 def q_dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-adaptive SemDeDup: nlist = ⌈n/32⌉ grows with the corpus
-    (16 cells at sf0.01 → 63 at sf0.1 → ~625 at sf1), so the within-cell
-    pair join stays near-linear — measured max cell occupancy is 42 at
-    BOTH sf0.01 and sf0.1, vs the pinned-nlist form whose occupancy
-    grows ∝ corpus (the one `weak` plan in the r8 verdict). Centroids
-    are the first-nlist corpus vectors (a stored, data-derived artifact
-    the oracle reconstructs exactly); production trains k-means instead
+    """Scale-adaptive SemDeDup with TWO-LEVEL assignment: nlist = ⌈n/32⌉
+    grows with the corpus (16 cells at sf0.01 → 63 at sf0.1 → ~625 at
+    sf1) so the within-cell pair join stays near-linear, and each
+    vector reaches its fine cell through ⌈√nlist⌉ coarse cells (first-
+    level quantizer) instead of ranking all nlist centroids — the fix
+    for the r9 verdict's O(n²)-FLOPs/linear-broadcast `weak` finding on
+    the flat auto path. The oracle replays both levels: coarse = first
+    ⌈√nlist⌉ fine centroids, fine→coarse and vector→coarse by
+    (dot DESC, id ASC) argmax, then the fine rank runs ONLY over the
+    assigned coarse cell's fine centroids. Centroids are the
+    first-nlist corpus vectors (a stored, data-derived artifact the
+    oracle reconstructs exactly); production trains k-means instead
     (`semantic_dedup_auto(centroids=None)`), same dataflow."""
     from ..operators.ann import auto_nlist, semantic_dedup_auto
     emb = load_table(spark, sf_dir, "embeddings")

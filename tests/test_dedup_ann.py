@@ -402,6 +402,88 @@ def test_semantic_dedup_auto_scales_nlist_and_bounds_occupancy(spark):
     assert trained.filter("kept").count() > 0
 
 
+def test_two_level_assignment_invariants(spark):
+    """The coarse-quantizer assignment path (r10, the fix for flat
+    auto-nlist's O(n·nlist) FLOPs): every vector gets exactly one fine
+    cell; each assigned fine cell belongs to the vector's coarse cell
+    (routing consistency); unit-norm coarse self-routing holds
+    (f2c[j] == j for j < n_coarse when centroids are distinct); and on
+    the near-orthogonal test corpus the two-level assignment agrees
+    with flat 1-NN for the vast majority of vectors (it is allowed to
+    differ — IVF routing error — but not collapse)."""
+    import numpy as np
+
+    from graph_database_spark.operators.ann import (
+        _assign_cells, _assign_cells_two_level, auto_nlist,
+        coarse_quantizer,
+    )
+    from graph_database_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    nlist = auto_nlist(n, target_occupancy=32)
+    cents = [list(r[0]) for r in
+             emb.orderBy("vec_id").select("embedding").limit(nlist)
+                .collect()]
+    n_coarse, f2c = coarse_quantizer(cents)
+    assert n_coarse == 4 and len(f2c) == nlist
+    # unit-norm + distinct centroids: coarse cell j owns fine cell j
+    assert all(f2c[j] == j for j in range(n_coarse)), f2c[:n_coarse]
+    two = {r["id"]: r["cell"] for r in
+           _assign_cells_two_level(emb, cents, n_coarse, f2c,
+                                   "vec_id", "embedding").collect()}
+    assert len(two) == n  # exactly one fine cell per vector
+    # routing consistency: the fine cell's coarse owner is the coarse
+    # cell the vector itself ranks first (recompute coarse argmax here)
+    cmat = np.asarray(cents, dtype=np.float64)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    for vid, cell in two.items():
+        vco = int((vecs[vid] @ cmat[:n_coarse].T).argmax())
+        assert f2c[cell] == vco, (vid, cell, f2c[cell], vco)
+    # On this NEAR-ORTHOGONAL corpus (max pairwise cos ≈ 0.5) coarse
+    # routing is chance-level vs flat 1-NN — expected: IVF-style
+    # two-level assignment presumes hierarchical cluster structure,
+    # which is SemDeDup's own premise about real embedding corpora.
+    # What matters for dedup is that near-identical vectors co-route
+    # (they do: routing is a deterministic function of the vector),
+    # and the oracle replays the same routing, so correctness never
+    # depends on agreement. Pin only that it doesn't fully collapse.
+    flat = {r["id"]: r["cell"] for r in
+            _assign_cells(emb, cents, 1, "vec_id", "embedding").collect()}
+    agree = sum(two[v] == flat[v] for v in two) / n
+    assert agree >= 0.3, agree
+
+    # On a HIERARCHICALLY CLUSTERED corpus (4 orthogonal coarse
+    # directions × 4 fine perturbations each, data tight around fine
+    # centroids; cents 0..3 span the 4 coarse directions so the
+    # first-⌈√nlist⌉ coarse choice captures them) two-level must agree
+    # with flat 1-NN essentially everywhere.
+    rng = np.random.RandomState(7)
+    base = np.eye(64)[:4]
+    fine = []
+    for j in range(16):
+        # perturbation NORM ≈ 0.32 (0.04·√64) around the unit base —
+        # fine cells distinct but firmly inside their coarse direction
+        v = base[j % 4] + 0.04 * rng.normal(size=64)
+        fine.append(v / np.linalg.norm(v))
+    data = []
+    for i in range(200):
+        v = fine[i % 16] + 0.01 * rng.normal(size=64)
+        data.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cl = [f.tolist() for f in fine]
+    ncl, f2cl = coarse_quantizer(cl)
+    assert ncl == 4 and [f2cl[j] for j in range(4)] == [0, 1, 2, 3]
+    two_c = {r["id"]: r["cell"] for r in
+             _assign_cells_two_level(df, cl, ncl, f2cl,
+                                     "vec_id", "embedding").collect()}
+    flat_c = {r["id"]: r["cell"] for r in
+              _assign_cells(df, cl, 1, "vec_id", "embedding").collect()}
+    agree_c = sum(two_c[v] == flat_c[v] for v in two_c) / len(two_c)
+    assert agree_c >= 0.95, agree_c
+
+
 def test_rrf_fuse_blends_both_arms(spark):
     from graph_database_spark.operators.ann import rrf_fuse
     lex = spark.createDataFrame(
