@@ -214,24 +214,63 @@ def minhash_band_buckets(sig: DataFrame, num_hashes: int = 64,
 
 def minhash_bucket_index(documents: DataFrame, num_hashes: int = 64,
                          bands: int = 16, n: int = 3,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_bucket_size: int | None = 100) -> DataFrame:
     """(doc_id, band, bucket): shingle → sign → band a corpus in one call —
     the precomputed artifact `minhash_lsh_pairs_vs_index` consumes.
     Persist/checkpoint the result; recomputing it per ingest trigger is
-    exactly the corpus-sized work the index exists to avoid."""
-    return minhash_band_buckets(
-        minhash_signatures(documents, num_hashes, n, text_col),
-        num_hashes, bands)
+    exactly the corpus-sized work the index exists to avoid. Buckets
+    holding more than `max_bucket_size` docs are truncated at build time
+    (`_cap_hot_buckets`) — the cap is a property of the STORED artifact,
+    so every probe inherits it for free."""
+    return _cap_hot_buckets(
+        minhash_band_buckets(
+            minhash_signatures(documents, num_hashes, n, text_col),
+            num_hashes, bands),
+        max_bucket_size)
+
+
+def _cap_hot_buckets(buckets: DataFrame,
+                     max_bucket_size: int | None) -> DataFrame:
+    """Drop every (band, bucket) group holding more than `max_bucket_size`
+    docs — the band-bucket twin of `_doc_shingles`' stop-shingle guard.
+    A skewed corpus (boilerplate, giant duplicate cliques) can make one
+    bucket quadratic: a B-doc bucket contributes B² candidate pairs PER
+    BAND, so an uncapped hot bucket is the one place the LSH design can
+    silently regress to all-pairs. RECALL EFFECT: a near-dup clique
+    larger than the cap loses its pairs in every band it floods — by
+    design; cliques that size are exact/boilerplate duplicates and belong
+    to the upstream hash-groupBy dedup (`exact_duplicates`), not LSH.
+    MEASURED on this corpus (r10): max occupancy is 3 (sf0.01), 4
+    (sf0.1), 4 (sf1) — the default cap of 100 never binds, so it changes
+    no answer at any tested SF; it exists for the skewed real-corpus
+    case, and the SQL oracles apply the identical truncation."""
+    if max_bucket_size is None:
+        return buckets
+    hot = (buckets.groupBy("band", "bucket")
+           .agg(F.count(F.lit(1)).alias("__f"))
+           .filter(F.col("__f") > max_bucket_size)
+           .select("band", "bucket"))
+    return buckets.join(hot, ["band", "bucket"], "left_anti")
 
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64,
                       bands: int = 16, n: int = 3, threshold: float = 0.5,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket_size: int | None = 100) -> DataFrame:
     """(src, dst, jaccard): LSH-bucketed candidate generation + exact
     verification. bands*rows must equal num_hashes; with 16 bands × 4 rows
-    the S-curve catches ~all pairs with J ≥ 0.5."""
+    the S-curve catches ~all pairs with J ≥ 0.5. Buckets holding more
+    than `max_bucket_size` docs are skipped entirely (`_cap_hot_buckets`
+    — the quadratic-hot-bucket guard; None disables)."""
     sig = minhash_signatures(documents, num_hashes, n, text_col)
-    buckets = minhash_band_buckets(sig, num_hashes, bands)
+    buckets = _cap_hot_buckets(
+        minhash_band_buckets(sig, num_hashes, bands), max_bucket_size)
+    if max_bucket_size is not None:
+        # the cap makes the bucket frame a diamond (occupancy agg + both
+        # sides of the candidate self-join) — pin it so the corpus-sized
+        # shingle+sign pipeline runs once, not three times
+        buckets = buckets.localCheckpoint()
     cand = (
         buckets.alias("x").join(
             buckets.alias("y"),
@@ -372,7 +411,9 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
 def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
                               num_hashes: int = 64, bands: int = 16,
                               n: int = 3, threshold: float = 0.5,
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              max_bucket_size: int | None = 100
+                              ) -> DataFrame:
     """Incremental near-dup: (src=left doc, dst=right doc, jaccard) for
     cross-corpus pairs only — the production shape where a NEW ingest
     batch (left) is deduped against the EXISTING corpus (right) without
@@ -386,7 +427,7 @@ def minhash_lsh_pairs_between(left: DataFrame, right: DataFrame,
     """
     return minhash_lsh_pairs_vs_index(
         left, right, minhash_bucket_index(right, num_hashes, bands, n,
-                                          text_col),
+                                          text_col, max_bucket_size),
         num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
         text_col=text_col)
 
@@ -406,7 +447,15 @@ def minhash_lsh_pairs_vs_index(left: DataFrame, right_docs: DataFrame,
     corpus size — bounds every stage but that key-fetch.
 
     `right_index` must have been built with the SAME num_hashes/bands/n —
-    bucket ids are not comparable across banding configurations."""
+    bucket ids are not comparable across banding configurations — and
+    carries its hot-bucket cap from BUILD time (`minhash_bucket_index`
+    applies `_cap_hot_buckets` once, when the artifact is stored): a hot
+    standing-index bucket is the quadratic hazard every future batch
+    pays again, so the truncation is part of the artifact, never a
+    per-trigger corpus re-aggregation here. The batch side is
+    deliberately uncapped: batch size already bounds its buckets, and
+    capping it would make accept decisions depend on batch composition,
+    breaking the stream≡one-shot union equivalence."""
     l_buckets = minhash_band_buckets(
         minhash_signatures(left, num_hashes, n, text_col),
         num_hashes, bands)

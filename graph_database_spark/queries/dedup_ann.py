@@ -116,12 +116,15 @@ buckets AS (
   SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
   FROM sig GROUP BY doc_id, i // 4
 ),
-bk AS (
+bk0 AS (
   SELECT doc_id, band,
          ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
           + l[4]) % {HASH_P} AS bucket
   FROM buckets
 ),
+hot AS (SELECT band, bucket FROM bk0
+        GROUP BY band, bucket HAVING COUNT(*) > 100),
+bk AS (SELECT bk0.* FROM bk0 ANTI JOIN hot USING (band, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
   FROM bk x JOIN bk y
@@ -695,11 +698,16 @@ bk AS (
           + l[4]) % {HASH_P} AS bucket
   FROM buckets
 ),
+-- the stored corpus index is capped at BUILD time (minhash_bucket_index
+-- max_bucket_size=100); the batch side is uncapped by design
+ridx AS (SELECT bk.* FROM bk JOIN sides USING (doc_id) WHERE side = 'R'),
+rhot AS (SELECT band, bucket FROM ridx
+         GROUP BY band, bucket HAVING COUNT(*) > 100),
+ridxc AS (SELECT ridx.* FROM ridx ANTI JOIN rhot USING (band, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
   FROM bk x JOIN sides sx ON x.doc_id = sx.doc_id AND sx.side = 'L'
-  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
-  JOIN sides sy ON y.doc_id = sy.doc_id AND sy.side = 'R'
+  JOIN ridxc y ON x.band = y.band AND x.bucket = y.bucket
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
 shared AS (

@@ -57,11 +57,14 @@ sig AS (
 buckets AS (
   SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS l
   FROM sig GROUP BY doc_id, i // 4),
-bk AS (
+bk0 AS (
   SELECT doc_id, band,
          ((((l[1] * 31 + l[2]) % {HASH_P}) * 31 + l[3]) % {HASH_P} * 31
           + l[4]) % {HASH_P} AS bucket
   FROM buckets),
+hot AS (SELECT band, bucket FROM bk0
+        GROUP BY band, bucket HAVING COUNT(*) > 100),
+bk AS (SELECT bk0.* FROM bk0 ANTI JOIN hot USING (band, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
   FROM bk x JOIN bk y

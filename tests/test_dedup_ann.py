@@ -579,3 +579,43 @@ def test_minhash_pairs_vs_stored_index_match_self_contained(docs):
            for r in minhash_lsh_pairs_vs_index(left, right, idx).collect()}
     assert got == want
     assert want, "expected cross-side near-dup pairs in the corpus"
+
+
+def test_lsh_hot_bucket_cap(spark, docs):
+    """The band-bucket cap (r10, the stop-shingle guard's twin): a
+    duplicate clique larger than the cap floods one bucket per band and
+    would contribute |clique|² candidate pairs per band — with the cap
+    those buckets are skipped entirely (pairs lost BY DESIGN; cliques
+    that size belong to exact dedup upstream), while pairs in cool
+    buckets are untouched. On the real corpus (max occupancy 4 ≪ 100)
+    the default cap binds nowhere: capped ≡ uncapped."""
+    from graph_database_spark.operators.dedup import (
+        minhash_bucket_index, minhash_lsh_pairs,
+    )
+
+    # 12 identical docs (one hot clique) + 2 near-dup docs that share
+    # no shingles with the clique (their own cool buckets)
+    clique = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(12)]
+    pair = [(100, "red orange yellow green blue indigo violet spectrum"),
+            (101, "red orange yellow green blue indigo violet prism")]
+    df = spark.createDataFrame(clique + pair, "doc_id long, text string")
+    uncapped = {(r["src"], r["dst"])
+                for r in minhash_lsh_pairs(df, max_bucket_size=None)
+                .collect()}
+    assert len(uncapped) >= 66 + 1  # clique all-pairs + the cool pair
+    capped = {(r["src"], r["dst"])
+              for r in minhash_lsh_pairs(df, max_bucket_size=5).collect()}
+    assert (100, 101) in capped
+    assert all(s >= 100 for s, d in capped), capped  # clique suppressed
+    # the artifact carries the cap: a clique-flooded index bucket is
+    # truncated at build time, so the probe path inherits it
+    idx = minhash_bucket_index(df, max_bucket_size=5)
+    assert idx.groupBy("band", "bucket").count() \
+              .agg(F.max("count")).first()[0] <= 5
+    # real corpus: default cap is a no-op (occupancy measured ≤ 4)
+    want = {(r["src"], r["dst"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, max_bucket_size=None)
+            .collect()}
+    got = {(r["src"], r["dst"], r["jaccard"])
+           for r in minhash_lsh_pairs(docs).collect()}
+    assert got == want and want
