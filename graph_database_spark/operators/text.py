@@ -288,14 +288,14 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
     dl·N/T to keep one division.
 
     Scale shape: exactly ONE corpus scan (down from two in r7, four in
-    r6). The token stream is aggregated ONCE by (doc_id, masked token),
-    where the mask — a broadcast left join against the distinct query
-    terms — keeps a query term as its own group and collapses every
-    non-query token into a per-doc NULL group, so the shuffle carries
-    ≤ |docs|·(|query terms| + 1) rows with map-side combine (query-
-    bounded, never vocabulary-shaped). Document length (dl = Σ counts),
-    per-query tf (the non-NULL groups joined back to query_ids), df,
-    and n_docs/total_tokens all derive from that one tiny aggregate.
+    r6). For ≤ 64 distinct query terms (the retrieval case) the token
+    stream collapses in ONE per-doc groupBy whose aggregate list is
+    [dl] + one conditional count per term — a single shuffle with
+    map-side combine carrying |docs| bounded-width rows, and dl, tf,
+    df, n_docs/total_tokens all derive from that frame (the per-term
+    unpivot is a row-local stack). Vocabulary-scale query sets fall
+    back to the masked-token aggregate (group key = query term or a
+    per-doc NULL), whose shuffle is ≤ |docs|·(|terms|+1) narrow rows.
     With a persisted `postings` table (the production inverted-index
     path, see `bm25_postings`) the corpus is scanned ZERO times —
     everything derives from the postings. Top-k per query is
@@ -312,72 +312,111 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k1: float = 1.2,
         queries.withColumnRenamed("term", "token").distinct())
     if postings is not None:
         dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        tf_q = postings.join(q_terms, "token")
+        tf_q0 = postings.join(q_terms, "token")
+        # dl and tf_q0 are each consumed twice below (totals/df +
+        # scoring); without a materialized parent Catalyst re-expands
+        # the diamond's subtree per reference, re-scanning the postings
+        # table — so the two small frames are pinned. Streaming frames
+        # can't checkpoint — that reuse belongs to the streaming planner.
+        if not dl.isStreaming:
+            dl = dl.localCheckpoint()
+        if not tf_q0.isStreaming:
+            tf_q0 = tf_q0.localCheckpoint()
+        totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("total_tokens"))
+        # df counts DOCS per token — dedup (doc, token) first, since
+        # tf_q0 carries one row per query sharing the term
+        df = tf_q0.select("doc_id", "token").distinct() \
+            .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        tf_q = tf_q0.join(dl, "doc_id")
     else:
-        toks = (spread(documents)
-                .select("doc_id",
-                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                          r"\s+")).alias("token"))
-                .filter(F.col("token") != ""))
-        # the ONE corpus-scan aggregate: query terms keep their token as
-        # the group key, everything else collapses into a per-doc NULL
-        # group — both dl and tf derive from this frame, so the token
-        # stream is exploded exactly once
-        masked = (toks
-                  .join(F.broadcast(
-                            queries.select(F.col("term").alias("token"))
-                            .distinct().withColumn("__q", F.lit(True))),
-                        "token", "left")
-                  .groupBy("doc_id",
-                           F.when(F.col("__q"), F.col("token"))
-                           .alias("__qtok"))
-                  .agg(F.count(F.lit(1)).alias("__cnt")))
-        # streaming frames can't localCheckpoint — leave the reuse
-        # question to the streaming planner (same guard as the postings
-        # path below); batch frames pin the one corpus scan here
-        if not masked.isStreaming:
-            masked = masked.localCheckpoint()
-        dl = masked.groupBy("doc_id").agg(F.sum("__cnt").alias("dl"))
-        # query_id stays in the group keys (two queries sharing a term
-        # each need their own scoring row; tf itself is query-invariant)
-        tf_q = (masked.filter(F.col("__qtok").isNotNull())
-                .select("doc_id", F.col("__qtok").alias("token"),
-                        F.col("__cnt").alias("tf"))
-                .join(q_terms, "token")
-                .select("query_id", "doc_id", "token", "tf"))
-    # dl and tf_q are each consumed TWICE below (totals+scoring,
-    # df+scoring); Catalyst re-expands a diamond's subtree per reference,
-    # which is where the old shape's 4 corpus scans came from. In the
-    # corpus path both already derive from the CHECKPOINTED masked
-    # aggregate, so a re-expansion just re-reads that small ExistingRDD —
-    # further checkpoints would add two blocking jobs for nothing. The
-    # postings path has no materialized parent (re-expansion would scan
-    # the postings table once per reference), so there the two small
-    # frames are pinned. Streaming frames can't checkpoint — the reuse
-    # question belongs to the streaming planner anyway.
-    if postings is not None and not dl.isStreaming:
-        dl = dl.localCheckpoint()
-    if postings is not None and not tf_q.isStreaming:
-        tf_q = tf_q.localCheckpoint()
-    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("total_tokens"))
-    # df counts DOCS per token — dedup (doc, token) first, since tf_q
-    # carries one row per query sharing the term
-    df = tf_q.select("doc_id", "token").distinct() \
-        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        # the query set is a driver-sized constant by contract — ONE
+        # collect yields both the distinct terms and the term→query_ids
+        # map, and everything query-shaped becomes plan literals (no
+        # q_terms/df broadcast-exchange jobs; at sf0.1 the old shape
+        # spent more wall time on its 14 jobs' fixed overhead than on
+        # the corpus)
+        qpairs = {(r["query_id"], r["term"])
+                  for r in queries.select("query_id", "term").collect()}
+        terms = sorted({t for _, t in qpairs})
+        # the ZERO-SHUFFLE corpus path (r10): per-doc tf is row-local by
+        # definition, so dl and one count per query term come straight
+        # off the tokenized array — no explode, no corpus shuffle at
+        # all; docs with no tokens are excluded (dl > 0), matching the
+        # explode-based semantics. Guarded to retrieval-sized term sets
+        # so the row width stays bounded; a vocabulary-scale query set
+        # routes through the inverted-index (postings) path instead.
+        if not terms or len(terms) > 64:
+            return bm25_topk(documents, queries, k1, b, top, text_col,
+                             postings=bm25_postings(documents, text_col))
+        arr = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                       lambda x: x != "")
+        base = spread(documents).select("doc_id", arr.alias("__toks"))
+
+        def _tf(term: str) -> Column:
+            # NB: a 2-arg lambda would be read as (element, index) by
+            # F.filter — close over the term in a real scope instead
+            return F.size(F.filter(F.col("__toks"),
+                                   lambda x: x == F.lit(term)))
+
+        per_doc = (base
+                   .select("doc_id", F.size("__toks").alias("dl"),
+                           *[_tf(t).alias(f"__tf{i}")
+                             for i, t in enumerate(terms)])
+                   .filter(F.col("dl") > 0))
+        # per_doc feeds the 1-row stats aggregate (totals + df), and the
+        # unpivoted scoring rows — pin the one tokenization pass; a
+        # streaming corpus leaves reuse to the streaming planner
+        if not per_doc.isStreaming:
+            per_doc = per_doc.localCheckpoint()
+        # n_docs, total_tokens, AND every per-term document frequency in
+        # ONE 1-row aggregate (df never touches a distinct()); the single
+        # 1-row broadcast is the only corpus statistic crossing the plan
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            *[F.sum((F.col(f"__tf{i}") > 0).cast("int")).cast("long")
+              .alias(f"__df{i}") for i in range(len(terms))])
+        esc = [t.replace("\\", "\\\\").replace("'", "\\'") for t in terms]
+        rows = (per_doc
+                .selectExpr("doc_id", "dl",
+                            "stack({}, {}) AS (token, tf)".format(
+                                len(terms),
+                                ", ".join(f"'{e}', __tf{i}"
+                                          for i, e in enumerate(esc))))
+                .filter(F.col("tf") > 0)
+                .crossJoin(F.broadcast(stats)))
+        # token → df: a literal CASE over the term list (token values
+        # can only be stack literals); token → query_ids: a literal
+        # when-chain of int arrays exploded — queries sharing a term
+        # each get their scoring row without a broadcast join
+        dfc = F.lit(None).cast("long")
+        qidc = F.lit(None).cast("array<int>")
+        for i, t in enumerate(terms):
+            qids = sorted(q for q, tt in qpairs if tt == t)
+            dfc = F.when(F.col("token") == F.lit(t),
+                         F.col(f"__df{i}")).otherwise(dfc)
+            qidc = F.when(F.col("token") == F.lit(t),
+                          F.array(*[F.lit(q) for q in qids])) \
+                .otherwise(qidc)
+        tf_q = rows.select(
+            F.explode(qidc).alias("query_id"), "doc_id", "token", "tf",
+            "dl", dfc.alias("df"), "n_docs", "total_tokens")
+        df = totals = None  # folded into tf_q via stats literals
     idf = F.round(F.log(2 * F.col("n_docs") + 2)
                   - F.log(2 * F.col("df") + 1), 9)
     tfc = (F.col("tf") * (k1 + 1)
            / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
                                   * F.col("n_docs")
                                   / F.col("total_tokens"))))
-    per_term = (tf_q
-                .join(F.broadcast(df), "token")
-                .join(dl, "doc_id")
-                .crossJoin(F.broadcast(totals))
-                .select("query_id", "doc_id",
-                        F.round(idf * tfc, 9).cast("decimal(18,9)")
-                         .alias("s")))
+    s_col = F.round(idf * tfc, 9).cast("decimal(18,9)").alias("s")
+    if postings is not None:
+        per_term = (tf_q  # carries dl — no extra join
+                    .join(F.broadcast(df), "token")
+                    .crossJoin(F.broadcast(totals))
+                    .select("query_id", "doc_id", s_col))
+    else:
+        per_term = tf_q.select("query_id", "doc_id", s_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
     return (per_term.groupBy("query_id", "doc_id")

@@ -399,21 +399,25 @@ def test_tfidf_plan_shape(spark):
 
 
 def test_bm25_plan_shape(spark):
-    """BM25's scale posture: exactly ONE pruned (doc_id,text) corpus
-    scan — the token stream aggregates once by (doc_id, masked token)
-    with the broadcast query-term mask applied BEFORE the shuffle, so
-    the shuffle carries ≤ |docs|·(|terms|+1) rows; dl AND the per-query
-    tf both derive from that one checkpointed frame (down from two scans
-    in r7, four in r6). Per-query top-10 is rank-limited, never a
-    global sort."""
+    """BM25's scale posture (r10 shape): exactly ONE pruned
+    (doc_id,text) corpus scan, and the scan never SHUFFLES — per-doc tf
+    is computed row-locally off the tokenized array (one conditional
+    size() per query term), so the only wide operations left are the
+    1-row stats broadcast and the final per-(query,doc) aggregation;
+    df and the term→query_ids map are plan literals (no broadcast-join
+    jobs). Per-query top-10 is rank-limited, never a global sort."""
     plan = _formatted_plan(spark, "bm25_topk")
-    # the scoring plan reads ONLY checkpointed frames — the corpus was
-    # scanned exactly once, at the masked aggregate's materialization,
-    # and never again no matter how often the diamonds reference them
+    # the scoring plan reads ONLY the checkpointed per-doc frame — the
+    # corpus was scanned exactly once, at its materialization, and never
+    # again no matter how often the diamonds reference it
     assert not [l for l in plan.split("\n")
                 if "ReadSchema" in l and "text" in l]
     assert "Scan ExistingRDD" in plan
-    assert "BroadcastHashJoin" in plan
+    # zero join operators except the 1-row stats ride (broadcast NLJ):
+    # df/query_id attachment are literals, dl rides the row
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan  # totals ride a broadcast NLJ
 
