@@ -165,12 +165,37 @@ def kmeans_cluster_stats(embeddings: DataFrame,
     The mean goes through DECIMAL(18,6) sums of pre-rounded cosines so it
     is exact and order-free (engine-portable); the centroid table is a
     broadcast literal, so the only shuffle is the final per-cell agg.
+
+    For dim-sized centroid lists (≤ 64) assignment stays ENTIRELY
+    JVM-side: broadcast every vector against the centroid rows and rank
+    with one row_number window — no Python workers at all (the
+    pandas-UDF argmax path showed ~4× bench variance from worker
+    startup at sf0.1), and the sequential `_dot` fold is bit-identical
+    to the oracle's list_dot_product, unlike a BLAS matmul whose
+    summation order can differ in the last ulp. Larger centroid sets
+    keep the Arrow-batched matmul (`_assign_cells`), where the n×nlist
+    row explosion would cost more than the Python workers save.
     """
+    from pyspark.sql import Window
+
     spark = embeddings.sparkSession
-    assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cvec array<double>")
+    if len(centroids) <= 64:
+        w = Window.partitionBy("id").orderBy(F.desc("__sim"),
+                                             F.asc("cell"))
+        assign = (embeddings
+                  .select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("__v"))
+                  .crossJoin(F.broadcast(cents))
+                  .select("id", "cell",
+                          _dot(F.col("__v"), F.col("cvec")).alias("__sim"))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("id", "cell"))
+    else:
+        assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
     cos = F.round(_dot(F.col(vec_col), F.col("cvec")), 6) \
         .cast("decimal(18,6)")
     return (

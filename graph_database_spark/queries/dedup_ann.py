@@ -1114,7 +1114,15 @@ SELECT CAST(base.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
 FROM base LEFT JOIN dropped d USING (vec_id)
 """)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embedding corpus: 16 fixed corpus-vector
+    """PEDAGOGICAL A/B BASELINE — NOT the production path. Pinned
+    nlist=16 means cell occupancy grows ∝ corpus and the within-cell
+    pair join goes quadratic (measured d2 28.5× at sf1 vs 2.2× for the
+    auto twin); this entry exists as `dedup_semantic_auto`'s measured
+    counterexample and to pin the fixed-centroid math. Production
+    callers use `semantic_dedup_auto` (scale-adaptive nlist + two-level
+    coarse-quantizer assignment) — see the `dedup_semantic_auto` entry.
+
+    SemDeDup over the embedding corpus: 16 fixed corpus-vector
     centroids (the offline-centroid pattern shared with
     `embedding_topk_ivf`/`embedding_cluster_sizes`), threshold 0.45 —
     the corpus is near-orthogonal (max pairwise cosine ≈ 0.51 at

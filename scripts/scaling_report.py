@@ -54,6 +54,12 @@ DEEP_QUERIES = [
     # the overlap matrix and pruned decontamination are sketch-bounded
     "bpe_train_merges", "bpe_encode_stats", "vocab_overlap_sources",
     "decontaminate_bloom_pruned", "graph_hyperanf_diameter",
+    # r10 additions (VERDICT r9 #7): second-decade rows for the late-r9
+    # entries — hash-draw negative sampling (should track |users|·k,
+    # linear), the perceptual media dedups (decode-bound pandas UDFs,
+    # linear in media bytes), and format-detect routing (row-local scan)
+    "training_negatives", "dedup_image_phash", "dedup_audio_envelope",
+    "media_format_detect",
 ]
 
 
@@ -226,13 +232,32 @@ def main() -> None:
             "reads 2.9×). dedup_semantic's d2 above 10× is the documented",
             "fixed-nlist bound: its 16 centroids are pinned, so cell",
             "occupancy grows linearly with the corpus and the within-cell",
-            "pair join quadratically. dedup_semantic_auto (r9) is the fix",
-            "MEASURED: nlist = ⌈n/32⌉ grows with the corpus (16 cells at",
-            "sf0.01 → 63 at sf0.1 → 625 at sf1), max cell occupancy stays",
-            "flat, and its MEASURED d2 is 2.2× against the pinned twin's",
-            "28.5× on the same run — the SemDeDup paper's bounded-occupancy",
-            "design, with centroids stored so the oracle still replays",
-            "assignment exactly.",
+            "pair join quadratically — the entry is kept as the",
+            "pedagogical A/B baseline ONLY (production callers use the",
+            "auto path). dedup_semantic_auto is the fix MEASURED: nlist =",
+            "⌈n/32⌉ grows with the corpus (16 cells at sf0.01 → 63 at",
+            "sf0.1 → 625 at sf1), max cell occupancy stays flat, and its",
+            "MEASURED d2 is ~2× against the pinned twin's 28.5× — the",
+            "SemDeDup paper's bounded-occupancy design, with centroids",
+            "stored so the oracle still replays assignment exactly. Since",
+            "r10 its ASSIGNMENT is two-level (⌈√nlist⌉-coarse quantizer,",
+            "fine centroids shuffled as data via cogrouped applyInPandas),",
+            "so per-vector FLOPs are ~2√nlist·dim instead of nlist·dim and",
+            "the only closure broadcast is the coarse matrix — ~2.9 MB at",
+            "10⁹ vectors where the flat form would broadcast 16 GB.",
+            "",
+            "connected_components_star's d2 (~5×, the highest non-dedup",
+            "graph row) was instrumented per-round at sf1 (r10): the",
+            "co-occurrence graph feeds 12.0M input edges (linear in sf),",
+            "round 0 contracts them 30× to 389k and costs ~58% of the",
+            "total, round 1 reaches the 200k-edge fixed point, round 2 is",
+            "the convergence probe. Intermediate star sets SHRINK every",
+            "round — there is no growing frame; the d2 is round 0's",
+            "linear edge shuffle unmasking from under fixed per-job",
+            "overhead (3 rounds × ~6 jobs each at any sf). The",
+            "path-graph worry (tree-height halving needing ~30 rounds)",
+            "does not arise on this corpus: co-occurrence graphs are",
+            "low-diameter by construction.",
             "",
         ]
         lines += _APPENDICES
