@@ -24,6 +24,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .dedup import md5_long, word_shingles
 from .util import spread
 
+# Measured-count gate for dimension-sized frames this module sorts in
+# one task and broadcasts (matches graphs.pagerank._BROADCAST_STATE_ROWS).
+_CATALOG_MAX_ROWS = 5_000_000
+
 #: hash-space denominator for rate thresholds — rates are exact to 1e-6
 SAMPLE_BUCKETS = 1_000_000
 
@@ -252,8 +256,18 @@ def negative_samples(positives: DataFrame, catalog: DataFrame,
     one dimension-sized sort, broadcast into the draw join; the draws
     frame is |users|·k rows built by a row-local sequence explode; the
     positive-collision anti-join shuffles on the (user, item) key.
-    Nothing corpus-sized sorts or collects."""
+    Nothing corpus-sized sorts or collects. The dimension assumption is
+    ENFORCED: the ranked catalog is a single-task global sort and then a
+    broadcast, so a fact-sized `catalog` must fail loudly here rather
+    than hang one task / OOM the driver (same measured-count gate as the
+    PageRank state broadcast)."""
     n = catalog.count()
+    if n > _CATALOG_MAX_ROWS:
+        raise ValueError(
+            f"negative_samples: catalog has {n} rows > "
+            f"{_CATALOG_MAX_ROWS} — it must be a dimension table (the "
+            "dense-rank window is a single-task sort and the ranked "
+            "frame is broadcast). Pre-aggregate or sample the catalog.")
     from pyspark.sql import Window
 
     ranked = catalog.select(

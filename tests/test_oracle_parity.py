@@ -94,16 +94,20 @@ def test_driver_window_covers_priority_queries():
         "sessionization", "events_asof_order", "graph_edges",
         "pagerank_fixed20", "dedup_minhash_lsh",
         "embedding_topk_lsh", "word_counts_cms",
-        # round-9 rotation: the never-checked entries lead (new r9 +
-        # the tol-converged loops that now carry a direct k* oracle),
-        # followed by the full r5-stale cohort
-        "dedup_semantic_auto", "graph_hyperanf_diameter",
-        "pagerank_global", "ppr_batch_focal", "vocab_overlap_sources",
-        "decontaminate_bloom_pruned", "bpe_train_merges",
-        "cooccurrence_pairs", "customers_inactive_since", "dedup_exact",
-        "doc_chunk_windows", "events_dow_hour",
-        "motif_cooccurrence_topn", "orders_monthly_revenue",
-        "token_count",
+        # round-10 rotation: the only never-checked entry leads, then
+        # the entries whose behavior changed this round (two-level
+        # SemDeDup assignment, zero-shuffle BM25 arm, JVM-side k-means
+        # assignment), then the full r6-stale cohort
+        "training_negatives",
+        "dedup_semantic_auto", "hybrid_rrf_topk",
+        "embedding_cluster_sizes",
+        "adjacency_row_norm", "connected_components_star",
+        "cooccurrence_weighted", "dedup_semantic", "distinct_reach",
+        "embedding_topk_bruteforce", "events_followup_purchase",
+        "events_props_stats", "events_skew_whale_counts",
+        "events_value_histogram", "graph_vertices", "lang_id",
+        "order_frequency", "pk_violations", "ppr_fixed20_batch",
+        "text_quality",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"

@@ -335,6 +335,22 @@ def test_negative_samples_deterministic_and_positive_free(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_negative_samples_fact_sized_catalog_fails_loudly(spark, monkeypatch):
+    """The catalog is a dimension by contract — its dense-rank window is
+    a single-task sort and the ranked frame is broadcast. A fact-sized
+    catalog must raise at call time (measured-count gate), not hang one
+    task. Gate lowered via monkeypatch so the test stays tiny."""
+    from graph_database_spark.operators import sampling
+
+    pos = spark.createDataFrame([(1, 10)], ["customer_id", "product_id"])
+    cat = spark.createDataFrame([(i,) for i in range(10, 20)],
+                                ["product_id"])
+    monkeypatch.setattr(sampling, "_CATALOG_MAX_ROWS", 5)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dimension table"):
+        sampling.negative_samples(pos, cat, k=2)
+
+
 def test_hll_pairwise_overlap_bounds_and_exact_agreement(spark):
     """Sketch-level union/intersection sanity on real per-source
     vocabularies: est_union within [max(est_a, est_b), est_a + est_b],
