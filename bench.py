@@ -218,7 +218,10 @@ def main() -> None:
     # left this set in r10 (assignment moved JVM-side) but keeps the
     # extra draws as a regression tripwire.
     extra_passes = {"dedup_image_phash": 3, "embedding_cluster_sizes": 3,
-                    "dedup_audio_envelope": 2}
+                    "dedup_audio_envelope": 2,
+                    # pandas-UDF signature path: historical spread
+                    # 1.38-4.54s at sf0.1 with unchanged code (r10)
+                    "embedding_topk_lsh": 2}
     # Soft wall-clock budget: refinement passes (2+) stop once exceeded,
     # pass 1 ALWAYS completes — every query gets a number, later passes
     # only tighten them. Keeps the run bounded as the query list grows.
