@@ -349,6 +349,15 @@ def auto_nlist(n: int, target_occupancy: int = 32,
     return max(min_nlist, math.ceil(n / target_occupancy))
 
 
+# Auto-dispatch boundary for semantic_dedup_auto(two_level=None): below
+# this the flat fine matrix is ≤ 2048·64·8 B ≈ 1 MB (trivially
+# broadcastable) and per-vector FLOPs ≤ 2048·dim, while the two-level
+# cogroup shuffle costs a measured 1.6–1.9× at small scale — above it the
+# flat path's broadcast and FLOPs grow linearly with the corpus and
+# two-level takes over.
+_TWO_LEVEL_MIN_NLIST = 2048
+
+
 def coarse_quantizer(centroids: list[list[float]],
                      n_coarse: int | None = None
                      ) -> tuple[int, list[int]]:
@@ -441,19 +450,28 @@ def semantic_dedup_auto(embeddings: DataFrame,
                         vec_col: str = "embedding",
                         min_nlist: int = 16,
                         seed: int = 42,
-                        two_level: bool = True) -> DataFrame:
+                        two_level: bool | None = None) -> DataFrame:
     """`semantic_dedup` with scale-adaptive cell count: nlist =
     ⌈n / target_occupancy⌉ (see `auto_nlist`), so the within-cell
     self-join stays near-linear in corpus size instead of quadratic —
     the fix for a pinned nlist whose cells grow ∝ corpus.
 
-    Assignment defaults to the TWO-LEVEL coarse quantizer: with nlist
-    growing ∝ n, flat 1-NN assignment is n·nlist·dim = O(n²) FLOPs
-    behind a linearly-growing centroid broadcast (the r9 verdict's
-    `weak` finding — 15 GB at 10⁹ vectors); routing through ⌈√nlist⌉
-    coarse cells costs n·(√nlist + fan-in) dots with an MB-sized coarse
+    Assignment picks its path by the MEASURED nlist when `two_level`
+    is None (the default): flat 1-NN while nlist ≤
+    `_TWO_LEVEL_MIN_NLIST` (the fine matrix is ≤ ~1 MB and per-vector
+    FLOPs trivial — the two-level cogroup shuffle is pure overhead
+    there: measured 1.6–1.9× slower at sf0.1/sf1, SCALING.md appendix),
+    and the TWO-LEVEL coarse quantizer above it — with nlist growing
+    ∝ n, flat assignment is n·nlist·dim = O(n²) FLOPs behind a
+    linearly-growing centroid broadcast (the r9 verdict's `weak`
+    finding — 15 GB at 10⁹ vectors); routing through ⌈√nlist⌉ coarse
+    cells costs n·(√nlist + fan-in) dots with an MB-sized coarse
     closure, the fine matrix shuffling as data (`coarse_quantizer` has
-    the measured numbers).
+    the measured numbers). NOTE the two paths are both exact 1-NN only
+    when every vector's true fine cell sits in its coarse winner's
+    fan-in; in general two-level is the standard IVF approximation, so
+    pass an explicit bool where bit-replayability across scales matters
+    (the registry entry pins two_level=True for exactly this reason).
 
     `centroids=None` is the production path: train k-means once via
     `train_ivf_centroids` (at 100 TB, on a deterministic sample — cell
@@ -470,6 +488,8 @@ def semantic_dedup_auto(embeddings: DataFrame,
                                         seed=seed, vec_col=vec_col)
     assert len(centroids) == nlist, \
         f"stored centroids ({len(centroids)}) != auto nlist ({nlist})"
+    if two_level is None:
+        two_level = nlist > _TWO_LEVEL_MIN_NLIST
     return semantic_dedup(embeddings, centroids, threshold,
                           id_col, vec_col, two_level=two_level)
 

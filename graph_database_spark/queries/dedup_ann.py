@@ -1204,8 +1204,12 @@ def q_dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [list(r[0]) for r in
              emb.orderBy("vec_id").select("embedding").limit(nlist)
                 .collect()]
+    # two_level pinned True (not the nlist-based auto default): the
+    # oracle replays the two-level routing, and the driver gate must
+    # exercise that dataflow at every sf, including ones whose nlist
+    # sits below the production auto-dispatch boundary.
     return semantic_dedup_auto(emb, target_occupancy=32, threshold=0.45,
-                               centroids=cents)
+                               centroids=cents, two_level=True)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,27 @@ data size and executor count — the write-once-shuffle-never-again
 contract the 100 TB fact-to-fact design relies on. The zero-Exchange
 plan and result parity vs the shuffled form are asserted in the
 script and pinned in `tests/test_layout.py`.
+
+## Appendix: two-level vs flat SemDeDup assignment A/B (measured r10)
+
+`semantic_dedup_auto` stored-centroid path, identical results both arms,
+warm (both paths pre-run once), min over 2 passes per arm:
+
+| corpus | nlist | flat (s) | two-level (s) | premium |
+|---|---|---|---|---|
+| sf0.1 (2k vecs) | 63 | 1.50 | 2.46 | 1.6× |
+| sf1 (20k vecs) | 625 | 2.96 | 5.63 | 1.9× |
+
+At every TESTABLE scale the flat path wins — its fine-matrix broadcast
+is ≤ 625·64·8 B ≈ 320 KB and per-vector FLOPs trivial, while two-level
+pays a cogroup shuffle that grows with the corpus. The two-level path
+exists for the regime no local test reaches: nlist ∝ n means the flat
+broadcast hits ~51 MB at 10⁸ vectors and 16 GB (un-broadcastable) at
+10⁹, with O(n²) total FLOPs. Hence the r10 auto-dispatch:
+`two_level=None` routes by measured nlist (boundary 2048 =
+`ann._TWO_LEVEL_MIN_NLIST`), so production callers pay the premium only
+once it buys something; the registry entry pins `two_level=True` so the
+driver gate exercises — and hash-verifies — the two-level dataflow.
 """.split("\n")
 
 
@@ -246,8 +267,9 @@ def main() -> None:
             "the only closure broadcast is the coarse matrix — ~2.9 MB at",
             "10⁹ vectors where the flat form would broadcast 16 GB.",
             "",
-            "connected_components_star's d2 (~5×, the highest non-dedup",
-            "graph row) was instrumented per-round at sf1 (r10): the",
+            "connected_components_star's d2 (3.0× on the r10 regen; the",
+            "earlier 5.3× reading was host-noise-inflated) was",
+            "instrumented per-round at sf1 (r10): the",
             "co-occurrence graph feeds 12.0M input edges (linear in sf),",
             "round 0 contracts them 30× to 389k and costs ~58% of the",
             "total, round 1 reaches the 200k-edge fixed point, round 2 is",
