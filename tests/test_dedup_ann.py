@@ -484,6 +484,53 @@ def test_two_level_assignment_invariants(spark):
     assert agree_c >= 0.95, agree_c
 
 
+def test_semantic_dedup_auto_dispatch_boundary(spark, monkeypatch):
+    """two_level=None (the production default) routes by measured nlist:
+    at/below _TWO_LEVEL_MIN_NLIST assignment is flat 1-NN (no cogroup
+    node), above it the two-level cogrouped applyInPandas appears. The
+    final semantic_dedup frame checkpoints the assignment (hiding its
+    plan), so the dispatch is observed by spying on the two_level flag
+    semantic_dedup receives, plus a plan check on the pre-checkpoint
+    assignment frame. Boundary lowered via monkeypatch so both sides
+    run on sf0.001."""
+    from graph_database_spark.operators import ann
+    from graph_database_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nlist = ann.auto_nlist(emb.count(), target_occupancy=32)
+    cents = [list(r[0]) for r in
+             emb.orderBy("vec_id").select("embedding").limit(nlist)
+                .collect()]
+
+    seen: list[bool] = []
+    real = ann.semantic_dedup
+
+    def spy(embeddings, centroids, threshold=0.95, id_col="vec_id",
+            vec_col="embedding", two_level=False):
+        seen.append(two_level)
+        return real(embeddings, centroids, threshold, id_col, vec_col,
+                    two_level=two_level)
+
+    monkeypatch.setattr(ann, "semantic_dedup", spy)
+
+    monkeypatch.setattr(ann, "_TWO_LEVEL_MIN_NLIST", nlist)  # at boundary
+    ann.semantic_dedup_auto(emb, centroids=cents)
+    monkeypatch.setattr(ann, "_TWO_LEVEL_MIN_NLIST", nlist - 1)  # above
+    ann.semantic_dedup_auto(emb, centroids=cents)
+    # an explicit bool always wins over the auto dispatch
+    ann.semantic_dedup_auto(emb, centroids=cents, two_level=False)
+    assert seen == [False, True, False], seen
+
+    # and the flag really changes the assignment plan (pre-checkpoint)
+    n_coarse, f2c = ann.coarse_quantizer(cents)
+    two_plan = ann._assign_cells_two_level(
+        emb, cents, n_coarse, f2c, "vec_id", "embedding") \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "FlatMapCoGroupsInPandas" in two_plan
+
+
 def test_rrf_fuse_blends_both_arms(spark):
     from graph_database_spark.operators.ann import rrf_fuse
     lex = spark.createDataFrame(
