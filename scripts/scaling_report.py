@@ -63,29 +63,37 @@ DEEP_QUERIES = [
 ]
 
 
-# Measured-once A/B appendices (r6 blocked PPR, r9 bucketed join) —
-# preserved verbatim across regenerations; re-measure with
-# /tmp/bench_ppr.py-style one-offs / scripts/bench_bucketed_ab.py if
-# the underlying operators change.
-_APPENDICES = """## Appendix: blocked batch PPR A/B at sf1 (measured r6, same host)
+# Measured-once A/B appendices (r10 blocked PPR, r9 bucketed join,
+# r10 two-level SemDeDup) — preserved verbatim across regenerations;
+# re-measure with one-off scripts / scripts/bench_bucketed_ab.py if the
+# underlying operators change. CAUTION when forcing code paths from a
+# one-off: `import graph_database_spark.graphs.pagerank as m` binds the
+# FUNCTION re-exported by the package (shadowing the submodule), so
+# attribute pokes silently miss — fetch the module via sys.modules.
+_APPENDICES = """## Appendix: blocked batch PPR A/B (re-measured r10)
 
 The ≤64-key blocked column dispatch (`graphs/pagerank._pagerank_batch_blocked`)
-vs the long (key, id) form on the identical 3-key workload:
+vs the long (key, id) form, fixed-20 iterations, warm, min over 2
+passes per arm (the long arm forced by zeroing `_BLOCKED_KEYS_MAX`):
 
-| variant | sf0.1 (s) | sf1 (s) | d2 ratio |
+| workload | long (s) | blocked (s) | blocked speedup |
 |---|---|---|---|
-| ppr_fixed20_batch (blocked) | 16.5 | 81.2 | 4.9× |
-| ppr_fixed20_batch (long (key,id) form, same host) | — | 116.3 | — |
-| ppr_batch_focal (blocked, tol=1e-6) | 13.5 | 128.0 | 9.5× |
+| sf0.1, k=3 | 22.7 | 15.9 | 1.43× |
+| sf0.1, k=8 | 27.4 | 20.0 | 1.37× |
+| sf0.1, k=32 | 69.1 | 41.3 | 1.67× |
+| sf1, k=3 (ppr_fixed20_batch) | 100.4 | 42.5 | 2.36× |
 
-Blocked is 1.43× faster at sf1 and the gap grows with scale (the edge
-table is joined once per power step instead of once per key-copy).
-ppr_batch_focal's higher d2 is ITERATION COUNT, not probe overhead:
-switching the per-key delta probe from every iteration to every 3rd
-moved sf1 from 128.0 s to 128.2 s — a wash, pinning the cost on the
-power steps themselves (since r7 all three PageRank loops probe the
-same every-3rd-iteration cadence, so freeze points agree across the
-_BLOCKED_KEYS_MAX boundary).
+Blocked wins at EVERY measured (k, sf) and the gap widens with both
+key count and data size — the long form's per-iteration contrib join
+emits |E|·k rows into the (key, dst) aggregate while blocked emits |E|
+rows with k summed columns, so the shuffled bytes and aggregate hash
+table shrink ~k× per sweep. The sf1 gap grew from 1.43× when first
+measured in r6 to 2.36×: long-form shared costs eliminated since then
+(edge pinning, broadcast gates, freeze snapshots) exposed the k-fold
+shuffle as the remaining difference. Probe cadence is NOT a factor:
+the per-key delta probe runs every 3rd iteration in both forms (an
+every-iteration probe measured as a wash in r6), so freeze points
+agree across the _BLOCKED_KEYS_MAX boundary.
 
 ## Appendix: bucketed fact-to-fact join A/B at sf1 (measured r9)
 
