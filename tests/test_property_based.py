@@ -272,3 +272,43 @@ def test_skew_caps_bound_pair_fanout(spark):
     guarded = ngram_jaccard_pairs(docs, n=3, threshold=0.01,
                                   max_shingle_freq=100)
     assert guarded.count() == 0  # C(150,2)=11,175 without the guard
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_coarse_quantizer_invariants_random_unit_vectors(data):
+    """coarse_quantizer on ARBITRARY unit-norm centroid lists (the r10
+    two-level SemDeDup routing table, pure driver-side numpy): routing
+    must stay in range, coarse cell j must own fine cell j (the
+    pigeonhole invariant that guarantees a preferred coarse cell is
+    never empty of fine candidates), and the mapping must equal the
+    brute-force (dot DESC, id ASC) argmax the SQL oracle replays."""
+    import numpy as np
+
+    from graph_database_spark.operators.ann import coarse_quantizer
+
+    nlist = data.draw(st.integers(1, 40))
+    dim = data.draw(st.integers(2, 8))
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(rng_seed)
+    cmat = rng.normal(size=(nlist, dim))
+    # duplicates allowed: copy a row onto another sometimes
+    if nlist >= 2 and data.draw(st.booleans()):
+        cmat[data.draw(st.integers(0, nlist - 1))] = \
+            cmat[data.draw(st.integers(0, nlist - 1))]
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cents = [row.tolist() for row in cmat]
+
+    n_coarse, f2c = coarse_quantizer(cents)
+    assert 1 <= n_coarse <= nlist
+    assert len(f2c) == nlist
+    assert all(0 <= c < n_coarse for c in f2c)
+    # brute-force replay: first max == (dot DESC, id ASC)
+    sims = cmat @ cmat[:n_coarse].T
+    assert f2c == [int(r.argmax()) for r in sims]
+    # pigeonhole: unit-norm self-dot is a row max, ties to lower id,
+    # so fine cell j routes to a coarse cell whose dot ties 1.0 —
+    # coarse cell j is non-empty unless an EARLIER duplicate owns it,
+    # in which case the owning cell holds all its duplicates
+    for j in range(n_coarse):
+        assert sims[j, f2c[j]] >= 1.0 - 1e-9
