@@ -60,6 +60,13 @@ DEEP_QUERIES = [
     # linear in media bytes), and format-detect routing (row-local scan)
     "training_negatives", "dedup_image_phash", "dedup_audio_envelope",
     "media_format_detect",
+    # late-r10 additions: second-decade rows for remaining scale-relevant
+    # paths — the stored-index incremental dedup (hot-bucket-capped probe
+    # against a standing corpus artifact), Hamming-banded SimHash, the
+    # iterative LPA loop, the salted skew aggregate (the 100 TB hot-key
+    # defense should be flat-ish), and the 3-hop CF join
+    "dedup_incremental_minhash", "dedup_simhash",
+    "graph_lpa_communities", "events_skew_whale_counts", "customer_cf",
 ]
 
 
