@@ -146,7 +146,6 @@ BENCH_QUERIES = [
     "ppr_batch_focal",
     "dedup_canonical_docs",
     "media_format_detect",
-    "dedup_semantic",
     "vocab_hll_by_source",
 ]
 

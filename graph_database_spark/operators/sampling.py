@@ -252,7 +252,7 @@ def negative_samples(positives: DataFrame, catalog: DataFrame,
     |user positives| / |catalog|, negligible against a real catalog;
     rejection loops would make the output depend on iteration order).
 
-    Scale shape: the catalog is a dimension — its dense-rank window is
+    Scale shape: the catalog is a dimension — its row_number window is
     one dimension-sized sort, broadcast into the draw join; the draws
     frame is |users|·k rows built by a row-local sequence explode; the
     positive-collision anti-join shuffles on the (user, item) key.
@@ -266,7 +266,7 @@ def negative_samples(positives: DataFrame, catalog: DataFrame,
         raise ValueError(
             f"negative_samples: catalog has {n} rows > "
             f"{_CATALOG_MAX_ROWS} — it must be a dimension table (the "
-            "dense-rank window is a single-task sort and the ranked "
+            "row_number window is a single-task sort and the ranked "
             "frame is broadcast). Pre-aggregate or sample the catalog.")
     from pyspark.sql import Window
 

@@ -7,7 +7,10 @@ by _DRIVER_WINDOW_PRIORITY below)."""
 
 from __future__ import annotations
 
-from ._shared import ORACLES, QUERIES, QueryFn, register
+from ._shared import (
+    AB_ORACLES, AB_QUERIES, ORACLES, QUERIES, QueryFn, register,
+    register_ab,
+)
 
 from . import recommend as _recommend  # noqa: E402,F401
 from . import relational as _relational  # noqa: E402,F401
@@ -32,66 +35,61 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-10 ROTATION (latest-green histogram going in: 50 r9, 40 r8,
-# 40 r7, 16 r6, 1 never — training_negatives, which debuted after the
-# r9 window froze). Registry growth is FROZEN this round (r9 verdict
-# #1): at 147 entries / 50 slots, every addition raises steady-state
-# staleness. This window leads with training_negatives (the only
-# never-checked entry), clears ALL 16 r6-stale entries, re-verifies
-# the 3 entries whose behavior changes this round
-# (dedup_semantic_auto → two-level coarse-quantizer assignment;
-# hybrid_rrf_topk → int8 dense arm; embedding_cluster_sizes → pinned
-# stored centroids), then 20 more of the 40 r7-stale entries. The 19
-# r7 deferrals (to r11) each have an in-window or fresher twin:
-# ann_recall_lsh — embedding_topk_lsh canary + ann_ndcg_lsh r8;
-# bpe_merge_candidates — bpe_train_merges r9 (full trainer);
-# cooccurrence_viz_edges — cooccurrence_topn + graph_edges canaries;
-# decontaminate_ngram — decontaminate_bloom_pruned r9 (identical
-# exact answer by construction); doc_quality_ecdf +
-# doc_quality_quantile_norm — text_quality windowed +
-# customer_value_deciles / quantity_quantiles r8; doc_sample_exact_n
-# + doc_sample_quality_weighted — doc_sample_weighted_exact_n r8
-# (same A-ES core) + training_negatives windowed (hash-draw);
-# documents_curated — pipeline_curate_pack windowed (contains the
-# curation stage verbatim); events_type_counts_salted —
-# events_skew_whale_counts windowed; fk_orphans — pk_violations
-# windowed; multimodal_features — dedup_image_phash windowed (same
-# PPM decode core) + multimodal_frame_sample r8; nation_revenue_share
-# — revenue_by_nation r9; orders_profile — pricing_summary +
-# orders_monthly_revenue r9; pagerank_converged_check —
-# pagerank_global r9 (identical k*-unrolled oracle);
-# ppr_converged_check — ppr_batch_focal r9 + ppr_fixed20_batch
-# windowed; revenue_grouping_sets — revenue_rollup r9;
-# shipping_priority — top_parts_by_revenue + local_supplier_volume
-# r8; word_heavy_hitters — word_counts_cms canary.
+# ROUND-11 ROTATION (latest-green histogram going in: 50 r10, 38 r9,
+# 40 r8, 19 r7; registry 147 → 146 this round — dedup_semantic demoted
+# to AB_QUERIES per r10 verdict next-round #7 option (a), so the one
+# deliberately-quadratic pedagogical baseline is no longer invocable
+# through the driver surface; it stays value-gated locally and measured
+# in the scaling A/B appendix). Per r10 verdict next-round #1 the
+# window is exactly: ALL 19 r7-stale entries first (the oldest cohort,
+# 3 rounds stale — the arithmetic floor at 147/50), then 31 of the 40
+# r8-stale entries oldest-first. No canaries this round — all 10 are
+# r10-green and the verdict's 19+31=50 arithmetic leaves them no slot;
+# each has a same-path twin in-window (cooccurrence_viz_edges reuses
+# cooccurrence_topn's core, pagerank_converged_check/ppr_converged_check
+# cover the PageRank loop, decontaminate_ngram the shingle path,
+# word_heavy_hitters the CMS scan, ann_recall_lsh the LSH probe,
+# documents_curated the curation gate, events_type_counts_salted the
+# events scan). The 9 r8 deferrals (to r12) each have an in-window or
+# fresher twin: ann_ndcg_lsh — ann_recall_lsh in-window (same LSH arm,
+# same exact top-k join); connected_components — connected_components_star
+# r10 (identical answer by construction); customer_value_deciles —
+# quantity_quantiles in-window + doc_quality_ecdf/quantile_norm
+# in-window (same windowed-quantile core); decontaminate_bloom —
+# decontaminate_ngram in-window (identical exact answer) +
+# decontaminate_bloom_pruned r9; doc_sample_weighted_exact_n —
+# doc_sample_exact_n + doc_sample_quality_weighted in-window (same A-ES
+# core); multimodal_frame_sample + multimodal_resize_plan —
+# multimodal_features in-window (same codec core) + dedup_image_phash
+# r10; strategy_breakdown_focal — recommend_focal_blend r10 (same
+# engine, strict superset of arms); top_parts_by_revenue —
+# shipping_priority in-window (same lineitem⋈orders scan/agg shape) +
+# revenue_by_nation r9. After this round the histogram is r8:9, r9:38,
+# r10:50, r11:50 — max staleness 3 rounds, r7 cohort emptied.
 _DRIVER_WINDOW_PRIORITY = [
-    # canaries (kept every round)
-    "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
-    "sessionization", "events_asof_order", "graph_edges",
-    "pagerank_fixed20", "dedup_minhash_lsh",
-    "embedding_topk_lsh", "word_counts_cms",
-    # never driver-checked (debuted late r9)
-    "training_negatives",
-    # behavior changes this round — must re-verify externally
-    "dedup_semantic_auto", "hybrid_rrf_topk", "embedding_cluster_sizes",
-    # last checked r6 — the full stale cohort, all 16
-    "adjacency_row_norm", "connected_components_star",
-    "cooccurrence_weighted", "dedup_semantic", "distinct_reach",
-    "embedding_topk_bruteforce", "events_followup_purchase",
-    "events_props_stats", "events_skew_whale_counts",
-    "events_value_histogram", "graph_vertices", "lang_id",
-    "order_frequency", "pk_violations", "ppr_fixed20_batch",
-    "text_quality",
-    # last checked r7 — 20 of 40 (rest deferred to r11, twins above)
-    "customer_rfm", "dedup_audio_envelope", "dedup_image_phash",
-    "dedup_winnow_substrings", "doc_pack_sequences",
-    "doc_prefix_matches", "doc_repetition", "doc_sample_stratified",
-    "doc_shards_by_tokens", "doc_tfidf_keywords",
-    "domain_mixture_plan", "domain_mixture_temperature",
-    "events_sliding_counts", "events_status_history",
-    "events_value_anomalies", "events_value_winsorized",
-    "graph_kcore", "graph_lpa_communities", "graph_neighbor_agg",
-    "pipeline_curate_pack",
+    # the full r7-stale cohort (oldest, 3 rounds) — all 19
+    "ann_recall_lsh", "bpe_merge_candidates", "cooccurrence_viz_edges",
+    "decontaminate_ngram", "doc_quality_ecdf",
+    "doc_quality_quantile_norm", "doc_sample_exact_n",
+    "doc_sample_quality_weighted", "documents_curated",
+    "events_type_counts_salted", "fk_orphans", "multimodal_features",
+    "nation_revenue_share", "orders_profile",
+    "pagerank_converged_check", "ppr_converged_check",
+    "revenue_grouping_sets", "shipping_priority", "word_heavy_hitters",
+    # r8-stale cohort, oldest-first — 31 of 40 (9 deferred, twins above)
+    "ann_hard_negatives", "corpus_summary", "corpus_top_ngrams",
+    "customer_cf", "customer_order_seq", "dedup_ngram_jaccard",
+    "doc_fingerprint", "doc_split_assignment",
+    "embedding_near_duplicates", "embedding_topk_int8",
+    "embedding_topk_ivf", "event_funnel", "events_copresence",
+    "events_hourly_interp", "events_value_quantile_sketch",
+    "graph_clustering_coeff", "graph_degree_histogram",
+    "graph_hyperanf_nf", "hits_fixed10", "local_supplier_volume",
+    "order_baskets", "order_priority_pivot", "orders_rolling_revenue",
+    "part_name_tokens", "part_recency_popularity",
+    "parts_intersect_nations", "pii_scan", "quantity_quantiles",
+    "similarity_jaccard_topk", "supplier_balance_stats",
+    "weekly_retention",
 ]
 
 

@@ -14,19 +14,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# A/B-harness-only entries: measured by scripts/scaling_report.py and
+# value-gated by tests/test_oracle_parity.py, but NOT exported through
+# __spark_entry__.queries() — deliberately-bad pedagogical baselines live
+# here so the driver registry never carries a scale-killer plan
+# (r10 verdict next-round #7, option (a)).
+AB_QUERIES: dict[str, QueryFn] = {}
+AB_ORACLES: dict[str, str] = {}
 
-def register(name: str, oracle: str | None = None):
+
+def _register_into(queries: dict[str, QueryFn], oracles: dict[str, str],
+                   name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pin UTC (and AQE) however the caller configured its session —
             # timestamp-typed outputs must not shift with the harness TZ
             from ..session import tune_session
             return fn(tune_session(spark), sf_dir)
-        QUERIES[name] = wrapped
+        queries[name] = wrapped
         if oracle is not None:
-            ORACLES[name] = oracle
+            oracles[name] = oracle
         return fn
     return deco
+
+
+def register(name: str, oracle: str | None = None):
+    return _register_into(QUERIES, ORACLES, name, oracle)
+
+
+def register_ab(name: str, oracle: str | None = None):
+    return _register_into(AB_QUERIES, AB_ORACLES, name, oracle)
 
 
 def _items(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.testdata import load_table
-from ._shared import register
+from ._shared import register, register_ab
 
 # ---------------------------------------------------------------------------
 # Beyond-reference: training-data pipeline operators (dedup, ANN, text).
@@ -1089,7 +1089,7 @@ def q_media_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "format", "route"))
 
 
-@register("dedup_semantic", """
+@register_ab("dedup_semantic", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
 assign AS (
@@ -1114,12 +1114,17 @@ SELECT CAST(base.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell,
 FROM base LEFT JOIN dropped d USING (vec_id)
 """)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PEDAGOGICAL A/B BASELINE — NOT the production path. Pinned
-    nlist=16 means cell occupancy grows ∝ corpus and the within-cell
-    pair join goes quadratic (measured d2 28.5× at sf1 vs 2.2× for the
-    auto twin); this entry exists as `dedup_semantic_auto`'s measured
-    counterexample and to pin the fixed-centroid math. Production
-    callers use `semantic_dedup_auto` (scale-adaptive nlist + two-level
+    """PEDAGOGICAL A/B BASELINE — NOT the production path, and (since
+    r11, per the r10 verdict's next-round #7 option (a)) NOT a driver
+    registry entry: it lives in AB_QUERIES, measured by
+    scripts/scaling_report.py's second-decade table and value-gated by
+    tests/test_oracle_parity.py, so the quadratic plan is never
+    invocable through __spark_entry__.queries(). Pinned nlist=16 means
+    cell occupancy grows ∝ corpus and the within-cell pair join goes
+    quadratic (measured d2 28.5× at sf1 vs 2.2× for the auto twin);
+    it exists as `dedup_semantic_auto`'s measured counterexample and to
+    pin the fixed-centroid math. Production callers use
+    `semantic_dedup_auto` (scale-adaptive nlist + two-level
     coarse-quantizer assignment) — see the `dedup_semantic_auto` entry.
 
     SemDeDup over the embedding corpus: 16 fixed corpus-vector

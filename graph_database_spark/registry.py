@@ -23,5 +23,6 @@ order-insensitive value-hash):
 from __future__ import annotations
 
 from .queries import (  # noqa: F401
-    ORACLES, QUERIES, QueryFn, register, _DRIVER_WINDOW_PRIORITY,
+    AB_ORACLES, AB_QUERIES, ORACLES, QUERIES, QueryFn, register,
+    register_ab, _DRIVER_WINDOW_PRIORITY,
 )

@@ -41,7 +41,8 @@ def incremental_semantic_stream(emb_stream: DataFrame,
                                 centroids: list[list[float]],
                                 sink, threshold: float = 0.95,
                                 id_col: str = "vec_id",
-                                vec_col: str = "embedding"):
+                                vec_col: str = "embedding",
+                                two_level: bool | None = None):
     """SemDeDup each micro-batch of new embeddings against a standing
     corpus's STORED cell index (`operators/ann.semantic_cell_index`) —
     the semantic twin of `streaming/dedup.incremental_minhash_stream`.
@@ -52,14 +53,27 @@ def incremental_semantic_stream(emb_stream: DataFrame,
     independent of batching and the union of per-batch outputs equals
     the one-shot answer (asserted in tests/test_streaming_ann.py).
     `sink(decisions_df, batch_id)` receives (vec_id, cell, centroid_cos,
-    kept) per trigger. Returns the started StreamingQuery."""
-    from ..operators.ann import semantic_dedup_between
+    kept) per trigger. Returns the started StreamingQuery.
+
+    `two_level=None` auto-dispatches each micro-batch's cell assignment
+    on the standing corpus's nlist (same boundary as
+    `semantic_dedup_auto`), so ingest against a 10⁹-vector corpus never
+    broadcasts the corpus-proportional fine-centroid matrix — the coarse
+    routing table is the only closure constant. The stored corpus_index
+    must have been assigned with the same path; pin an explicit bool on
+    both sides where bit-replayability matters."""
+    from ..operators.ann import semantic_dedup_between, _auto_two_level
+
+    if two_level is None:
+        two_level = _auto_two_level(len(centroids),
+                                    "incremental_semantic_stream")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sink(semantic_dedup_between(batch_df, corpus_index, centroids,
-                                    threshold, id_col, vec_col), batch_id)
+                                    threshold, id_col, vec_col,
+                                    two_level=two_level), batch_id)
 
     return (emb_stream.writeStream
             .foreachBatch(_process)

@@ -349,9 +349,9 @@ def test_semantic_dedup_nonvacuous_on_corpus(spark):
     """At threshold 0.45 the sf0.001 corpus must produce BOTH kept and
     dropped rows (the registry entry's setting is exercising real
     decisions, not an all-kept pass-through)."""
-    from graph_database_spark.registry import QUERIES
+    from graph_database_spark.registry import AB_QUERIES
 
-    out = QUERIES["dedup_semantic"](spark, "/root/testdata/sf0.001")
+    out = AB_QUERIES["dedup_semantic"](spark, "/root/testdata/sf0.001")
     counts = {r["kept"]: r["n"] for r in
               out.groupBy("kept").agg(F.count(F.lit(1)).alias("n"))
               .collect()}

@@ -78,6 +78,30 @@ def test_all_queries_have_entry():
         assert name in qs, f"oracle {name} without a queries() entry"
 
 
+AB_KEYS = sorted(__import__(
+    "graph_database_spark.registry", fromlist=["AB_ORACLES"]
+).AB_ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", AB_KEYS)
+def test_ab_query_matches_oracle(spark, ddb, name):
+    """Harness-only A/B baselines (demoted from the driver registry —
+    r11: dedup_semantic) keep their local value gate even though they
+    no longer ship through __spark_entry__.queries()."""
+    from graph_database_spark.registry import AB_ORACLES, AB_QUERIES
+
+    assert name not in entrymod.queries(), (
+        f"{name} is in both the driver registry and AB_QUERIES")
+    sdf = AB_QUERIES[name](spark, SF_DIR)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    ora = ddb.execute(AB_ORACLES[name])
+    cols = [d[0] for d in ora.description]
+    duck_rows = [dict(zip(cols, r)) for r in ora.fetchall()]
+    assert sorted(sdf.columns) == sorted(cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, cols)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -88,26 +112,24 @@ def test_driver_window_covers_priority_queries():
     pin the window so high-value entries never silently rotate out."""
     window = list(entrymod.queries())[:50]
     must_cover = {
-        # standing canaries: flagship, Q1 composite, events battery,
-        # ETL, PageRank, one dedup, one ANN, one sketch
-        "cooccurrence_topn", "recommend_focal_blend", "events_hourly",
-        "sessionization", "events_asof_order", "graph_edges",
-        "pagerank_fixed20", "dedup_minhash_lsh",
-        "embedding_topk_lsh", "word_counts_cms",
-        # round-10 rotation: the only never-checked entry leads, then
-        # the entries whose behavior changed this round (two-level
-        # SemDeDup assignment, zero-shuffle BM25 arm, JVM-side k-means
-        # assignment), then the full r6-stale cohort
-        "training_negatives",
-        "dedup_semantic_auto", "hybrid_rrf_topk",
-        "embedding_cluster_sizes",
-        "adjacency_row_norm", "connected_components_star",
-        "cooccurrence_weighted", "dedup_semantic", "distinct_reach",
-        "embedding_topk_bruteforce", "events_followup_purchase",
-        "events_props_stats", "events_skew_whale_counts",
-        "events_value_histogram", "graph_vertices", "lang_id",
-        "order_frequency", "pk_violations", "ppr_fixed20_batch",
-        "text_quality",
+        # round-11 rotation (r10 verdict next-round #1): the ENTIRE
+        # r7-stale cohort — emptying it is the round's done-criterion —
+        # plus the oldest r8 entries. No canaries this round (all
+        # r10-green; 19+31 fills the window exactly).
+        "ann_recall_lsh", "bpe_merge_candidates",
+        "cooccurrence_viz_edges", "decontaminate_ngram",
+        "doc_quality_ecdf", "doc_quality_quantile_norm",
+        "doc_sample_exact_n", "doc_sample_quality_weighted",
+        "documents_curated", "events_type_counts_salted", "fk_orphans",
+        "multimodal_features", "nation_revenue_share", "orders_profile",
+        "pagerank_converged_check", "ppr_converged_check",
+        "revenue_grouping_sets", "shipping_priority",
+        "word_heavy_hitters",
+        # spot-pins from the r8 31: the iterative/heavy paths whose
+        # re-verification matters most
+        "hits_fixed10", "graph_hyperanf_nf", "customer_cf",
+        "embedding_topk_ivf", "similarity_jaccard_topk",
+        "events_value_quantile_sketch",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"

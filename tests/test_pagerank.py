@@ -292,3 +292,21 @@ def test_converged_iteration_count_is_pinned_k9(spark):
     assert k == 9, (
         f"converged at {k} iterations, oracle unrolls 9 — re-measure k* "
         "and update _pagerank_unrolled_sql/_ppr_unrolled_sql call sites")
+
+
+def test_pagerank_submodule_not_shadowed():
+    """r10 verdict defect #3: `graphs.pagerank` must resolve to the
+    SUBMODULE (both import forms work); the function is re-exported
+    package-level as `pagerank_scores`."""
+    import importlib
+    import types
+
+    import graph_database_spark.graphs as g
+    import graph_database_spark.graphs.pagerank as pr_mod
+    from graph_database_spark.graphs.pagerank import pagerank as pr_fn
+
+    assert isinstance(g.pagerank, types.ModuleType)
+    assert g.pagerank is pr_mod
+    assert importlib.import_module(
+        "graph_database_spark.graphs.pagerank") is pr_mod
+    assert g.pagerank_scores is pr_fn and callable(pr_fn)

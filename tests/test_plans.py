@@ -5,13 +5,13 @@ from __future__ import annotations
 
 import pytest
 
-from graph_database_spark.registry import QUERIES
+from graph_database_spark.registry import AB_QUERIES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _formatted_plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
+    df = {**QUERIES, **AB_QUERIES}[name](spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))

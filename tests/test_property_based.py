@@ -310,5 +310,14 @@ def test_coarse_quantizer_invariants_random_unit_vectors(data):
     # so fine cell j routes to a coarse cell whose dot ties 1.0 —
     # coarse cell j is non-empty unless an EARLIER duplicate owns it,
     # in which case the owning cell holds all its duplicates
+    routed = set(f2c)
     for j in range(n_coarse):
         assert sims[j, f2c[j]] >= 1.0 - 1e-9
+        # non-duplicate coarse cells are genuinely non-empty: if no
+        # earlier coarse centroid ties coarse centroid j at dot≈1.0,
+        # fine cell j itself must have routed INTO coarse cell j
+        dup_of_earlier = any(sims[i, j] >= 1.0 - 1e-9 for i in range(j))
+        if not dup_of_earlier:
+            assert j in routed, (
+                f"coarse cell {j} has no earlier duplicate but no fine "
+                f"cell routed to it — pigeonhole invariant broken")

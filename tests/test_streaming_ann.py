@@ -84,3 +84,74 @@ def test_incremental_semantic_stream_equals_batch(spark, tmp_path):
     assert len(got) == new.count()
     kept_vals = {v[2] for v in got.values()}
     assert kept_vals == {True, False}  # non-vacuous: both outcomes occur
+
+
+def test_incremental_semantic_stream_two_level_equals_batch(spark, tmp_path):
+    """r10 verdict missing #1 done-criterion: the batch≡stream SemDeDup
+    equivalence holds with two_level=True threaded through BOTH sides —
+    the corpus index and every micro-batch assign through the coarse
+    quantizer, so ingest at auto-nlist scale never broadcasts the
+    corpus-proportional fine-centroid matrix."""
+    from graph_database_spark.operators.ann import (
+        semantic_cell_index, semantic_dedup_between,
+    )
+    from graph_database_spark.streaming.ann import incremental_semantic_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(
+        corpus, cents, two_level=True).localCheckpoint()
+
+    feed = str(tmp_path / "feed")
+    new.repartition(3).write.parquet(feed)  # 3 micro-batches
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            assert r["vec_id"] not in got
+            got[r["vec_id"]] = (r["cell"], r["centroid_cos"], r["kept"])
+
+    q = incremental_semantic_stream(stream, corpus_index, cents, sink,
+                                    threshold=0.45, two_level=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {r["vec_id"]: (r["cell"], r["centroid_cos"], r["kept"])
+            for r in semantic_dedup_between(new, corpus_index, cents,
+                                            threshold=0.45,
+                                            two_level=True).collect()}
+    assert got == want
+    assert len(got) == new.count()
+    assert {v[2] for v in got.values()} == {True, False}
+
+
+def test_semantic_dedup_between_auto_dispatch_flat_below_boundary(spark):
+    """two_level=None on a dim-sized centroid list must pick the flat
+    path and match the explicit two_level=False answer bit-for-bit (the
+    auto boundary is _TWO_LEVEL_MIN_NLIST; 16 centroids sit far below)."""
+    from graph_database_spark.operators.ann import (
+        semantic_cell_index, semantic_dedup_between,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).limit(60)
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(corpus, cents).localCheckpoint()
+    auto = {tuple(r) for r in semantic_dedup_between(
+        new, corpus_index, cents, threshold=0.45).collect()}
+    flat = {tuple(r) for r in semantic_dedup_between(
+        new, corpus_index, cents, threshold=0.45,
+        two_level=False).collect()}
+    assert auto == flat and len(auto) == 60
