@@ -216,7 +216,8 @@ def semantic_cell_index(embeddings: DataFrame,
                         centroids: list[list[float]],
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        two_level: bool = False) -> DataFrame:
+                        two_level: bool = False,
+                        coarse_probe: int = 1) -> DataFrame:
     """(id, cell, v, ccos): the cell-assignment index SemDeDup keeps for
     a corpus — 1-NN centroid cell, the vector itself, and its 6-dp
     centroid cosine. For a STANDING corpus this is the table you persist
@@ -227,12 +228,16 @@ def semantic_cell_index(embeddings: DataFrame,
     `two_level=True` routes assignment through the coarse quantizer
     (`_assign_cells_two_level`) — mandatory once nlist grows with the
     corpus (`semantic_dedup_auto`'s regime), where flat assignment is
-    O(n·nlist) FLOPs behind an un-broadcastable centroid closure."""
+    O(n·nlist) FLOPs behind an un-broadcastable centroid closure.
+    `coarse_probe` is its recall knob: rank against the top-p coarse
+    cells' fan-ins (exact at p == n_coarse; disagreement curve in
+    SCALING.md's two-level appendix)."""
     spark = embeddings.sparkSession
     if two_level:
         n_coarse, f2c = coarse_quantizer(centroids)
         assign = _assign_cells_two_level(embeddings, centroids, n_coarse,
-                                         f2c, id_col, vec_col)
+                                         f2c, id_col, vec_col,
+                                         coarse_probe=coarse_probe)
     else:
         assign = _assign_cells(embeddings, centroids, 1, id_col, vec_col)
     cents = spark.createDataFrame(
@@ -305,7 +310,8 @@ def semantic_dedup(embeddings: DataFrame,
                    threshold: float = 0.95,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   two_level: bool = False) -> DataFrame:
+                   two_level: bool = False,
+                   coarse_probe: int = 1) -> DataFrame:
     """(vec_id, cell, centroid_cos, kept): SemDeDup-style semantic
     deduplication (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -328,7 +334,8 @@ def semantic_dedup(embeddings: DataFrame,
     quantizer (see `semantic_cell_index`).
     """
     base = semantic_cell_index(embeddings, centroids, id_col, vec_col,
-                               two_level=two_level) \
+                               two_level=two_level,
+                               coarse_probe=coarse_probe) \
         .localCheckpoint()  # reused on both sides of the self-join
     a, b = base.alias("a"), base.alias("b")
     dropped = (
@@ -436,10 +443,25 @@ def coarse_quantizer(centroids: list[list[float]],
 
 def _assign_cells_two_level(df: DataFrame, centroids: list[list[float]],
                             n_coarse: int, fine_to_coarse: list[int],
-                            id_out: str, vec_col: str) -> DataFrame:
+                            id_out: str, vec_col: str,
+                            coarse_probe: int = 1) -> DataFrame:
     """(id, cell): 1-NN fine-cell assignment through the coarse quantizer
     — the sharded form of `_assign_cells(nprobe=1)` whose FLOPs and
     broadcast stay bounded as nlist grows with the corpus.
+
+    `coarse_probe` is the recall knob for the standard IVF approximation
+    (r10 verdict next-round #3): each vector ranks against the fan-ins
+    of its top-`coarse_probe` coarse cells instead of just the winner —
+    per-vector work grows ∝ probe (still √nlist-ish each), and at
+    coarse_probe == n_coarse the assignment is EXACT flat 1-NN by
+    construction (every fine centroid is reachable), which the
+    disagreement regression test pins. Measured disagreement-vs-probe
+    curve is in SCALING.md's two-level appendix: on NEAR-ORTHOGONAL
+    synthetic embeddings the probe=1 coarse routing carries little
+    signal (dots cluster near 0), so material probe counts are needed
+    there, while the downstream SemDeDup `kept` flips stay ≤ ~1.7% at
+    threshold 0.45 and 0 at the 0.95 production default; real clustered
+    embeddings are the regime IVF routing is built for.
 
     Stage 1 (map-side, Arrow): one (batch × dim) @ (dim × n_coarse)
     matmul per batch — the closure constant is the ⌈√nlist⌉-row coarse
@@ -452,16 +474,21 @@ def _assign_cells_two_level(df: DataFrame, centroids: list[list[float]],
     lower cell id at both levels (argmax first-max), matching the
     (dot DESC, cell ASC) SQL ranking the oracle replays."""
     spark = df.sparkSession
+    probe = max(1, min(int(coarse_probe), n_coarse))
     coarse_mat = np.asarray(centroids[:n_coarse], dtype=np.float64).T
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("array<int>")
     def _coarse(v: pd.Series) -> pd.Series:
         x = np.vstack(v.to_numpy()).astype(np.float64)    # (n, dim)
-        return pd.Series((x @ coarse_mat).argmax(axis=1).astype(np.int32))
+        sims = x @ coarse_mat                             # (n, n_coarse)
+        # stable argsort on -sim: ties to the lower coarse id, and the
+        # probe=1 head is exactly the old argmax first-max
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+        return pd.Series(list(order.astype(np.int32)))
 
     vec_side = spread(df).select(
         F.col(id_out).alias("id"), F.col(vec_col).alias("v"),
-        _coarse(F.col(vec_col)).alias("co"))
+        F.explode(_coarse(F.col(vec_col))).alias("co"))
     cent_side = spark.createDataFrame(
         [(int(fine_to_coarse[i]), i, [float(x) for x in c])
          for i, c in enumerate(centroids)],
@@ -470,18 +497,32 @@ def _assign_cells_two_level(df: DataFrame, centroids: list[list[float]],
     def _rank(vecs: pd.DataFrame, cents: pd.DataFrame) -> pd.DataFrame:
         if vecs.empty or cents.empty:
             return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                 "cell": pd.Series(dtype="int32")})
+                                 "cell": pd.Series(dtype="int32"),
+                                 "dot": pd.Series(dtype="float64")})
         order = np.argsort(cents["cell"].to_numpy(), kind="stable")
         cm = np.vstack(cents["cvec"].to_numpy()).astype(np.float64)[order]
         cells = cents["cell"].to_numpy()[order]
         x = np.vstack(vecs["v"].to_numpy()).astype(np.float64)
-        best = (x @ cm.T).argmax(axis=1)   # first max = lowest cell
+        sims = x @ cm.T
+        best = sims.argmax(axis=1)   # first max = lowest cell
         return pd.DataFrame({"id": vecs["id"].to_numpy(),
-                             "cell": cells[best].astype("int32")})
+                             "cell": cells[best].astype("int32"),
+                             "dot": sims[np.arange(len(best)), best]})
 
-    return (vec_side.groupby("co")
-            .cogroup(cent_side.groupby("co"))
-            .applyInPandas(_rank, "id long, cell int"))
+    ranked = (vec_side.groupby("co")
+              .cogroup(cent_side.groupby("co"))
+              .applyInPandas(_rank, "id long, cell int, dot double"))
+    if probe == 1:
+        # one candidate per vector — skip the cross-probe argmax shuffle
+        # so the probe=1 plan (the registry-pinned dataflow) is unchanged
+        return ranked.select("id", "cell")
+    # cross-probe argmax: (dot DESC, cell ASC) via max(struct(dot, -cell))
+    # — a partial-aggregable single shuffle on id, no window sort
+    return (ranked
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("dot").alias("d"),
+                                (-F.col("cell")).alias("nc"))).alias("b"))
+            .select("id", (-F.col("b.nc")).cast("int").alias("cell")))
 
 
 def semantic_dedup_auto(embeddings: DataFrame,
@@ -492,7 +533,8 @@ def semantic_dedup_auto(embeddings: DataFrame,
                         vec_col: str = "embedding",
                         min_nlist: int = 16,
                         seed: int = 42,
-                        two_level: bool | None = None) -> DataFrame:
+                        two_level: bool | None = None,
+                        coarse_probe: int = 1) -> DataFrame:
     """`semantic_dedup` with scale-adaptive cell count: nlist =
     ⌈n / target_occupancy⌉ (see `auto_nlist`), so the within-cell
     self-join stays near-linear in corpus size instead of quadratic —
@@ -533,7 +575,8 @@ def semantic_dedup_auto(embeddings: DataFrame,
     if two_level is None:
         two_level = _auto_two_level(nlist, "semantic_dedup_auto")
     return semantic_dedup(embeddings, centroids, threshold,
-                          id_col, vec_col, two_level=two_level)
+                          id_col, vec_col, two_level=two_level,
+                          coarse_probe=coarse_probe)
 
 
 def lsh_signatures(embeddings: DataFrame, dim: int = 64, bits: int = 12,

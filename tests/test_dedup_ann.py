@@ -506,10 +506,10 @@ def test_semantic_dedup_auto_dispatch_boundary(spark, monkeypatch):
     real = ann.semantic_dedup
 
     def spy(embeddings, centroids, threshold=0.95, id_col="vec_id",
-            vec_col="embedding", two_level=False):
+            vec_col="embedding", two_level=False, coarse_probe=1):
         seen.append(two_level)
         return real(embeddings, centroids, threshold, id_col, vec_col,
-                    two_level=two_level)
+                    two_level=two_level, coarse_probe=coarse_probe)
 
     monkeypatch.setattr(ann, "semantic_dedup", spy)
 
@@ -666,3 +666,47 @@ def test_lsh_hot_bucket_cap(spark, docs):
     got = {(r["src"], r["dst"], r["jaccard"])
            for r in minhash_lsh_pairs(docs).collect()}
     assert got == want and want
+
+
+def test_two_level_disagreement_bounded_by_coarse_probe(spark):
+    """r10 verdict next-round #3: the two-level assignment is the
+    standard IVF approximation; `coarse_probe` is its recall knob. Pins
+    the two hard invariants the SCALING.md appendix curve relies on:
+    (a) per-vector correctness is MONOTONE in the probe count — probe
+    sets are nested (stable top-p prefix), so once a vector's true fine
+    cell enters the probed fan-in it never leaves; (b) at
+    coarse_probe == n_coarse every fine centroid is reachable and the
+    assignment equals exact flat 1-NN bit-for-bit."""
+    from graph_database_spark.operators.ann import (
+        _assign_cells, _assign_cells_two_level, auto_nlist,
+        coarse_quantizer,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .localCheckpoint()
+    n = emb.count()
+    nlist = auto_nlist(n)
+    cents = [list(r[0]) for r in
+             emb.orderBy("vec_id").select("embedding").limit(nlist)
+                .collect()]
+    flat = {r["id"]: r["cell"] for r in
+            _assign_cells(emb, cents, 1, "vec_id", "embedding").collect()}
+    n_coarse, f2c = coarse_quantizer(cents)
+    assert n_coarse >= 2
+
+    correct_at = {}
+    for p in range(1, n_coarse + 1):
+        two = {r["id"]: r["cell"] for r in
+               _assign_cells_two_level(emb, cents, n_coarse, f2c,
+                                       "vec_id", "embedding",
+                                       coarse_probe=p).collect()}
+        assert set(two) == set(flat) and len(two) == n
+        correct_at[p] = {i for i in flat if two[i] == flat[i]}
+
+    # (a) monotone: the correct set only grows with the probe count
+    for p in range(1, n_coarse):
+        assert correct_at[p] <= correct_at[p + 1], p
+    # (b) exact at full probe
+    assert len(correct_at[n_coarse]) == n
+    # the knob is non-trivial on this corpus: probe=1 misses some
+    assert len(correct_at[1]) < n
