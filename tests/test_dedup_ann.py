@@ -347,7 +347,7 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
 
 def test_semantic_dedup_nonvacuous_on_corpus(spark):
     """At threshold 0.45 the sf0.001 corpus must produce BOTH kept and
-    dropped rows (the registry entry's setting is exercising real
+    dropped rows (the A/B-harness entry's setting is exercising real
     decisions, not an all-kept pass-through)."""
     from graph_database_spark.registry import AB_QUERIES
 
