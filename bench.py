@@ -220,7 +220,10 @@ def main() -> None:
                     "dedup_audio_envelope": 2,
                     # pandas-UDF signature path: historical spread
                     # 1.38-4.54s at sf0.1 with unchanged code (r10)
-                    "embedding_topk_lsh": 2}
+                    "embedding_topk_lsh": 2,
+                    # pinned two_level=True cogroup + pandas UDF: r11
+                    # measured 3.85 on min-of-2 vs 2.49-2.81 warm
+                    "dedup_semantic_auto": 2}
     # Soft wall-clock budget: refinement passes (2+) stop once exceeded,
     # pass 1 ALWAYS completes — every query gets a number, later passes
     # only tighten them. Keeps the run bounded as the query list grows.

@@ -262,7 +262,8 @@ def semantic_dedup_between(batch: DataFrame, corpus_index: DataFrame,
                            threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           two_level: bool | None = None) -> DataFrame:
+                           two_level: bool | None = None,
+                           coarse_probe: int = 1) -> DataFrame:
     """(vec_id, cell, centroid_cos, kept) for the NEW batch only: a new
     vector is dropped iff some corpus vector in its cell is a semantic
     near-dup (6-dp cosine ≥ threshold). The corpus is immutable — it
@@ -285,7 +286,8 @@ def semantic_dedup_between(batch: DataFrame, corpus_index: DataFrame,
     if two_level is None:
         two_level = _auto_two_level(len(centroids), "semantic_dedup_between")
     new_idx = semantic_cell_index(batch, centroids, id_col, vec_col,
-                                  two_level=two_level)
+                                  two_level=two_level,
+                                  coarse_probe=coarse_probe)
     if not new_idx.isStreaming:
         # consumed by both the dropped-pair join and the final left join
         # — pin it so the assignment doesn't run twice (the same diamond

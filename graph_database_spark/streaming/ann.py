@@ -42,7 +42,8 @@ def incremental_semantic_stream(emb_stream: DataFrame,
                                 sink, threshold: float = 0.95,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                two_level: bool | None = None):
+                                two_level: bool | None = None,
+                                coarse_probe: int = 1):
     """SemDeDup each micro-batch of new embeddings against a standing
     corpus's STORED cell index (`operators/ann.semantic_cell_index`) —
     the semantic twin of `streaming/dedup.incremental_minhash_stream`.
@@ -73,7 +74,8 @@ def incremental_semantic_stream(emb_stream: DataFrame,
             return
         sink(semantic_dedup_between(batch_df, corpus_index, centroids,
                                     threshold, id_col, vec_col,
-                                    two_level=two_level), batch_id)
+                                    two_level=two_level,
+                                    coarse_probe=coarse_probe), batch_id)
 
     return (emb_stream.writeStream
             .foreachBatch(_process)
