@@ -155,3 +155,75 @@ def test_semantic_dedup_between_auto_dispatch_flat_below_boundary(spark):
         new, corpus_index, cents, threshold=0.45,
         two_level=False).collect()}
     assert auto == flat and len(auto) == 60
+
+
+def test_incremental_stream_auto_dispatch_picks_two_level(spark, tmp_path,
+                                                          monkeypatch):
+    """two_level=None on the streaming ingest must route by the standing
+    corpus's nlist (boundary monkeypatched below the 16-centroid list so
+    the coarse path is selected), emit the one-time approximation
+    warning, and still union to the one-shot semantic_dedup_between
+    answer computed with the SAME (two-level) assignment."""
+    import warnings
+
+    from graph_database_spark.operators import ann
+    from graph_database_spark.operators.ann import (
+        semantic_cell_index, semantic_dedup_between,
+    )
+    from graph_database_spark.streaming.ann import incremental_semantic_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = [list(r[0]) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus_index = semantic_cell_index(
+        corpus, cents, two_level=True).localCheckpoint()
+
+    monkeypatch.setattr(ann, "_TWO_LEVEL_MIN_NLIST", len(cents) - 1)
+    monkeypatch.setattr(ann, "_warned_two_level_auto", False)
+
+    feed = str(tmp_path / "feed")
+    new.repartition(2).write.parquet(feed)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["vec_id"]] = (r["cell"], r["centroid_cos"], r["kept"])
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = incremental_semantic_stream(stream, corpus_index, cents, sink,
+                                        threshold=0.45)  # two_level=None
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert any("TWO-LEVEL" in str(w.message) for w in caught)
+
+    want = {r["vec_id"]: (r["cell"], r["centroid_cos"], r["kept"])
+            for r in semantic_dedup_between(new, corpus_index, cents,
+                                            threshold=0.45,
+                                            two_level=True).collect()}
+    assert got == want and len(got) == new.count()
+
+
+def test_auto_two_level_warns_exactly_once(monkeypatch):
+    """The approximation warning is once-per-process: repeated
+    auto-dispatches above the boundary stay quiet after the first."""
+    import warnings
+
+    from graph_database_spark.operators import ann
+
+    monkeypatch.setattr(ann, "_warned_two_level_auto", False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert ann._auto_two_level(ann._TWO_LEVEL_MIN_NLIST + 1, "t") is True
+        assert ann._auto_two_level(ann._TWO_LEVEL_MIN_NLIST + 1, "t") is True
+        assert ann._auto_two_level(ann._TWO_LEVEL_MIN_NLIST, "t") is False
+    msgs = [w for w in caught if "TWO-LEVEL" in str(w.message)]
+    assert len(msgs) == 1
