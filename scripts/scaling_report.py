@@ -327,9 +327,15 @@ def main() -> None:
             "",
             "Reading the second decade: a d2 ratio APPROACHING 10× on a",
             "pair-generation query (similarity_jaccard_topk,",
-            "recommend_batch, dedup_minhash_lsh) is LINEAR scaling finally",
+            "recommend_batch) is LINEAR scaling finally",
             "unmasked — per-key density is constant by construction (e.g.",
-            "~30 customers/product at every sf), so candidate work grows",
+            "~30 customers/product at every sf). dedup_minhash_lsh left",
+            "this group when the r10 hot-bucket cap landed: re-measured",
+            "2026-08-16 (r11, min over 3 passes, empty-job calib 0.026 s)",
+            "it reads 3.89 s at sf0.1 / 9.73 s at sf1 = d2 2.5× — the one",
+            "number that supersedes both the r10 degraded-host table row",
+            "(5.5×) and commit f082a50's interim-corpus 3.1× claim.",
+            "Candidate work on the pair-generation pair grows",
             "with the corpus and at sf1 stops hiding under fixed per-job",
             "overhead. Linear shuffle-bound work is the 100 TB design",
             "point (add executors); only ratios MATERIALLY ABOVE 10×",
@@ -342,8 +348,10 @@ def main() -> None:
             "fixed-nlist bound: its 16 centroids are pinned, so cell",
             "occupancy grows linearly with the corpus and the within-cell",
             "pair join quadratically — the entry is kept as the",
-            "pedagogical A/B baseline ONLY (production callers use the",
-            "auto path). dedup_semantic_auto is the fix MEASURED: nlist =",
+            "pedagogical A/B baseline ONLY — and since r11 it lives in",
+            "AB_QUERIES (measured here, value-gated locally, never",
+            "exported through the driver registry; r10 verdict #7a).",
+            "dedup_semantic_auto is the fix MEASURED: nlist =",
             "⌈n/32⌉ grows with the corpus (16 cells at sf0.01 → 63 at",
             "sf0.1 → 625 at sf1), max cell occupancy stays flat, and its",
             "MEASURED d2 is ~2× against the pinned twin's 28.5× — the",
