@@ -168,6 +168,12 @@ def main() -> None:
     # so the bench list can never drift below the registry again
     # (VERDICT r5 item #4 — n_queries == registry size)
     names += [n for n in QUERIES if n not in set(names)]
+    # targeted iteration: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run
+    # (development tool — per-round driver runs leave it unset)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [w.strip() for w in only.split(",") if w.strip()]
+        names = [n for n in names if n in set(wanted)]
     # warm the JVM + parquet footers once so per-query times measure compute
     try:
         QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()

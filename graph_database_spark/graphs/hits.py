@@ -7,21 +7,26 @@ ranks products by how much hub-weight buys them, hub ranks customers by
 how authoritative their baskets are — the classic bipartite
 reinforcement (Kleinberg, JACM 1999).
 
-Execution mirrors graphs.pagerank: a driver loop over DataFrames, one
-edge-join shuffle per half-step, L1 normalization riding along as a
-1-row broadcast aggregate (no driver sync), lineage truncated per
-iteration with localCheckpoint, state broadcast into the edge join under
-the measured-size threshold. Fixed iteration count (no convergence
-probe) keeps the whole fixed point replayable by an external engine —
-the same contract as `pagerank(tol=-1)`, giving the DuckDB oracle a
-value-level check.
+Execution mirrors graphs.pagerank: a driver loop over DataFrames. The
+edge table is pinned TWICE — hash-partitioned+sorted+cached on src for
+the hub half-step and on dst for the authority half-step
+(`_pin_for_iteration`), so neither half-step re-shuffles or re-sorts
+edges; only the vertex-sized score frames move per iteration, and
+Catalyst auto-broadcasts them off the checkpointed stats while they are
+small (no explicit hints — see _pin_for_iteration's docstring for the
+measured pathology of hinting the aggregates). L1 normalization rides
+along as a 1-row broadcast aggregate (no driver sync); lineage is
+truncated per iteration with localCheckpoint. Fixed iteration count (no
+convergence probe) keeps the whole fixed point replayable by an external
+engine — the same contract as `pagerank(tol=-1)`, giving the DuckDB
+oracle a value-level check.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .pagerank import _BROADCAST_STATE_ROWS, _iter_partitions
+from .pagerank import _iter_partitions, _pin_for_iteration
 
 
 def bipartite_hits(edges: DataFrame, max_iter: int = 10,
@@ -54,22 +59,20 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     """
     e = edges.select("src", "dst").distinct().localCheckpoint()
     m = e.count()
-    n_parts = num_partitions or _iter_partitions(
-        edges.sparkSession.sparkContext, m)
     hubs = e.select("src").distinct().localCheckpoint()
-    # The per-iteration broadcast frames (h / a) are VERTEX-sized, so the
-    # gate must measure the larger vertex side, not the edge count: the
-    # old m-gate flipped to per-half-step edge shuffles at 5.99M edges
-    # over only 350k vertices (sf1) — the 6.5x second-decade cliff in
-    # SCALING.md r5. Two one-off distinct counts on the checkpointed edge
-    # frame buy back 2·max_iter shuffle joins.
+    # per-iteration shuffles are VERTEX-sized (the h/a score frames), so
+    # the state term is the larger vertex side; the edge count only
+    # enters at the looser edge weighting (sorted once at pin time)
     n_state = max(hubs.count(), e.select("dst").distinct().count())
-    bcast = n_state <= _BROADCAST_STATE_ROWS
-    if not bcast:
-        e = e.repartition(n_parts, "src").localCheckpoint()
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast else df
+    n_parts = num_partitions or _iter_partitions(
+        edges.sparkSession.sparkContext, n_state, m)
+    # the hub half-step joins edges on src, the authority half-step on
+    # dst — pin one cached sorted copy per direction so neither
+    # half-step ever re-shuffles/re-sorts the edge table (2× cache, the
+    # GraphX-style trade: at scale a second edge cache is far cheaper
+    # than max_iter edge shuffles)
+    e_src = _pin_for_iteration(e, n_parts, "src")
+    e_dst = _pin_for_iteration(e, n_parts, "dst")
 
     if init_hubs is None:
         h = hubs.withColumn("h", F.lit(1.0)).localCheckpoint()
@@ -91,7 +94,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
              .localCheckpoint())
 
     def _authorities(hub: DataFrame) -> DataFrame:
-        a = (e.join(_b(hub), "src")
+        a = (e_src.join(hub, "src")
              .groupBy("dst").agg(F.sum("h").alias("a")))
         tot = a.agg(F.sum("a").alias("__t"))
         return (a.crossJoin(F.broadcast(tot))
@@ -100,7 +103,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
     for it in range(max_iter):
         a = _authorities(h)
-        h_new = (e.join(_b(a), "dst")
+        h_new = (e_dst.join(a, "dst")
                  .groupBy("src").agg(F.sum("a").alias("h")))
         tot_h = h_new.agg(F.sum("h").alias("__t"))
         h_next = (h_new.crossJoin(F.broadcast(tot_h))
@@ -111,7 +114,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
             # join of the two checkpointed frames (the pagerank-proven
             # shape — no extra same-iteration reference inside the plan)
             delta = (h_next.withColumnRenamed("h", "__new")
-                     .join(_b(h.select("src", "h")), "src")
+                     .join(h.select("src", "h"), "src")
                      .agg(F.sum(F.abs(F.col("__new") - F.col("h")))
                           .alias("d")).first()["d"])
         else:
@@ -120,7 +123,11 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
         if delta is not None and delta < tol:
             break
 
-    a = _authorities(h)
+    # the closing half-step still reads the e_src cache — checkpoint it
+    # before releasing the pinned edge copies
+    a = _authorities(h).localCheckpoint()
+    e_src.unpersist(False)
+    e_dst.unpersist(False)
     out = (
         h.select(F.lit("hub").alias("side"), F.col("src").alias("id"),
                  F.round("h", 6).alias("score"))

@@ -13,14 +13,16 @@ Source: tp1/knoledge_graphs/recommendation.py:150-188 —
                                                 own loop, not an import)
 - converge on L1 delta < tol (1e-6) or max_iter (50); d = 0.85 (`:33-39`).
 
-Spark-first execution: a driver-side loop over DataFrames. Each iteration
-is ONE shuffle — ranks ⋈ edges on src (both sides pre-partitioned on the
-join key once, partitioning reused across iterations) then a groupBy dst.
-Sink mass and the convergence delta ride along as 1-row broadcast
-DataFrames / scalars; `localCheckpoint` truncates lineage so plans don't
-grow with iteration count. This is the standard Pregel-on-DataFrames
-shape and survives 1000-executor scale: per-iteration cost is bounded by
-the edge shuffle, which AQE skew-splits for hot vertices.
+Spark-first execution: a driver-side loop over DataFrames. The edge table
+is hash-partitioned on the join key, sorted within partitions, and CACHED
+once (`_pin_for_iteration`); each iteration's state⋈edges join then reads
+the cache with no Exchange and no Sort on the edge side — only the
+vertex-sized state shuffles per superstep. Sink mass and the convergence
+delta ride along as 1-row broadcast DataFrames / scalars; `localCheckpoint`
+truncates state lineage so plans don't grow with iteration count. This is
+the standard Pregel-on-DataFrames shape and survives 1000-executor scale:
+per-iteration cost is bounded by the vertex-state shuffle plus a cached
+edge scan, which AQE skew-splits for hot vertices.
 """
 
 from __future__ import annotations
@@ -33,22 +35,71 @@ from pyspark.sql import DataFrame, functions as F
 # a healthy rows-per-partition and cap at the cluster's parallelism — on a
 # 1000-executor cluster with billions of edges the cap binds and behavior
 # is unchanged; pass num_partitions explicitly to override.
+#
+# STATE rows drive the count ~20× harder than edge rows: every iteration
+# shuffles/sorts only state-sized frames, while edges are sorted ONCE at
+# pin time and then merely scanned — so edges tolerate much fuller
+# partitions. Measured at sf0.1 (2.39M edges / 20k vertices, local[32]):
+# sizing by max(state, edges)/50k gives n_parts=32 and 0.67–0.87 s per
+# iteration; state-driven sizing gives n_parts=2–3 and 0.36–0.48 s —
+# near-empty state tasks were pure scheduler overhead.
 _ROWS_PER_PARTITION = 50_000
+_EDGE_ROWS_PER_PARTITION = 1_000_000
 
-# Broadcast the per-iteration state frame (ranks / labels / frontier) into
-# the edge join when its measured row count is below this. Checkpointed
-# frames are LogicalRDDs with unknown stats, so Catalyst never broadcasts
-# them on its own — without this, every superstep shuffles the full edge
-# table to meet a few-thousand-row rank frame. Above the threshold we fall
-# back to the shuffle join against edges pre-partitioned on src (the only
-# viable shape when |V| itself is huge).
+# Hint-broadcast gate for WIDE or keyed state (batch PPR long/blocked
+# forms, traversal frontiers): state cells (rows × value columns) at or
+# below this get F.broadcast hints in the loop. Catalyst's own 10 MB
+# auto-broadcast covers the narrow single-vector state (which measured
+# FASTER hint-free — the contrib aggregate runs in the main dataflow);
+# the blocked form's 65-column 20k-row state is ~10.4 MB and falls just
+# past the auto threshold into per-iteration Exchange+Sort of the wide
+# frame — measured 20.3 s (hinted) vs 27–32 s (hint-free) for
+# ppr_fixed20_batch at sf0.1. 5M cells ≈ 40 MB broadcast at the gate's
+# edge; above it the pinned-cache shuffle shape takes over.
 _BROADCAST_STATE_ROWS = 5_000_000
 
 
-def _iter_partitions(spark_ctx, *row_counts: int) -> int:
-    biggest = max(row_counts) if row_counts else 0
-    return min(spark_ctx.defaultParallelism,
-               max(2, -(-biggest // _ROWS_PER_PARTITION)))
+def _iter_partitions(spark_ctx, state_rows: int = 0,
+                     edge_rows: int = 0) -> int:
+    """Partition count for a superstep loop: state rows at
+    _ROWS_PER_PARTITION, edge rows at the much looser
+    _EDGE_ROWS_PER_PARTITION (edges are sorted once and scanned
+    thereafter), capped at the cluster parallelism."""
+    want = max(2,
+               -(-state_rows // _ROWS_PER_PARTITION),
+               -(-edge_rows // _EDGE_ROWS_PER_PARTITION))
+    return min(spark_ctx.defaultParallelism, want)
+
+
+def _pin_for_iteration(df: DataFrame, n_parts: int, *keys: str) -> DataFrame:
+    """Hash-partition, sort, and CACHE a frame that is joined on `keys`
+    every superstep (the edge table; the static personalization frame).
+
+    persist — not localCheckpoint — because an InMemoryTableScan REPORTS
+    the cached plan's outputPartitioning and outputOrdering to the
+    optimizer, so every iteration's sort-merge join reuses the cache with
+    zero Exchange and zero Sort on this side. A checkpointed LogicalRDD
+    does NOT carry partitioning in Spark 4.1 (measured): the old
+    repartition+localCheckpoint shape silently re-shuffled and re-sorted
+    the full edge table under every superstep's join.
+
+    Equally deliberate: the iteration loops put NO broadcast hints on
+    per-iteration frames. A checkpointed state frame carries size stats,
+    so Catalyst auto-broadcasts it while it is small and falls back to a
+    shuffle join when |V| outgrows the threshold — whereas an explicit
+    F.broadcast on the contrib/sink AGGREGATES (the old shape) moved
+    whole aggregation subplans onto broadcast sides, serializing each
+    iteration into 3 driver-blocking broadcast sub-jobs (measured 3–6×
+    slower at sf0.001–0.1 than letting the aggregates run in the main
+    dataflow).
+
+    MEMORY_AND_DISK (persist's default): at cluster scale a 100 TB edge
+    cache spills per-executor and is still far cheaper than one edge
+    shuffle per superstep.
+    """
+    return (df.repartition(n_parts, *keys)
+              .sortWithinPartitions(*keys)
+              .persist())
 
 
 def _prep_personalization(vertices: DataFrame,
@@ -99,7 +150,6 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     edges = edges.select("src", "dst", "weight").localCheckpoint()
     n_parts = num_partitions or _iter_partitions(
         vertices.sparkSession.sparkContext, n, edges.count())
-    bcast_state = n <= _BROADCAST_STATE_ROWS
 
     # carry the sink flag INSIDE the personalization frame so each
     # iteration's sink mass comes out of the end-of-iteration aggregate
@@ -108,26 +158,19 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).withColumn("__is_sink", F.lit(True))
     sink_cols = sink_flag.select("id", "__is_sink")
-    if bcast_state:
-        sink_cols = F.broadcast(sink_cols)
-    p = (
+    p = _pin_for_iteration(
         _prep_personalization(verts, personalization, n)
         .join(sink_cols, "id", "left")
         .select("id", "p",
-                F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink"))
-        .repartition(n_parts, "id").localCheckpoint()
-    )
-    if not bcast_state:
-        # pre-partition edges by src once; every iteration's join reuses it
-        edges = edges.repartition(n_parts, "src").localCheckpoint()
+                F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink")),
+        n_parts, "id")
+    edges = _pin_for_iteration(edges, n_parts, "src")
 
     if init_ranks is None:
         ranks = p.select("id", "__is_sink", F.lit(1.0 / n).alias("rank")) \
             .localCheckpoint()
     else:
         prev = init_ranks.select("id", F.col("rank").alias("__r0"))
-        if bcast_state:
-            prev = F.broadcast(prev)
         ranks = (p.join(prev, "id", "left")
                  .select("id", "__is_sink",
                          F.coalesce(F.col("__r0"), F.lit(1.0 / n))
@@ -138,9 +181,6 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     # from the plan entirely (the common case for co-occurrence graphs,
     # where every vertex in an edge has out-edges).
     has_sinks = p.filter("__is_sink").limit(1).count() > 0
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
 
     # The convergence test is the only per-iteration driver sync; every
     # other scalar (sink mass) rides inside the plan as a broadcast 1-row
@@ -156,12 +196,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
     for it in range(max_iter):
         contrib = (
-            edges.join(_b(ranks.select("id", "rank")),
+            edges.join(ranks.select("id", "rank"),
                        ranks["id"] == edges["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
         )
-        stepped = p.join(_b(contrib), "id", "left")
+        stepped = p.join(contrib, "id", "left")
         if has_sinks:
             sink_mass = (
                 ranks.filter("__is_sink")
@@ -191,7 +231,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
             # through 50+.
             delta = (
                 new_ranks.withColumnRenamed("rank", "__new")
-                .join(_b(ranks.select("id", "rank")), "id")
+                .join(ranks.select("id", "rank"), "id")
                 .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
                 .first()["d"]
             )
@@ -200,6 +240,10 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         ranks = new_ranks
         if check_delta and delta is not None and delta < tol:
             break
+    # the returned frame hangs off the checkpointed state only — the
+    # iteration caches can go
+    edges.unpersist(False)
+    p.unpersist(False)
     out = ranks.select("id", "rank")
     if with_iterations:
         return out, it + 1
@@ -252,22 +296,20 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     state_rows = n * max(1, n_keys)
     n_parts = num_partitions or _iter_partitions(
         vertices.sparkSession.sparkContext, state_rows, edges_mat.count())
-    bcast_state = state_rows <= _BROADCAST_STATE_ROWS
 
     # normalize p per key: /sum, uniform if sum==0 (recommendation.py:181-188)
     full = keys.crossJoin(verts).join(personalization, ["key", "id"], "left") \
         .select("key", "id", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
     totals = full.groupBy("key").agg(F.sum("p").alias("__t"))
-    p = (
+    p = _pin_for_iteration(
         full.join(totals, "key")
         .select("key", "id",
                 F.when(F.col("__t") > 0, F.col("p") / F.col("__t"))
-                 .otherwise(F.lit(1.0 / n)).alias("p"))
-        .repartition(n_parts, "key", "id").localCheckpoint()
-    )
-    edges = edges_mat if bcast_state \
-        else edges_mat.repartition(n_parts, "src").localCheckpoint()
-    sink_ids = verts.join(edges.select(F.col("src").alias("id")).distinct(),
+                 .otherwise(F.lit(1.0 / n)).alias("p")),
+        n_parts, "key", "id")
+    edges = _pin_for_iteration(edges_mat, n_parts, "src")
+    sink_ids = verts.join(edges_mat.select(F.col("src").alias("id"))
+                          .distinct(),
                           "id", "left_anti").localCheckpoint()
     # sinkless graphs drop the per-iteration per-key sink aggregate + join
     # from the plan entirely (mass is identically 0 — see pagerank()).
@@ -276,6 +318,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     active = p.select("key", "id", F.lit(1.0 / n).alias("rank")) \
         .localCheckpoint()
     frozen = None
+
+    # keyed state: n·n_keys rows outgrow Catalyst's auto-broadcast well
+    # before the graph is big — same gated hint as the blocked form
+    bcast_state = state_rows <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
@@ -300,10 +346,8 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
             .join(_b(contrib), ["key", "id"], "left")
         )
         if has_sinks:
-            # sink_ids is |V|-scale in the worst case — honor the same
-            # broadcast threshold as every other state frame
             sink_mass = (
-                active.join(_b(sink_ids), "id", "left_semi")
+                active.join(sink_ids, "id", "left_semi")
                 .groupBy("key").agg(F.sum("rank").alias("__sink"))
             )
             stepped = stepped.join(sink_mass, "key", "left")
@@ -339,7 +383,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         if active.isEmpty():
             break
     out = active if frozen is None else frozen.unionByName(active)
-    return out.localCheckpoint()
+    out = out.localCheckpoint()
+    edges.unpersist(False)
+    p.unpersist(False)
+    return out
 
 
 def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
@@ -370,11 +417,6 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     spark_ctx = verts.sparkSession.sparkContext
     edges = edges.select("src", "dst", "weight").localCheckpoint()
     n_parts = num_partitions or _iter_partitions(spark_ctx, n, edges.count())
-    # gate on state CELLS, not vertex rows: the broadcast frame is n rows
-    # × (k+1) doubles, so at n=5M/k=64 a row-count gate would broadcast
-    # ~2.5 GB per join where the long form's state_rows gate takes the
-    # shuffle path — same budget as pagerank_batch's n*k gate.
-    bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
 
     # pivot personalization to one column per key (max: (key,id) unique,
     # max over the singleton; absent → 0)
@@ -388,9 +430,7 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     sink_cols = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).select("id", F.lit(True).alias("__is_sink"))
-    if bcast_state:
-        sink_cols = F.broadcast(sink_cols)
-    p = (
+    p = _pin_for_iteration(
         full.crossJoin(F.broadcast(totals))
         .join(sink_cols, "id", "left")
         .select(
@@ -398,17 +438,21 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
             F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink"),
             *[F.when(F.col(f"__t{i}") > 0,
                      F.col(f"__p{i}") / F.col(f"__t{i}"))
-              .otherwise(F.lit(1.0 / n)).alias(f"__p{i}") for i in range(k)])
-        .repartition(n_parts, "id").localCheckpoint()
-    )
-    if not bcast_state:
-        edges = edges.repartition(n_parts, "src").localCheckpoint()
+              .otherwise(F.lit(1.0 / n)).alias(f"__p{i}") for i in range(k)]),
+        n_parts, "id")
+    edges = _pin_for_iteration(edges, n_parts, "src")
     has_sinks = p.filter("__is_sink").limit(1).count() > 0
 
     r = [f"__r{i}" for i in range(k)]
     ranks = p.select(
         "id", "__is_sink",
         *[F.lit(1.0 / n).alias(rc) for rc in r]).localCheckpoint()
+
+    # WIDE state: the k+1-column frame sits past Catalyst's 10 MB
+    # auto-broadcast long before |V| is big (see _BROADCAST_STATE_ROWS
+    # note) — hint it under the cell gate, fall back to the pinned-cache
+    # shuffle shape above it
+    bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
@@ -484,4 +528,7 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
         part = _long(i, frozen_snap[i]) if i in frozen_snap \
             else _long(i, ranks)
         out = part if out is None else out.unionByName(part)
-    return out.localCheckpoint()
+    out = out.localCheckpoint()
+    edges.unpersist(False)
+    p.unpersist(False)
+    return out
