@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.sketches import hll_estimate, hll_sketch
+from .pagerank import _iter_partitions, _pin_for_iteration
 
 
 def hyperanf_states(vertices: DataFrame, edges: DataFrame,
@@ -46,19 +47,24 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
     for _ in range(iters):
         state = _superstep(state, edges)
         states.append(state)
+    edges.unpersist(False)
     return states
 
 
 def _pin_edges(edges: DataFrame) -> DataFrame:
-    """Checkpoint the edge frame ONCE, pre-partitioned by dst (the
-    superstep's join key), before iterating — the same discipline as
-    `pagerank`: without this every superstep re-executes the caller's
-    whole edge-building subtree (for the purchase graph, a 4-table ETL
-    join), and with the dst partitioning the per-superstep join
-    shuffles only the state side."""
-    spark = edges.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return edges.repartition(n, "dst").localCheckpoint()
+    """Pin the edge frame ONCE in a dst-partitioned sorted cache before
+    iterating — the same `_pin_for_iteration` discipline as `pagerank`:
+    the one-off checkpoint stops every superstep re-executing the
+    caller's whole edge-building subtree (for the purchase graph, a
+    4-table ETL join), and the cache's reported partitioning/ordering
+    means each superstep's join moves only the register-state side."""
+    edges = edges.localCheckpoint()
+    # each superstep streams register rows (≥ edge count once balls grow)
+    # out of the cache's partitions — size by edge rows at the STATE
+    # weight so the contrib map stage keeps real parallelism
+    n = _iter_partitions(edges.sparkSession.sparkContext,
+                         edges.count(), edges.count())
+    return _pin_for_iteration(edges, n, "dst")
 
 
 def _init_state(vertices: DataFrame) -> DataFrame:
@@ -139,6 +145,7 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
         curve.append(_nf(state))
         if curve[-1] <= curve[-2] * (1.0 + growth_tol):
             break
+    edges.unpersist(False)
     target = alpha * curve[-1]
     for k, v in enumerate(curve):
         if v >= target:

@@ -8,8 +8,13 @@ truncated with localCheckpoint — the same Pregel-on-DataFrames shape as
 graphs.pagerank.
 
 Scale notes: each superstep shuffles the frontier (BFS) or the full label
-set (CC) against edges pre-partitioned on src. BFS work is proportional
-to the expanding frontier; CC label propagation converges in O(diameter)
+set (CC) against the edge table pinned ONCE in a hash-partitioned sorted
+cache (`_pin_for_iteration` — cached scans keep partitioning/ordering,
+checkpoints do not), so per-superstep movement is state-sized. State
+frames carry checkpoint stats, so Catalyst broadcasts them on its own
+while small — no hints (see _pin_for_iteration's docstring for the
+measured hinted-aggregate pathology). BFS work is proportional to the
+expanding frontier; CC label propagation converges in O(diameter)
 supersteps (the driver testdata co-occurrence graphs have tiny diameters;
 for pathological chains `connected_components_star` below is the
 O(log n)-round alternative).
@@ -19,7 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .pagerank import _BROADCAST_STATE_ROWS, _iter_partitions
+from .pagerank import (
+    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
+)
 
 
 def shortest_paths(edges: DataFrame, landmarks: DataFrame,
@@ -39,20 +46,25 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
         edges = edges.distinct()
     edges = edges.localCheckpoint()
     m = edges.count()
-    n_parts = num_partitions or _iter_partitions(
-        edges.sparkSession.sparkContext, m)
-    # frontier rows are (vertex, landmark) pairs, so the broadcast frame
-    # is bounded by |V|·|landmarks| — gate on THAT, not the edge count
-    # (an edge-count gate flips to per-hop edge shuffles on dense graphs
-    # whose vertex set still broadcasts fine; see the sf1 HITS cliff).
-    # Checkpointed frames have no stats, so Catalyst won't make this
-    # call itself.
+    # KEYED (id, landmark) state — the class where the measured gated
+    # hint beats stats-driven planning (see _BROADCAST_STATE_ROWS). In
+    # the broadcast regime the EDGE side streams through every hop's
+    # hash join, and a row-format checkpoint streams faster than the
+    # sorted columnar cache (whose per-scan decode measured ~15% on the
+    # SSSP twin at sf0.1) — so only the big regime pins, where the
+    # cache's reported partitioning is what saves the per-round edge
+    # shuffle+sort under the sort-merge join.
+    n_landmarks = landmarks.count()
     nv = (edges.select(F.col("src").alias("v"))
           .unionByName(edges.select(F.col("dst").alias("v")))
           .distinct().count())
-    bcast_state = nv * max(1, landmarks.count()) <= _BROADCAST_STATE_ROWS
+    bcast_state = nv * max(1, n_landmarks) <= _BROADCAST_STATE_ROWS
     if not bcast_state:
-        edges = edges.repartition(n_parts, "src").localCheckpoint()
+        # per-hop join emits up to |E|·|landmarks| expansion rows out of
+        # the cache's partitions — size by that work product
+        n_parts = num_partitions or _iter_partitions(
+            edges.sparkSession.sparkContext, m * max(1, n_landmarks), m)
+        edges = _pin_for_iteration(edges, n_parts, "src")
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
@@ -77,6 +89,8 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
             break
         dist = dist.unionByName(new_frontier).localCheckpoint()
         frontier = new_frontier
+    if not bcast_state:
+        edges.unpersist(False)
     return dist
 
 
@@ -116,26 +130,22 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         sym = sym.distinct()
     sym = sym.localCheckpoint()
     m = sym.count()
+    # labels / neighbor_min are |V|-sized — state sizing uses the vertex
+    # count; the symmetrized edge count enters at the looser edge weight
+    nv = vertices.count()
     n_parts = num_partitions or _iter_partitions(
-        edges.sparkSession.sparkContext, m)
-    # labels / neighbor_min are |V|-sized — gate the broadcast on the
-    # vertex count, not the (much larger) symmetrized edge count
-    bcast_state = vertices.count() <= _BROADCAST_STATE_ROWS
-    if not bcast_state:
-        sym = sym.repartition(n_parts, "src").localCheckpoint()
+        edges.sparkSession.sparkContext, nv, m)
+    sym = _pin_for_iteration(sym, n_parts, "src")
 
     if init_labels is None:
         labels = vertices.select("id", F.col("id").alias("component")) \
-            .repartition(n_parts, "id").localCheckpoint()
+            .localCheckpoint()
     else:
         prev = init_labels.select("id", F.col("component").alias("__c0"))
         labels = (vertices.select("id").join(prev, "id", "left")
                   .select("id", F.coalesce(F.col("__c0"), F.col("id"))
                           .alias("component"))
-                  .repartition(n_parts, "id").localCheckpoint())
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+                  .localCheckpoint())
 
     # Labels only ever DECREASE under min-propagation, so for NUMERIC ids
     # "any label changed this superstep" ⟺ "the label sum changed" — one
@@ -154,17 +164,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(_b(labels), labels["id"] == sym["src"])
+            sym.join(labels, labels["id"] == sym["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("n_comp"))
         )
         new_labels = (
-            labels.join(_b(neighbor_min), "id", "left")
+            labels.join(neighbor_min, "id", "left")
             .select("id", F.least(
                 F.col("component"),
                 F.coalesce(F.col("n_comp"), F.col("component"))
             ).alias("component"))
-            .repartition(n_parts, "id")
             .localCheckpoint()
         )
         if numeric_ids:
@@ -174,13 +183,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         else:
             unchanged = (
                 new_labels.withColumnRenamed("component", "new_c")
-                .join(_b(labels), "id")
+                .join(labels, "id")
                 .filter(F.col("new_c") != F.col("component"))
                 .isEmpty()
             )
         labels = new_labels
         if unchanged:
             break
+    sym.unpersist(False)
     return labels
 
 
@@ -225,16 +235,18 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
     """
     edges = edges.select("src", "dst", "weight").localCheckpoint()
     m = edges.count()
-    n_parts = num_partitions or _iter_partitions(
-        edges.sparkSession.sparkContext, m)
-    # the broadcast frame is dist: ≤ |V|·|landmarks| rows — gate on that
-    # bound, not the edge count (see the sf1 HITS cliff)
+    # same regime split as shortest_paths: broadcast regime streams the
+    # row-format checkpoint (measured faster than the columnar cache);
+    # big regime pins, sized by the |E|·|landmarks| relax work product
+    n_landmarks = landmarks.count()
     nv = (edges.select(F.col("src").alias("v"))
           .unionByName(edges.select(F.col("dst").alias("v")))
           .distinct().count())
-    bcast_state = nv * max(1, landmarks.count()) <= _BROADCAST_STATE_ROWS
+    bcast_state = nv * max(1, n_landmarks) <= _BROADCAST_STATE_ROWS
     if not bcast_state:
-        edges = edges.repartition(n_parts, "src").localCheckpoint()
+        n_parts = num_partitions or _iter_partitions(
+            edges.sparkSession.sparkContext, m * max(1, n_landmarks), m)
+        edges = _pin_for_iteration(edges, n_parts, "src")
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df
@@ -279,6 +291,8 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
                 break
         else:
             dist = new_dist
+    if not bcast_state:
+        edges.unpersist(False)
     if with_rounds:
         return dist, done
     return dist
@@ -438,12 +452,12 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         sym = sym.distinct()
     sym = sym.localCheckpoint()
     m = sym.count()
+    # labels / per-vertex argmax frames are |V|-sized — state sizing by
+    # vertices, symmetrized edges at the looser edge weight
+    nv = vertices.count()
     n_parts = num_partitions or _iter_partitions(
-        edges.sparkSession.sparkContext, m)
-    # labels / per-vertex argmax frames are |V|-sized — gate on vertices
-    bcast_state = vertices.count() <= _BROADCAST_STATE_ROWS
-    if not bcast_state:
-        sym = sym.repartition(n_parts, "src").localCheckpoint()
+        edges.sparkSession.sparkContext, nv, m)
+    sym = _pin_for_iteration(sym, n_parts, "src")
 
     if init_labels is None:
         labels = vertices.select("id", F.col("id").alias("community"))
@@ -452,17 +466,14 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         labels = (vertices.select("id").join(prev, "id", "left")
                   .select("id", F.coalesce(F.col("__c0"), F.col("id"))
                            .alias("community")))
-    labels = labels.repartition(n_parts, "id").localCheckpoint()
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+    labels = labels.localCheckpoint()
 
     w = (Window.partitionBy("id")
          .orderBy(F.desc("cnt"), F.asc("community")))
     it = -1  # max_iter <= 0 never enters the loop → superstep count 0
     for it in range(max_iter):
         hist = (
-            sym.join(_b(labels), labels["id"] == sym["src"])
+            sym.join(labels, labels["id"] == sym["src"])
             .groupBy(F.col("dst").alias("id"), "community")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -471,14 +482,13 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
                   .filter("__rn = 1")
                   .select("id", F.col("community").alias("n_comm")))
         updated = (
-            labels.join(_b(winner), "id", "left")
+            labels.join(winner, "id", "left")
             .select("id",
                     F.coalesce(F.col("n_comm"), F.col("community"))
                      .alias("community"),
                     (F.col("n_comm").isNotNull()
                      & (F.col("n_comm") != F.col("community")))
                     .alias("__chg"))
-            .repartition(n_parts, "id")
             .localCheckpoint()
         )
         stable = (stop_when_stable
@@ -486,6 +496,7 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         labels = updated.drop("__chg")
         if stable:
             break
+    sym.unpersist(False)
     if with_iterations:
         return labels, it + 1
     return labels
