@@ -26,7 +26,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .pagerank import _iter_partitions, _pin_for_iteration
+from .pagerank import (
+    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
+)
 
 
 def bipartite_hits(edges: DataFrame, max_iter: int = 10,
@@ -73,6 +75,14 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     # than max_iter edge shuffles)
     e_src = _pin_for_iteration(e, n_parts, "src")
     e_dst = _pin_for_iteration(e, n_parts, "dst")
+    # score frames: broadcast under the state gate (measured par with
+    # the pre-r11 hinted shape at sf0.1), merge-pin above it so a
+    # generous session autoBroadcastJoinThreshold can't move a half-step
+    # aggregate onto a driver-blocking broadcast side
+    bcast_state = n_state <= _BROADCAST_STATE_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df.hint("merge")
 
     if init_hubs is None:
         h = hubs.withColumn("h", F.lit(1.0)).localCheckpoint()
@@ -103,7 +113,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
     for it in range(max_iter):
         a = _authorities(h)
-        h_new = (e_dst.join(a, "dst")
+        h_new = (e_dst.join(_b(a), "dst")
                  .groupBy("src").agg(F.sum("a").alias("h")))
         tot_h = h_new.agg(F.sum("h").alias("__t"))
         h_next = (h_new.crossJoin(F.broadcast(tot_h))

@@ -193,15 +193,27 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     # tol<0 fixed-iteration mode (the oracle-checked path) never probes.
     check_delta = tol >= 0
     DELTA_EVERY = 3
+    # Narrow state: hint it broadcast under the gate (the winning plan —
+    # state builds the hash side over the pinned edge scan); pin the
+    # contrib AGGREGATE to a merge join so no session threshold (the
+    # bench session runs autoBroadcastJoinThreshold=64MB) can ever move
+    # the whole aggregate subplan onto a driver-blocking broadcast side —
+    # the measured 2-3x per-iteration pathology this loop's shape exists
+    # to avoid. In the big regime the merge join is the only choice
+    # anyway, and its p side reads the pinned cache exchange-and-sort
+    # free.
+    bcast_state = n <= _BROADCAST_STATE_ROWS
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
     for it in range(max_iter):
+        rsel = ranks.select("id", "rank")
+        if bcast_state:
+            rsel = F.broadcast(rsel)
         contrib = (
-            edges.join(ranks.select("id", "rank"),
-                       ranks["id"] == edges["src"])
+            edges.join(rsel, rsel["id"] == edges["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
         )
-        stepped = p.join(contrib, "id", "left")
+        stepped = p.join(contrib.hint("merge"), "id", "left")
         if has_sinks:
             sink_mass = (
                 ranks.filter("__is_sink")
@@ -324,7 +336,11 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     bcast_state = state_rows <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+        # big regime: pin to a merge join so a generous session
+        # autoBroadcastJoinThreshold can never move an aggregate subplan
+        # onto a driver-blocking broadcast side (see the single-vector
+        # loop's note)
+        return F.broadcast(df) if bcast_state else df.hint("merge")
 
     # tol < 0 = fixed-iteration mode (the oracle-replayable path): no key
     # ever converges, so the per-key delta aggregate, freeze bookkeeping,
@@ -455,7 +471,11 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+        # big regime: pin to a merge join so a generous session
+        # autoBroadcastJoinThreshold can never move an aggregate subplan
+        # onto a driver-blocking broadcast side (see the single-vector
+        # loop's note)
+        return F.broadcast(df) if bcast_state else df.hint("merge")
 
     check_delta = tol >= 0
     # A frozen key's column is SNAPSHOTTED out of the state (the ranks

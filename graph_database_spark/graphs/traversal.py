@@ -67,7 +67,11 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
         edges = _pin_for_iteration(edges, n_parts, "src")
 
     def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+        # big regime: pin to a merge join so a generous session
+        # autoBroadcastJoinThreshold can never move an aggregate subplan
+        # onto a driver-blocking broadcast side (see the single-vector
+        # loop's note)
+        return F.broadcast(df) if bcast_state else df.hint("merge")
 
     dist = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"),
@@ -169,7 +173,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .agg(F.min("component").alias("n_comp"))
         )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            # merge-pin the aggregate side: see pagerank's contrib note
+            labels.join(neighbor_min.hint("merge"), "id", "left")
             .select("id", F.least(
                 F.col("component"),
                 F.coalesce(F.col("n_comp"), F.col("component"))
@@ -249,7 +254,11 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
         edges = _pin_for_iteration(edges, n_parts, "src")
 
     def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast_state else df
+        # big regime: pin to a merge join so a generous session
+        # autoBroadcastJoinThreshold can never move an aggregate subplan
+        # onto a driver-blocking broadcast side (see the single-vector
+        # loop's note)
+        return F.broadcast(df) if bcast_state else df.hint("merge")
 
     zero = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"),
@@ -482,7 +491,8 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
                   .filter("__rn = 1")
                   .select("id", F.col("community").alias("n_comm")))
         updated = (
-            labels.join(winner, "id", "left")
+            # merge-pin the argmax side: see pagerank's contrib note
+            labels.join(winner.hint("merge"), "id", "left")
             .select("id",
                     F.coalesce(F.col("n_comm"), F.col("community"))
                      .alias("community"),
