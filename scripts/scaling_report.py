@@ -212,6 +212,67 @@ script):
 Sub-linear through the boundary: the cogroup premium is a one-time
 constant and per-vector work is √nlist-ish, so the production
 configuration enters its scale regime without a step change.
+
+## Appendix: pinned-cache iterative loops (r11 rework, measured)
+
+`localCheckpoint` does NOT preserve hash partitioning in Spark 4.1
+(measured: two frames repartitioned on the same key and checkpointed
+still get a fresh Exchange+Sort pair EACH under their join) — so the
+pre-r11 "pre-partition edges by src once" iterative shape silently
+re-shuffled and re-sorted the full edge table under every superstep's
+sort-merge join in the big regime. The r11 `_pin_for_iteration`
+(repartition → sortWithinPartitions → persist) fixes the mechanism: an
+InMemoryTableScan REPORTS the cached plan's outputPartitioning and
+outputOrdering, so the per-superstep join reuses the cache with zero
+Exchange and zero Sort on the edge side (plan-pinned in
+tests/test_pagerank.py::test_pinned_edge_cache_joins_without_edge_exchange_or_sort).
+
+Broadcast-hint policy was re-measured per loop with interleaved
+same-process A/Bs at sf0.1 (old and new module objects swapped via
+sys.modules between passes — host drift between separate bench runs
+was 1.6–2.5× on this rig and had previously inverted a conclusion):
+
+| loop | state shape | policy | old (s) | new (s) |
+|---|---|---|---|---|
+| pagerank (single vector) | narrow (id, rank) | pinned, NO hints | 10.9–11.5 | 9.0–9.2 |
+| ppr_fixed20_batch (blocked, 64 keys) | wide 65-col | pinned + cell-gated hints | 20.0–33.6 | 17.1–20.6 |
+| hits_fixed10 | two narrow frames | pinned both directions | 10.7–13.1 | 10.0–12.4 |
+| graph_lpa_communities | narrow labels | pinned, no hints | 3.7–5.1 | 3.5–4.7 |
+| connected_components_star | shrinking star set | unchanged inner loop | 8.8–10.8 | 8.5–10.7 |
+| graph_hyperanf_nf | register rows | pinned, no hints | 12.5–23.7 | 11.9–12.6 |
+| sssp_weighted_fixed8 | keyed (id, landmark) | regime-gated (see below) | 8.5–20.0 | 8.3–9.1 |
+| shortest_paths_landmark | keyed (id, landmark) | regime-gated | 6.9–8.7 | 6.1–6.8 |
+
+Three measured rules fell out:
+
+1. **Narrow vertex state needs no hints.** A checkpointed state frame
+   carries size stats, so Catalyst broadcasts it on its own while it is
+   small and flips to a shuffle join exactly when |V| outgrows the
+   threshold. Explicitly hinting the contrib/sink AGGREGATES (the old
+   shape) moved whole aggregation subplans onto broadcast sides,
+   serializing each iteration into 3 driver-blocking broadcast
+   sub-jobs — 20% slower for pagerank, and catastrophic (3–6×) under
+   host contention.
+2. **Wide or keyed state keeps a size-computed hint.** The blocked
+   form's 65-column state (~10.4 MB at sf0.1) and the landmark loops'
+   (id, landmark) pair state fall just past Catalyst's 10 MB
+   auto-broadcast into per-iteration Exchange+Sort of the state frame;
+   the explicit gate (state cells ≤ 5M) restores the broadcast while it
+   is genuinely small.
+3. **When the EDGE side streams through a broadcast-hash join, a
+   row-format checkpoint beats the columnar cache** (~15% on SSSP: the
+   cache pays a columnar→row decode per scan, and its partitioning buys
+   nothing under a BHJ). So the landmark loops pin only in the big
+   regime — which is also the only regime where the pin's partitioning
+   is load-bearing.
+
+Partition sizing is state-driven: state rows at 50k/partition, edge
+rows at the 20× looser 1M/partition (edges sort once at pin time and
+are scanned thereafter), and the landmark loops size by the
+|E|·|landmarks| relax work product (an edge-row sizing left a 19M-row
+relax stage on 3 tasks — measured ~25% regression before the fix).
+At 100 TB the partition cap (cluster default parallelism) binds and
+`num_partitions` is the explicit override.
 """.split("\n")
 
 
