@@ -11,10 +11,9 @@ Execution mirrors graphs.pagerank: a driver loop over DataFrames. The
 edge table is pinned TWICE — hash-partitioned+sorted+cached on src for
 the hub half-step and on dst for the authority half-step
 (`_pin_for_iteration`), so neither half-step re-shuffles or re-sorts
-edges; only the vertex-sized score frames move per iteration, and
-Catalyst auto-broadcasts them off the checkpointed stats while they are
-small (no explicit hints — see _pin_for_iteration's docstring for the
-measured pathology of hinting the aggregates). L1 normalization rides
+edges; only the vertex-sized score frames move per iteration, hinted
+broadcast under the state-size gate and merge-pinned above it (see
+_pin_for_iteration's docstring for the policy). L1 normalization rides
 along as a 1-row broadcast aggregate (no driver sync); lineage is
 truncated per iteration with localCheckpoint. Fixed iteration count (no
 convergence probe) keeps the whole fixed point replayable by an external

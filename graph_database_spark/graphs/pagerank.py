@@ -83,15 +83,14 @@ def _pin_for_iteration(df: DataFrame, n_parts: int, *keys: str) -> DataFrame:
     repartition+localCheckpoint shape silently re-shuffled and re-sorted
     the full edge table under every superstep's join.
 
-    Equally deliberate: the iteration loops put NO broadcast hints on
-    per-iteration frames. A checkpointed state frame carries size stats,
-    so Catalyst auto-broadcasts it while it is small and falls back to a
-    shuffle join when |V| outgrows the threshold — whereas an explicit
-    F.broadcast on the contrib/sink AGGREGATES (the old shape) moved
-    whole aggregation subplans onto broadcast sides, serializing each
-    iteration into 3 driver-blocking broadcast sub-jobs (measured 3–6×
-    slower at sf0.001–0.1 than letting the aggregates run in the main
-    dataflow).
+    Hint policy for the loops built on this (measured, see the SCALING.md
+    r11 appendix): the STATE side of each superstep join carries a
+    size-gated F.broadcast hint, and every per-iteration AGGREGATE
+    (contrib / argmax / half-step) is pinned with .hint("merge") so that
+    no session autoBroadcastJoinThreshold can move an aggregation subplan
+    onto a driver-blocking broadcast side — hinted-broadcast aggregates
+    serialized each iteration into sequential broadcast sub-jobs,
+    measured 2–6× slower per iteration depending on host load.
 
     MEMORY_AND_DISK (persist's default): at cluster scale a 100 TB edge
     cache spills per-executor and is still far cheaper than one edge

@@ -10,10 +10,10 @@ graphs.pagerank.
 Scale notes: each superstep shuffles the frontier (BFS) or the full label
 set (CC) against the edge table pinned ONCE in a hash-partitioned sorted
 cache (`_pin_for_iteration` — cached scans keep partitioning/ordering,
-checkpoints do not), so per-superstep movement is state-sized. State
-frames carry checkpoint stats, so Catalyst broadcasts them on its own
-while small — no hints (see _pin_for_iteration's docstring for the
-measured hinted-aggregate pathology). BFS work is proportional to the
+checkpoints do not), so per-superstep movement is state-sized. Keyed
+frontiers carry a size-gated broadcast hint and every per-superstep
+aggregate is merge-pinned (see _pin_for_iteration's docstring for the
+measured policy). BFS work is proportional to the
 expanding frontier; CC label propagation converges in O(diameter)
 supersteps (the driver testdata co-occurrence graphs have tiny diameters;
 for pathological chains `connected_components_star` below is the
