@@ -35,61 +35,48 @@ from . import pipeline as _pipeline  # noqa: E402,F401 (after text: splices
 # twins (e.g. motif_cooccurrence_topn duplicates cooccurrence_topn's answer)
 # behind them. Every query stays registered and locally value-gated by
 # tests/test_oracle_parity.py regardless of position.
-# ROUND-11 ROTATION (latest-green histogram going in: 50 r10, 38 r9,
-# 40 r8, 19 r7; registry 147 → 146 this round — dedup_semantic demoted
-# to AB_QUERIES per r10 verdict next-round #7 option (a), so the one
-# deliberately-quadratic pedagogical baseline is no longer invocable
-# through the driver surface; it stays value-gated locally and measured
-# in the scaling A/B appendix). Per r10 verdict next-round #1 the
-# window is exactly: ALL 19 r7-stale entries first (the oldest cohort,
-# 3 rounds stale — the arithmetic floor at 147/50), then 31 of the 40
-# r8-stale entries oldest-first. No canaries this round — all 10 are
-# r10-green and the verdict's 19+31=50 arithmetic leaves them no slot;
-# each has a same-path twin in-window (cooccurrence_viz_edges reuses
-# cooccurrence_topn's core, pagerank_converged_check/ppr_converged_check
-# cover the PageRank loop, decontaminate_ngram the shingle path,
-# word_heavy_hitters the CMS scan, ann_recall_lsh the LSH probe,
-# documents_curated the curation gate, events_type_counts_salted the
-# events scan). The 9 r8 deferrals (to r12) each have an in-window or
-# fresher twin: ann_ndcg_lsh — ann_recall_lsh in-window (same LSH arm,
-# same exact top-k join); connected_components — connected_components_star
-# r10 (identical answer by construction); customer_value_deciles —
-# quantity_quantiles in-window + doc_quality_ecdf/quantile_norm
-# in-window (same windowed-quantile core); decontaminate_bloom —
-# decontaminate_ngram in-window (identical exact answer) +
-# decontaminate_bloom_pruned r9; doc_sample_weighted_exact_n —
-# doc_sample_exact_n + doc_sample_quality_weighted in-window (same A-ES
-# core); multimodal_frame_sample + multimodal_resize_plan —
-# multimodal_features in-window (same codec core) + dedup_image_phash
-# r10; strategy_breakdown_focal — recommend_focal_blend r10 (same
-# engine, strict superset of arms); top_parts_by_revenue —
-# shipping_priority in-window (same lineitem⋈orders scan/agg shape) +
-# revenue_by_nation r9. After this round the histogram is r8:9, r9:38,
-# r10:50, r11:50 — max staleness 3 rounds, r7 cohort emptied.
+# ROUND-12 ROTATION (latest-green histogram going in: 50 r11, 50 r10,
+# 38 r9, 9 r8; registry steady at 146 — r11 verdict next-round #8
+# freezes it, and #2 prescribes this window exactly). The window is:
+# ALL 9 r8-stale entries first (the oldest cohort, 3 rounds stale —
+# the r11 deferrals, each named in the r11 verdict's What's-missing
+# #2), then the ENTIRE 38-entry r9 cohort (emptying it), then the 3
+# oldest r10 entries. "Oldest r10" = smallest prior-green round before
+# r10 (computed from CORRECTNESS_r01–r09): training_negatives was
+# FIRST checked in r10 (no prior green — the single never-re-verified
+# entry), then the prior-r6 group alphabetically: adjacency_row_norm
+# and connected_components_star — the latter doubling as the r11
+# verdict #7 regression watch (1.26× normalized with an "unchanged"
+# inner loop), so its driver row this round re-confirms values while
+# the bench row isolates the perf cause. After this round the
+# histogram is r10:47, r11:49, r12:50 — max staleness 2 rounds, the
+# r8 and r9 cohorts both emptied, every registry entry re-verified
+# within the last two rounds.
 _DRIVER_WINDOW_PRIORITY = [
-    # the full r7-stale cohort (oldest, 3 rounds) — all 19
-    "ann_recall_lsh", "bpe_merge_candidates", "cooccurrence_viz_edges",
-    "decontaminate_ngram", "doc_quality_ecdf",
-    "doc_quality_quantile_norm", "doc_sample_exact_n",
-    "doc_sample_quality_weighted", "documents_curated",
-    "events_type_counts_salted", "fk_orphans", "multimodal_features",
-    "nation_revenue_share", "orders_profile",
-    "pagerank_converged_check", "ppr_converged_check",
-    "revenue_grouping_sets", "shipping_priority", "word_heavy_hitters",
-    # r8-stale cohort, oldest-first — 31 of 40 (9 deferred, twins above)
-    "ann_hard_negatives", "corpus_summary", "corpus_top_ngrams",
-    "customer_cf", "customer_order_seq", "dedup_ngram_jaccard",
-    "doc_fingerprint", "doc_split_assignment",
-    "embedding_near_duplicates", "embedding_topk_int8",
-    "embedding_topk_ivf", "event_funnel", "events_copresence",
-    "events_hourly_interp", "events_value_quantile_sketch",
-    "graph_clustering_coeff", "graph_degree_histogram",
-    "graph_hyperanf_nf", "hits_fixed10", "local_supplier_volume",
-    "order_baskets", "order_priority_pivot", "orders_rolling_revenue",
-    "part_name_tokens", "part_recency_popularity",
-    "parts_intersect_nations", "pii_scan", "quantity_quantiles",
-    "similarity_jaccard_topk", "supplier_balance_stats",
-    "weekly_retention",
+    # the full r8-stale cohort (oldest, 3 rounds) — all 9
+    "ann_ndcg_lsh", "connected_components", "customer_value_deciles",
+    "decontaminate_bloom", "doc_sample_weighted_exact_n",
+    "multimodal_frame_sample", "multimodal_resize_plan",
+    "strategy_breakdown_focal", "top_parts_by_revenue",
+    # the full r9-stale cohort — all 38
+    "bm25_topk", "bpe_encode_stats", "bpe_train_merges",
+    "cooccurrence_pairs", "customers_inactive_since",
+    "decontaminate_bloom_pruned", "dedup_canonical_docs", "dedup_exact",
+    "dedup_incremental_minhash", "dedup_simhash", "doc_chunk_windows",
+    "doc_unigram_logprob", "embedding_truncation_recall",
+    "event_transitions", "event_weights_by_user", "events_dow_hour",
+    "events_hourly_gapfill", "events_value_trend",
+    "graph_hyperanf_diameter", "graph_triangle_count",
+    "incidence_pairs", "media_format_detect", "motif_cooccurrence_topn",
+    "multimodal_frame_extract", "multimodal_video_motion",
+    "orders_monthly_revenue", "pagerank_global", "ppr_batch_focal",
+    "pricing_summary", "recommend_batch", "revenue_by_nation",
+    "revenue_rollup", "seed_expansion", "shortest_paths_landmark",
+    "sssp_weighted_fixed8", "token_count", "vocab_hll_by_source",
+    "vocab_overlap_sources",
+    # 3 oldest-r10 entries (prior-green r0/r6/r6)
+    "training_negatives", "adjacency_row_norm",
+    "connected_components_star",
 ]
 
 

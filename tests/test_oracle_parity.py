@@ -112,24 +112,22 @@ def test_driver_window_covers_priority_queries():
     pin the window so high-value entries never silently rotate out."""
     window = list(entrymod.queries())[:50]
     must_cover = {
-        # round-11 rotation (r10 verdict next-round #1): the ENTIRE
-        # r7-stale cohort — emptying it is the round's done-criterion —
-        # plus the oldest r8 entries. No canaries this round (all
-        # r10-green; 19+31 fills the window exactly).
-        "ann_recall_lsh", "bpe_merge_candidates",
-        "cooccurrence_viz_edges", "decontaminate_ngram",
-        "doc_quality_ecdf", "doc_quality_quantile_norm",
-        "doc_sample_exact_n", "doc_sample_quality_weighted",
-        "documents_curated", "events_type_counts_salted", "fk_orphans",
-        "multimodal_features", "nation_revenue_share", "orders_profile",
-        "pagerank_converged_check", "ppr_converged_check",
-        "revenue_grouping_sets", "shipping_priority",
-        "word_heavy_hitters",
-        # spot-pins from the r8 31: the iterative/heavy paths whose
-        # re-verification matters most
-        "hits_fixed10", "graph_hyperanf_nf", "customer_cf",
-        "embedding_topk_ivf", "similarity_jaccard_topk",
-        "events_value_quantile_sketch",
+        # round-12 rotation (r11 verdict next-round #2): the ENTIRE
+        # r8-stale cohort — emptying it is the round's done-criterion
+        "ann_ndcg_lsh", "connected_components", "customer_value_deciles",
+        "decontaminate_bloom", "doc_sample_weighted_exact_n",
+        "multimodal_frame_sample", "multimodal_resize_plan",
+        "strategy_breakdown_focal", "top_parts_by_revenue",
+        # spot-pins from the 38-entry r9 cohort: the iterative/heavy
+        # paths whose re-verification matters most
+        "pagerank_global", "ppr_batch_focal", "graph_hyperanf_diameter",
+        "sssp_weighted_fixed8", "shortest_paths_landmark",
+        "dedup_incremental_minhash", "bm25_topk",
+        # the 3 oldest-r10 fillers (training_negatives was never
+        # re-verified; connected_components_star is the r11 verdict #7
+        # regression watch)
+        "training_negatives", "adjacency_row_norm",
+        "connected_components_star",
     }
     missing = must_cover - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
