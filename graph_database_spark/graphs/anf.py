@@ -25,8 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.sketches import hll_estimate, hll_sketch
-from .pagerank import _iter_partitions, _pin_for_iteration
+from ..operators.sketches import HLL_M, hll_estimate, hll_sketch
+from .pagerank import (
+    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
+    _repartition_checkpoint,
+)
 
 
 def hyperanf_states(vertices: DataFrame, edges: DataFrame,
@@ -40,31 +43,45 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
     Σ_v min(m, |B(v, k)|) — never |V|·m until balls saturate. Each
     superstep localCheckpoints, keeping plan depth constant (the
     repo-wide iterative-graph discipline)."""
-    edges = _pin_edges(edges)
     init = _init_state(vertices)
+    edges, pinned = _pin_edges(edges, init.count())
     states = [init]
     state = init
-    for _ in range(iters):
-        state = _superstep(state, edges)
-        states.append(state)
-    edges.unpersist(False)
+    try:
+        for _ in range(iters):
+            state = _superstep(state, edges)
+            states.append(state)
+    finally:
+        if pinned:
+            edges.unpersist(False)
     return states
 
 
-def _pin_edges(edges: DataFrame) -> DataFrame:
-    """Pin the edge frame ONCE in a dst-partitioned sorted cache before
-    iterating — the same `_pin_for_iteration` discipline as `pagerank`:
-    the one-off checkpoint stops every superstep re-executing the
-    caller's whole edge-building subtree (for the purchase graph, a
-    4-table ETL join), and the cache's reported partitioning/ordering
-    means each superstep's join moves only the register-state side."""
+def _pin_edges(edges: DataFrame, n_vertices: int) -> tuple[DataFrame, bool]:
+    """(edge frame ready for iteration, pinned?). The one-off checkpoint
+    stops every superstep re-executing the caller's whole edge-building
+    subtree (for the purchase graph, a 4-table ETL join). Whether the
+    checkpoint is then ALSO pinned in a dst-partitioned sorted cache is
+    regime-gated on the register state's saturation bound |V|·m
+    (measured rule 3, SCALING.md pinned-cache appendix): while the
+    state side stays broadcast-small, the superstep join is a
+    broadcast-hash join whose edge side merely streams — the row-format
+    checkpoint streams faster than a columnar cache. Past the bound the
+    state outgrows any session broadcast threshold mid-run (balls
+    saturate toward |V|·m register rows), the join flips to sort-merge,
+    and the cache's reported partitioning/ordering is what keeps the
+    per-superstep edge Exchange+Sort out of the plan."""
     edges = edges.localCheckpoint()
+    if n_vertices * HLL_M <= _BROADCAST_STATE_ROWS:
+        n = _iter_partitions(edges.sparkSession.sparkContext,
+                             edges.count(), edges.count())
+        return _repartition_checkpoint(edges, n), False
     # each superstep streams register rows (≥ edge count once balls grow)
     # out of the cache's partitions — size by edge rows at the STATE
     # weight so the contrib map stage keeps real parallelism
     n = _iter_partitions(edges.sparkSession.sparkContext,
                          edges.count(), edges.count())
-    return _pin_for_iteration(edges, n, "dst")
+    return _pin_for_iteration(edges, n, "dst"), True
 
 
 def _init_state(vertices: DataFrame) -> DataFrame:
@@ -128,8 +145,8 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
     convention). Each curve point is a 1-row aggregate; the driver holds
     only the float curve — state stays distributed."""
     curve: list[float] = []
-    edges = _pin_edges(edges)
     state = _init_state(vertices)
+    edges, pinned = _pin_edges(edges, state.count())
 
     def _nf(s: DataFrame) -> float:
         est = hll_estimate(s, group_cols=("id",))
@@ -139,13 +156,16 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
                 .cast("double"), F.lit(0.0)), 6).alias("nf")).head()
         return float(row["nf"])
 
-    curve.append(_nf(state))
-    for _ in range(max_iters):
-        state = _superstep(state, edges)
+    try:
         curve.append(_nf(state))
-        if curve[-1] <= curve[-2] * (1.0 + growth_tol):
-            break
-    edges.unpersist(False)
+        for _ in range(max_iters):
+            state = _superstep(state, edges)
+            curve.append(_nf(state))
+            if curve[-1] <= curve[-2] * (1.0 + growth_tol):
+                break
+    finally:
+        if pinned:
+            edges.unpersist(False)
     target = alpha * curve[-1]
     for k, v in enumerate(curve):
         if v >= target:

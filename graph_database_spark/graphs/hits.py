@@ -7,13 +7,17 @@ ranks products by how much hub-weight buys them, hub ranks customers by
 how authoritative their baskets are — the classic bipartite
 reinforcement (Kleinberg, JACM 1999).
 
-Execution mirrors graphs.pagerank: a driver loop over DataFrames. The
-edge table is pinned TWICE — hash-partitioned+sorted+cached on src for
-the hub half-step and on dst for the authority half-step
+Execution mirrors graphs.pagerank: a driver loop over DataFrames. While
+the score frames fit the broadcast gate, both half-step joins are
+broadcast-hash joins and the edge side streams from ONE row-format
+checkpoint (measured rule 3: a sorted columnar cache pays a per-scan
+decode for partitioning a BHJ never uses). In the big regime the edge
+table is pinned TWICE — hash-partitioned+sorted+cached on src for the
+authority half-step and on dst for the hub half-step
 (`_pin_for_iteration`), so neither half-step re-shuffles or re-sorts
-edges; only the vertex-sized score frames move per iteration, hinted
-broadcast under the state-size gate and merge-pinned above it (see
-_pin_for_iteration's docstring for the policy). L1 normalization rides
+edges; only the vertex-sized score frames move per iteration,
+merge-pinned aggregates throughout (see _pin_for_iteration's docstring
+for the policy). L1 normalization rides
 along as a 1-row broadcast aggregate (no driver sync); lineage is
 truncated per iteration with localCheckpoint. Fixed iteration count (no
 convergence probe) keeps the whole fixed point replayable by an external
@@ -27,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .pagerank import (
     _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
+    _repartition_checkpoint,
 )
 
 
@@ -67,18 +72,29 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     n_state = max(hubs.count(), e.select("dst").distinct().count())
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, n_state, m)
-    # the hub half-step joins edges on src, the authority half-step on
-    # dst — pin one cached sorted copy per direction so neither
+    # the AUTHORITY half-step joins edges on src (summing h over
+    # out-edges of each hub lands on dst), the HUB half-step on dst —
+    # one sorted copy per direction in the big regime so neither
     # half-step ever re-shuffles/re-sorts the edge table (2× cache, the
     # GraphX-style trade: at scale a second edge cache is far cheaper
-    # than max_iter edge shuffles)
-    e_src = _pin_for_iteration(e, n_parts, "src")
-    e_dst = _pin_for_iteration(e, n_parts, "dst")
+    # than max_iter edge shuffles).
     # score frames: broadcast under the state gate (measured par with
     # the pre-r11 hinted shape at sf0.1), merge-pin above it so a
     # generous session autoBroadcastJoinThreshold can't move a half-step
     # aggregate onto a driver-blocking broadcast side
     bcast_state = n_state <= _BROADCAST_STATE_ROWS
+    # Regime gate (measured rule 3, SCALING.md pinned-cache appendix):
+    # under the gate the score frames broadcast, both half-step joins
+    # are broadcast-hash joins, and the edge sides merely STREAM — the
+    # row-format checkpoint streams faster than a sorted columnar
+    # cache, so both directions share the one checkpoint. Pin per
+    # direction only in the big regime, where the caches' reported
+    # partitioning/ordering saves the per-iteration edge Exchange+Sort.
+    if bcast_state:
+        e_src = e_dst = _repartition_checkpoint(e, n_parts)
+    else:
+        e_src = _pin_for_iteration(e, n_parts, "src")
+        e_dst = _pin_for_iteration(e, n_parts, "dst")
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast_state else df.hint("merge")
@@ -110,33 +126,38 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
                 .select("dst", (F.col("a") / F.col("__t")).alias("a")))
 
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
-    for it in range(max_iter):
-        a = _authorities(h)
-        h_new = (e_dst.join(_b(a), "dst")
-                 .groupBy("src").agg(F.sum("a").alias("h")))
-        tot_h = h_new.agg(F.sum("h").alias("__t"))
-        h_next = (h_new.crossJoin(F.broadcast(tot_h))
-                  .select("src", (F.col("h") / F.col("__t")).alias("h"))
-                  .localCheckpoint())
-        if tol is not None:
-            # both frames are L1-normalized, so the delta is scale-free;
-            # join of the two checkpointed frames (the pagerank-proven
-            # shape — no extra same-iteration reference inside the plan)
-            delta = (h_next.withColumnRenamed("h", "__new")
-                     .join(h.select("src", "h"), "src")
-                     .agg(F.sum(F.abs(F.col("__new") - F.col("h")))
-                          .alias("d")).first()["d"])
-        else:
-            delta = None
-        h = h_next
-        if delta is not None and delta < tol:
-            break
+    try:
+        for it in range(max_iter):
+            a = _authorities(h)
+            h_new = (e_dst.join(_b(a), "dst")
+                     .groupBy("src").agg(F.sum("a").alias("h")))
+            tot_h = h_new.agg(F.sum("h").alias("__t"))
+            h_next = (h_new.crossJoin(F.broadcast(tot_h))
+                      .select("src", (F.col("h") / F.col("__t")).alias("h"))
+                      .localCheckpoint())
+            if tol is not None:
+                # both frames are L1-normalized, so the delta is
+                # scale-free; join of the two checkpointed frames (the
+                # pagerank-proven shape — no extra same-iteration
+                # reference inside the plan)
+                delta = (h_next.withColumnRenamed("h", "__new")
+                         .join(h.select("src", "h"), "src")
+                         .agg(F.sum(F.abs(F.col("__new") - F.col("h")))
+                              .alias("d")).first()["d"])
+            else:
+                delta = None
+            h = h_next
+            if delta is not None and delta < tol:
+                break
 
-    # the closing half-step still reads the e_src cache — checkpoint it
-    # before releasing the pinned edge copies
-    a = _authorities(h).localCheckpoint()
-    e_src.unpersist(False)
-    e_dst.unpersist(False)
+        # the closing half-step still reads the e_src cache — checkpoint
+        # it before releasing the pinned edge copies
+        a = _authorities(h).localCheckpoint()
+    finally:
+        # finally-scoped: an aborted iteration must not leak the 2 pins
+        if not bcast_state:
+            e_src.unpersist(False)
+            e_dst.unpersist(False)
     out = (
         h.select(F.lit("hub").alias("side"), F.col("src").alias("id"),
                  F.round("h", 6).alias("score"))

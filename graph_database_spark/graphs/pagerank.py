@@ -13,10 +13,16 @@ Source: tp1/knoledge_graphs/recommendation.py:150-188 —
                                                 own loop, not an import)
 - converge on L1 delta < tol (1e-6) or max_iter (50); d = 0.85 (`:33-39`).
 
-Spark-first execution: a driver-side loop over DataFrames. The edge table
-is hash-partitioned on the join key, sorted within partitions, and CACHED
-once (`_pin_for_iteration`); each iteration's state⋈edges join then reads
-the cache with no Exchange and no Sort on the edge side — only the
+Spark-first execution: a driver-side loop over DataFrames, with the edge
+side prepared by REGIME (measured — SCALING.md pinned-cache appendix):
+while the state fits the broadcast gate, each iteration's state⋈edges
+join is a broadcast-hash join whose edge side merely streams, so edges
+stay a row-format `localCheckpoint` (a sorted columnar cache would pay a
+columnar→row decode per scan for partitioning a BHJ never uses — the r11
+unconditional pin regressed the driver bench 1.19–1.45× exactly here).
+Past the gate, edges are hash-partitioned, sorted, and CACHED once
+(`_pin_for_iteration`); the per-superstep sort-merge join then reads the
+cache with no Exchange and no Sort on the edge side — only the
 vertex-sized state shuffles per superstep. Sink mass and the convergence
 delta ride along as 1-row broadcast DataFrames / scalars; `localCheckpoint`
 truncates state lineage so plans don't grow with iteration count. This is
@@ -101,6 +107,23 @@ def _pin_for_iteration(df: DataFrame, n_parts: int, *keys: str) -> DataFrame:
               .persist())
 
 
+def _repartition_checkpoint(df: DataFrame, n_parts: int) -> DataFrame:
+    """Broadcast-regime edge/static-frame prep: a ROW-FORMAT checkpoint
+    at the loop's partition count. The first checkpoint inherits
+    whatever partitioning the caller's ETL ended on — under AQE's
+    advisory sizes that is often a handful of partitions, which would
+    cap every superstep's streaming scan at that parallelism; and a
+    too-high count (the session shuffle default) pays near-empty-task
+    scheduler overhead per iteration instead. One round-robin shuffle at
+    setup fixes the count for all max_iter scans while staying
+    row-format (measured rule 3: under a broadcast-hash join a
+    checkpoint streams ~15% faster than the sorted columnar cache, whose
+    partitioning the BHJ never uses)."""
+    if df.rdd.getNumPartitions() == n_parts:
+        return df
+    return df.repartition(n_parts).localCheckpoint()
+
+
 def _prep_personalization(vertices: DataFrame,
                           personalization: DataFrame | None,
                           n: int) -> DataFrame:
@@ -157,13 +180,29 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).withColumn("__is_sink", F.lit(True))
     sink_cols = sink_flag.select("id", "__is_sink")
+    # Regime gate (measured rule 3, SCALING.md r11/r12 appendix): when
+    # the narrow state broadcasts, every iteration's contrib join is a
+    # broadcast-hash join whose EDGE side merely streams — a row-format
+    # checkpoint streams faster than the sorted columnar cache (the
+    # cache pays a columnar→row decode per scan and its partitioning
+    # buys nothing under a BHJ; the r11 unconditional pin cost the
+    # driver bench 1.19× on this query at sf0.1). Pin only in the big
+    # regime, where the cache's reported partitioning/ordering is what
+    # saves the per-superstep edge Exchange+Sort under the merge join.
+    bcast_state = n <= _BROADCAST_STATE_ROWS
+    # p stays pinned in BOTH regimes: the contrib aggregate is
+    # merge-pinned below, so the p⋈contrib join is always a sort-merge
+    # join and p's cached partitioning/ordering is always load-bearing.
     p = _pin_for_iteration(
         _prep_personalization(verts, personalization, n)
         .join(sink_cols, "id", "left")
         .select("id", "p",
                 F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink")),
         n_parts, "id")
-    edges = _pin_for_iteration(edges, n_parts, "src")
+    if bcast_state:
+        edges = _repartition_checkpoint(edges, n_parts)
+    else:
+        edges = _pin_for_iteration(edges, n_parts, "src")
 
     if init_ranks is None:
         ranks = p.select("id", "__is_sink", F.lit(1.0 / n).alias("rank")) \
@@ -193,68 +232,74 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     check_delta = tol >= 0
     DELTA_EVERY = 3
     # Narrow state: hint it broadcast under the gate (the winning plan —
-    # state builds the hash side over the pinned edge scan); pin the
-    # contrib AGGREGATE to a merge join so no session threshold (the
-    # bench session runs autoBroadcastJoinThreshold=64MB) can ever move
-    # the whole aggregate subplan onto a driver-blocking broadcast side —
-    # the measured 2-3x per-iteration pathology this loop's shape exists
-    # to avoid. In the big regime the merge join is the only choice
-    # anyway, and its p side reads the pinned cache exchange-and-sort
-    # free.
-    bcast_state = n <= _BROADCAST_STATE_ROWS
+    # state builds the hash side over the streaming edge checkpoint);
+    # pin the contrib AGGREGATE to a merge join so no session threshold
+    # (the bench session runs autoBroadcastJoinThreshold=64MB) can ever
+    # move the whole aggregate subplan onto a driver-blocking broadcast
+    # side — the measured 2-3x per-iteration pathology this loop's shape
+    # exists to avoid. In the big regime the merge join is the only
+    # choice anyway, and its p side reads the pinned cache
+    # exchange-and-sort free.
     it = -1  # max_iter <= 0 never enters the loop → iteration count 0
-    for it in range(max_iter):
-        rsel = ranks.select("id", "rank")
-        if bcast_state:
-            rsel = F.broadcast(rsel)
-        contrib = (
-            edges.join(rsel, rsel["id"] == edges["src"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
-        )
-        stepped = p.join(contrib.hint("merge"), "id", "left")
-        if has_sinks:
-            sink_mass = (
-                ranks.filter("__is_sink")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__sink"))
+    try:
+        for it in range(max_iter):
+            rsel = ranks.select("id", "rank")
+            if bcast_state:
+                rsel = F.broadcast(rsel)
+            contrib = (
+                edges.join(rsel, rsel["id"] == edges["src"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
             )
-            stepped = stepped.crossJoin(F.broadcast(sink_mass))
-            sink_term = damping * F.col("__sink") / n
-        else:
-            sink_term = F.lit(0.0)
-        new_ranks = (
-            stepped.select(
-                "id", "__is_sink",
-                ((1.0 - damping) * F.col("p")
-                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
-                 + sink_term).alias("rank"),
+            stepped = p.join(contrib.hint("merge"), "id", "left")
+            if has_sinks:
+                sink_mass = (
+                    ranks.filter("__is_sink")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__sink"))
+                )
+                stepped = stepped.crossJoin(F.broadcast(sink_mass))
+                sink_term = damping * F.col("__sink") / n
+            else:
+                sink_term = F.lit(0.0)
+            new_ranks = (
+                stepped.select(
+                    "id", "__is_sink",
+                    ((1.0 - damping) * F.col("p")
+                     + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                     + sink_term).alias("rank"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
-            # (no forced final-iteration probe: the loop exits after
-            # max_iter regardless, so that delta could never be used)
-            # NOTE: keep the delta as a join of the two checkpointed
-            # frames — carrying a __prev column through the checkpoint
-            # adds a third same-iteration reference to `ranks` inside the
-            # checkpointed plan and (measured, Spark 4.1 local) degrades
-            # exponentially after ~13 iterations; this shape stays flat
-            # through 50+.
-            delta = (
-                new_ranks.withColumnRenamed("rank", "__new")
-                .join(ranks.select("id", "rank"), "id")
-                .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
-                .first()["d"]
-            )
-        else:
-            delta = None
-        ranks = new_ranks
-        if check_delta and delta is not None and delta < tol:
-            break
-    # the returned frame hangs off the checkpointed state only — the
-    # iteration caches can go
-    edges.unpersist(False)
-    p.unpersist(False)
+            if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
+                # (no forced final-iteration probe: the loop exits after
+                # max_iter regardless, so that delta could never be used)
+                # NOTE: keep the delta as a join of the two checkpointed
+                # frames — carrying a __prev column through the
+                # checkpoint adds a third same-iteration reference to
+                # `ranks` inside the checkpointed plan and (measured,
+                # Spark 4.1 local) degrades exponentially after ~13
+                # iterations; this shape stays flat through 50+.
+                delta = (
+                    new_ranks.withColumnRenamed("rank", "__new")
+                    .join(ranks.select("id", "rank"), "id")
+                    .agg(F.sum(F.abs(F.col("__new") - F.col("rank")))
+                         .alias("d"))
+                    .first()["d"]
+                )
+            else:
+                delta = None
+            ranks = new_ranks
+            if check_delta and delta is not None and delta < tol:
+                break
+    finally:
+        # the returned frame hangs off the checkpointed state only — the
+        # iteration caches can go; finally-scoped so an aborted iteration
+        # (executor loss, interrupt during the delta probe) cannot leak
+        # session-lifetime pins
+        if not bcast_state:
+            edges.unpersist(False)
+        p.unpersist(False)
     out = ranks.select("id", "rank")
     if with_iterations:
         return out, it + 1
@@ -308,17 +353,30 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     n_parts = num_partitions or _iter_partitions(
         vertices.sparkSession.sparkContext, state_rows, edges_mat.count())
 
+    # keyed state: n·n_keys rows outgrow Catalyst's auto-broadcast well
+    # before the graph is big — same gated hint as the blocked form
+    bcast_state = state_rows <= _BROADCAST_STATE_ROWS
+
     # normalize p per key: /sum, uniform if sum==0 (recommendation.py:181-188)
     full = keys.crossJoin(verts).join(personalization, ["key", "id"], "left") \
         .select("key", "id", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
     totals = full.groupBy("key").agg(F.sum("p").alias("__t"))
-    p = _pin_for_iteration(
-        full.join(totals, "key")
-        .select("key", "id",
-                F.when(F.col("__t") > 0, F.col("p") / F.col("__t"))
-                 .otherwise(F.lit(1.0 / n)).alias("p")),
-        n_parts, "key", "id")
-    edges = _pin_for_iteration(edges_mat, n_parts, "src")
+    p_frame = full.join(totals, "key").select(
+        "key", "id",
+        F.when(F.col("__t") > 0, F.col("p") / F.col("__t"))
+         .otherwise(F.lit(1.0 / n)).alias("p"))
+    # Regime gate (measured rule 3): in the broadcast regime every
+    # per-iteration join against p/edges is a broadcast-hash join whose
+    # big side merely STREAMS — row-format checkpoints stream faster
+    # than sorted columnar caches (per-scan decode, partitioning unused
+    # under a BHJ). Pin only in the big regime, where the merge-pinned
+    # contrib makes the caches' partitioning/ordering load-bearing.
+    if bcast_state:
+        p = p_frame.repartition(n_parts).localCheckpoint()
+        edges = _repartition_checkpoint(edges_mat, n_parts)
+    else:
+        p = _pin_for_iteration(p_frame, n_parts, "key", "id")
+        edges = _pin_for_iteration(edges_mat, n_parts, "src")
     sink_ids = verts.join(edges_mat.select(F.col("src").alias("id"))
                           .distinct(),
                           "id", "left_anti").localCheckpoint()
@@ -329,10 +387,6 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     active = p.select("key", "id", F.lit(1.0 / n).alias("rank")) \
         .localCheckpoint()
     frozen = None
-
-    # keyed state: n·n_keys rows outgrow Catalyst's auto-broadcast well
-    # before the graph is big — same gated hint as the blocked form
-    bcast_state = state_rows <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         # big regime: pin to a merge join so a generous session
@@ -350,57 +404,61 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     # on either side of the boundary (and a no-probe iteration stays one
     # job instead of three).
     DELTA_EVERY = 3
-    for _it in range(max_iter):
-        contrib = (
-            edges.join(_b(active), active["id"] == edges["src"])
-            .groupBy("key", F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
-        )
-        stepped = (
-            p.join(active.select("key").distinct(), "key", "left_semi")
-            .join(_b(contrib), ["key", "id"], "left")
-        )
-        if has_sinks:
-            sink_mass = (
-                active.join(sink_ids, "id", "left_semi")
-                .groupBy("key").agg(F.sum("rank").alias("__sink"))
+    try:
+        for _it in range(max_iter):
+            contrib = (
+                edges.join(_b(active), active["id"] == edges["src"])
+                .groupBy("key", F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("weight")).alias("__in"))
             )
-            stepped = stepped.join(sink_mass, "key", "left")
-            sink_term = (damping
-                         * F.coalesce(F.col("__sink"), F.lit(0.0)) / n)
-        else:
-            sink_term = F.lit(0.0)
-        new_ranks = (
-            stepped.select(
-                "key", "id",
-                ((1.0 - damping) * F.col("p")
-                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
-                 + sink_term).alias("rank"),
+            stepped = (
+                p.join(active.select("key").distinct(), "key", "left_semi")
+                .join(_b(contrib), ["key", "id"], "left")
             )
-            .localCheckpoint()
-        )
-        if not check_delta or _it % DELTA_EVERY != DELTA_EVERY - 1:
-            active = new_ranks
-            continue
-        deltas = (
-            new_ranks.withColumnRenamed("rank", "__new")
-            .join(_b(active), ["key", "id"])
-            .groupBy("key")
-            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
-            .localCheckpoint()
-        )
-        done_keys = deltas.filter(F.col("d") < tol).select("key")
-        newly_frozen = new_ranks.join(done_keys, "key", "left_semi")
-        frozen = newly_frozen if frozen is None \
-            else frozen.unionByName(newly_frozen)
-        active = new_ranks.join(done_keys, "key", "left_anti") \
-            .localCheckpoint()
-        if active.isEmpty():
-            break
-    out = active if frozen is None else frozen.unionByName(active)
-    out = out.localCheckpoint()
-    edges.unpersist(False)
-    p.unpersist(False)
+            if has_sinks:
+                sink_mass = (
+                    active.join(sink_ids, "id", "left_semi")
+                    .groupBy("key").agg(F.sum("rank").alias("__sink"))
+                )
+                stepped = stepped.join(sink_mass, "key", "left")
+                sink_term = (damping
+                             * F.coalesce(F.col("__sink"), F.lit(0.0)) / n)
+            else:
+                sink_term = F.lit(0.0)
+            new_ranks = (
+                stepped.select(
+                    "key", "id",
+                    ((1.0 - damping) * F.col("p")
+                     + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                     + sink_term).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            if not check_delta or _it % DELTA_EVERY != DELTA_EVERY - 1:
+                active = new_ranks
+                continue
+            deltas = (
+                new_ranks.withColumnRenamed("rank", "__new")
+                .join(_b(active), ["key", "id"])
+                .groupBy("key")
+                .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
+                .localCheckpoint()
+            )
+            done_keys = deltas.filter(F.col("d") < tol).select("key")
+            newly_frozen = new_ranks.join(done_keys, "key", "left_semi")
+            frozen = newly_frozen if frozen is None \
+                else frozen.unionByName(newly_frozen)
+            active = new_ranks.join(done_keys, "key", "left_anti") \
+                .localCheckpoint()
+            if active.isEmpty():
+                break
+        out = active if frozen is None else frozen.unionByName(active)
+        out = out.localCheckpoint()
+    finally:
+        # finally-scoped: an aborted iteration must not leak the pins
+        if not bcast_state:
+            edges.unpersist(False)
+            p.unpersist(False)
     return out
 
 
@@ -445,7 +503,7 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     sink_cols = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).select("id", F.lit(True).alias("__is_sink"))
-    p = _pin_for_iteration(
+    p_frame = (
         full.crossJoin(F.broadcast(totals))
         .join(sink_cols, "id", "left")
         .select(
@@ -453,21 +511,31 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
             F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink"),
             *[F.when(F.col(f"__t{i}") > 0,
                      F.col(f"__p{i}") / F.col(f"__t{i}"))
-              .otherwise(F.lit(1.0 / n)).alias(f"__p{i}") for i in range(k)]),
-        n_parts, "id")
-    edges = _pin_for_iteration(edges, n_parts, "src")
+              .otherwise(F.lit(1.0 / n)).alias(f"__p{i}") for i in range(k)]))
+    # WIDE state: the k+1-column frame sits past Catalyst's 10 MB
+    # auto-broadcast long before |V| is big (see _BROADCAST_STATE_ROWS
+    # note) — hint it under the cell gate, fall back to the pinned-cache
+    # shuffle shape above it.
+    bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
+    # Regime gate (measured rule 3): under the gate both per-iteration
+    # joins are broadcast-hash joins whose p/edge sides STREAM — use
+    # row-format checkpoints, not sorted columnar caches (whose per-scan
+    # decode the r11 unconditional pin paid 20 times per run: the
+    # driver-bench 1.45× regression on ppr_fixed20_batch). Pin only in
+    # the big regime, where the merge-pinned contrib join makes the
+    # caches' partitioning/ordering load-bearing.
+    if bcast_state:
+        p = p_frame.repartition(n_parts).localCheckpoint()
+        edges = _repartition_checkpoint(edges, n_parts)
+    else:
+        p = _pin_for_iteration(p_frame, n_parts, "id")
+        edges = _pin_for_iteration(edges, n_parts, "src")
     has_sinks = p.filter("__is_sink").limit(1).count() > 0
 
     r = [f"__r{i}" for i in range(k)]
     ranks = p.select(
         "id", "__is_sink",
         *[F.lit(1.0 / n).alias(rc) for rc in r]).localCheckpoint()
-
-    # WIDE state: the k+1-column frame sits past Catalyst's 10 MB
-    # auto-broadcast long before |V| is big (see _BROADCAST_STATE_ROWS
-    # note) — hint it under the cell gate, fall back to the pinned-cache
-    # shuffle shape above it
-    bcast_state = n * (k + 1) <= _BROADCAST_STATE_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         # big regime: pin to a merge join so a generous session
@@ -488,66 +556,70 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     live = list(range(k))
     frozen_snap: dict[int, DataFrame] = {}
     DELTA_EVERY = 3  # same probe cadence (and probe iterations) as pagerank()
-    for it in range(max_iter):
-        contrib = (
-            edges.join(_b(ranks.select("id", *[r[i] for i in live])),
-                       ranks["id"] == edges["src"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.sum(F.col(r[i]) * F.col("weight")).alias(f"__c{i}")
-                   for i in live])
-        )
-        stepped = p.join(_b(contrib), "id", "left")
-        if has_sinks:
-            sink_mass = ranks.filter("__is_sink").agg(
-                *[F.coalesce(F.sum(r[i]), F.lit(0.0)).alias(f"__s{i}")
-                  for i in live])
-            stepped = stepped.crossJoin(F.broadcast(sink_mass))
-
-        def _new(i: int):
-            term = ((1.0 - damping) * F.col(f"__p{i}")
-                    + damping * F.coalesce(F.col(f"__c{i}"), F.lit(0.0)))
+    try:
+        for it in range(max_iter):
+            contrib = (
+                edges.join(_b(ranks.select("id", *[r[i] for i in live])),
+                           ranks["id"] == edges["src"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(*[F.sum(F.col(r[i]) * F.col("weight")).alias(f"__c{i}")
+                       for i in live])
+            )
+            stepped = p.join(_b(contrib), "id", "left")
             if has_sinks:
-                term = term + damping * F.col(f"__s{i}") / n
-            return term
+                sink_mass = ranks.filter("__is_sink").agg(
+                    *[F.coalesce(F.sum(r[i]), F.lit(0.0)).alias(f"__s{i}")
+                      for i in live])
+                stepped = stepped.crossJoin(F.broadcast(sink_mass))
 
-        new_ranks = stepped.select(
-            "id", "__is_sink",
-            *[_new(i).alias(r[i]) for i in live]).localCheckpoint()
-        if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
-            # one driver sync per DELTA_EVERY iterations: the per-key L1
-            # deltas ride a 1-row aggregate. Probing every 3rd iteration
-            # overshoots a key's exact stop point by at most 2 damped
-            # steps, each moving its ranks by < tol (the pagerank()
-            # argument) — and makes the k=1 freeze point IDENTICAL to
-            # the single-vector loop's stop point, since both probe the
-            # same iterations.
-            deltas = new_ranks.join(
-                _b(ranks.select("id", *[F.col(r[i]).alias(f"__o{i}")
-                                        for i in live])), "id"
-            ).agg(*[F.sum(F.abs(F.col(r[i]) - F.col(f"__o{i}")))
-                    .alias(f"__d{i}") for i in live]).first()
-            done = [i for i in live if deltas[f"__d{i}"] < tol]
-            for i in done:
-                # freeze at the key's own convergence point (the long
-                # form's newly_frozen snapshot) — checkpointed, so this
-                # reference stays valid and adds no lineage
-                frozen_snap[i] = new_ranks.select("id", r[i])
-            live = [i for i in live if i not in done]
-        ranks = new_ranks
-        if check_delta and not live:
-            break
+            def _new(i: int):
+                term = ((1.0 - damping) * F.col(f"__p{i}")
+                        + damping * F.coalesce(F.col(f"__c{i}"), F.lit(0.0)))
+                if has_sinks:
+                    term = term + damping * F.col(f"__s{i}") / n
+                return term
 
-    def _long(i: int, frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.lit(key_list[i]).alias("key"), "id",
-            F.col(r[i]).alias("rank"))
+            new_ranks = stepped.select(
+                "id", "__is_sink",
+                *[_new(i).alias(r[i]) for i in live]).localCheckpoint()
+            if check_delta and it % DELTA_EVERY == DELTA_EVERY - 1:
+                # one driver sync per DELTA_EVERY iterations: the per-key
+                # L1 deltas ride a 1-row aggregate. Probing every 3rd
+                # iteration overshoots a key's exact stop point by at
+                # most 2 damped steps, each moving its ranks by < tol
+                # (the pagerank() argument) — and makes the k=1 freeze
+                # point IDENTICAL to the single-vector loop's stop point,
+                # since both probe the same iterations.
+                deltas = new_ranks.join(
+                    _b(ranks.select("id", *[F.col(r[i]).alias(f"__o{i}")
+                                            for i in live])), "id"
+                ).agg(*[F.sum(F.abs(F.col(r[i]) - F.col(f"__o{i}")))
+                        .alias(f"__d{i}") for i in live]).first()
+                done = [i for i in live if deltas[f"__d{i}"] < tol]
+                for i in done:
+                    # freeze at the key's own convergence point (the long
+                    # form's newly_frozen snapshot) — checkpointed, so
+                    # this reference stays valid and adds no lineage
+                    frozen_snap[i] = new_ranks.select("id", r[i])
+                live = [i for i in live if i not in done]
+            ranks = new_ranks
+            if check_delta and not live:
+                break
 
-    out = None
-    for i in range(k):
-        part = _long(i, frozen_snap[i]) if i in frozen_snap \
-            else _long(i, ranks)
-        out = part if out is None else out.unionByName(part)
-    out = out.localCheckpoint()
-    edges.unpersist(False)
-    p.unpersist(False)
+        def _long(i: int, frame: DataFrame) -> DataFrame:
+            return frame.select(
+                F.lit(key_list[i]).alias("key"), "id",
+                F.col(r[i]).alias("rank"))
+
+        out = None
+        for i in range(k):
+            part = _long(i, frozen_snap[i]) if i in frozen_snap \
+                else _long(i, ranks)
+            out = part if out is None else out.unionByName(part)
+        out = out.localCheckpoint()
+    finally:
+        # finally-scoped: an aborted iteration must not leak the pins
+        if not bcast_state:
+            edges.unpersist(False)
+            p.unpersist(False)
     return out

@@ -8,12 +8,15 @@ truncated with localCheckpoint — the same Pregel-on-DataFrames shape as
 graphs.pagerank.
 
 Scale notes: each superstep shuffles the frontier (BFS) or the full label
-set (CC) against the edge table pinned ONCE in a hash-partitioned sorted
-cache (`_pin_for_iteration` — cached scans keep partitioning/ordering,
-checkpoints do not), so per-superstep movement is state-sized. Keyed
-frontiers carry a size-gated broadcast hint and every per-superstep
-aggregate is merge-pinned (see _pin_for_iteration's docstring for the
-measured policy). BFS work is proportional to the
+set (CC) against the edge table, prepared by REGIME (measured rule 3,
+SCALING.md pinned-cache appendix): a row-format checkpoint re-partitioned
+once to the loop count while the state side broadcasts (the edge side
+merely streams through a BHJ there), a hash-partitioned sorted cache
+(`_pin_for_iteration` — cached scans keep partitioning/ordering,
+checkpoints do not) in the big regime, so per-superstep movement is
+state-sized. Keyed frontiers carry a size-gated broadcast hint and every
+per-superstep aggregate is merge-pinned (see _pin_for_iteration's
+docstring for the measured policy). BFS work is proportional to the
 expanding frontier; CC label propagation converges in O(diameter)
 supersteps (the driver testdata co-occurrence graphs have tiny diameters;
 for pathological chains `connected_components_star` below is the
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .pagerank import (
     _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
+    _repartition_checkpoint,
 )
 
 
@@ -139,7 +143,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     nv = vertices.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, nv, m)
-    sym = _pin_for_iteration(sym, n_parts, "src")
+    # Regime gate (measured rule 3): while the label state broadcasts,
+    # each superstep's propagation join streams the edge side through a
+    # BHJ — keep the row-format checkpoint (re-partitioned once to the
+    # loop count); pin only in the big regime, where the merge-pinned
+    # neighbor_min aggregate makes the cache's partitioning load-bearing.
+    bcast_state = nv <= _BROADCAST_STATE_ROWS
+    sym = _repartition_checkpoint(sym, n_parts) if bcast_state \
+        else _pin_for_iteration(sym, n_parts, "src")
 
     if init_labels is None:
         labels = vertices.select("id", F.col("id").alias("component")) \
@@ -166,36 +177,39 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         ).first()["s"]
 
     prev_sum = _label_sum(labels) if numeric_ids else None
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, labels["id"] == sym["src"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("n_comp"))
-        )
-        new_labels = (
-            # merge-pin the aggregate side: see pagerank's contrib note
-            labels.join(neighbor_min.hint("merge"), "id", "left")
-            .select("id", F.least(
-                F.col("component"),
-                F.coalesce(F.col("n_comp"), F.col("component"))
-            ).alias("component"))
-            .localCheckpoint()
-        )
-        if numeric_ids:
-            new_sum = _label_sum(new_labels)
-            unchanged = new_sum == prev_sum
-            prev_sum = new_sum
-        else:
-            unchanged = (
-                new_labels.withColumnRenamed("component", "new_c")
-                .join(labels, "id")
-                .filter(F.col("new_c") != F.col("component"))
-                .isEmpty()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, labels["id"] == sym["src"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("n_comp"))
             )
-        labels = new_labels
-        if unchanged:
-            break
-    sym.unpersist(False)
+            new_labels = (
+                # merge-pin the aggregate side: see pagerank's contrib note
+                labels.join(neighbor_min.hint("merge"), "id", "left")
+                .select("id", F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"))
+                .localCheckpoint()
+            )
+            if numeric_ids:
+                new_sum = _label_sum(new_labels)
+                unchanged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                unchanged = (
+                    new_labels.withColumnRenamed("component", "new_c")
+                    .join(labels, "id")
+                    .filter(F.col("new_c") != F.col("component"))
+                    .isEmpty()
+                )
+            labels = new_labels
+            if unchanged:
+                break
+    finally:
+        if not bcast_state:
+            sym.unpersist(False)
     return labels
 
 
@@ -466,6 +480,14 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     nv = vertices.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, nv, m)
+    # LPA keeps the UNCONDITIONAL pin — measured exception to the regime
+    # gate (r12 A/B: gated 0.86×, consistent across rounds, while CC
+    # gated measured 1.08×): the symmetrized 2-col long edge list decodes
+    # trivially from the columnar cache, so rule 3's per-scan decode
+    # premium doesn't materialize, and LPA's FIXED 10 supersteps rescan
+    # the list enough times that scan cost dominates the setup sort the
+    # checkpoint saves; CC converges in ~diameter (2-4) supersteps on the
+    # co-occurrence graphs, so its setup dominates and the gate wins.
     sym = _pin_for_iteration(sym, n_parts, "src")
 
     if init_labels is None:
@@ -480,33 +502,35 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     w = (Window.partitionBy("id")
          .orderBy(F.desc("cnt"), F.asc("community")))
     it = -1  # max_iter <= 0 never enters the loop → superstep count 0
-    for it in range(max_iter):
-        hist = (
-            sym.join(labels, labels["id"] == sym["src"])
-            .groupBy(F.col("dst").alias("id"), "community")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        winner = (hist
-                  .withColumn("__rn", F.row_number().over(w))
-                  .filter("__rn = 1")
-                  .select("id", F.col("community").alias("n_comm")))
-        updated = (
-            # merge-pin the argmax side: see pagerank's contrib note
-            labels.join(winner.hint("merge"), "id", "left")
-            .select("id",
-                    F.coalesce(F.col("n_comm"), F.col("community"))
-                     .alias("community"),
-                    (F.col("n_comm").isNotNull()
-                     & (F.col("n_comm") != F.col("community")))
-                    .alias("__chg"))
-            .localCheckpoint()
-        )
-        stable = (stop_when_stable
-                  and updated.filter("__chg").limit(1).count() == 0)
-        labels = updated.drop("__chg")
-        if stable:
-            break
-    sym.unpersist(False)
+    try:
+        for it in range(max_iter):
+            hist = (
+                sym.join(labels, labels["id"] == sym["src"])
+                .groupBy(F.col("dst").alias("id"), "community")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            winner = (hist
+                      .withColumn("__rn", F.row_number().over(w))
+                      .filter("__rn = 1")
+                      .select("id", F.col("community").alias("n_comm")))
+            updated = (
+                # merge-pin the argmax side: see pagerank's contrib note
+                labels.join(winner.hint("merge"), "id", "left")
+                .select("id",
+                        F.coalesce(F.col("n_comm"), F.col("community"))
+                         .alias("community"),
+                        (F.col("n_comm").isNotNull()
+                         & (F.col("n_comm") != F.col("community")))
+                        .alias("__chg"))
+                .localCheckpoint()
+            )
+            stable = (stop_when_stable
+                      and updated.filter("__chg").limit(1).count() == 0)
+            labels = updated.drop("__chg")
+            if stable:
+                break
+    finally:
+        sym.unpersist(False)
     if with_iterations:
         return labels, it + 1
     return labels

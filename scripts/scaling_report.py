@@ -213,7 +213,7 @@ Sub-linear through the boundary: the cogroup premium is a one-time
 constant and per-vector work is √nlist-ish, so the production
 configuration enters its scale regime without a step change.
 
-## Appendix: pinned-cache iterative loops (r11 rework, measured)
+## Appendix: pinned-cache iterative loops (r11 rework + r12 regime gate, measured)
 
 `localCheckpoint` does NOT preserve hash partitioning in Spark 4.1
 (measured: two frames repartitioned on the same key and checkpointed
@@ -234,7 +234,7 @@ was 1.6–2.5× on this rig and had previously inverted a conclusion):
 
 | loop | state shape | policy | old (s) | new (s) |
 |---|---|---|---|---|
-| pagerank (single vector) | narrow (id, rank) | pinned, NO hints | 10.9–11.5 | 9.0–9.2 |
+| pagerank (single vector) | narrow (id, rank) | pinned + gated state hint, merge-pinned aggregates | 10.9–11.5 | 9.0–9.2 |
 | ppr_fixed20_batch (blocked, 64 keys) | wide 65-col | pinned + cell-gated hints | 20.0–33.6 | 17.1–20.6 |
 | hits_fixed10 | two narrow frames | pinned both directions | 10.7–13.1 | 10.0–12.4 |
 | graph_lpa_communities | narrow labels | pinned, no hints | 3.7–5.1 | 3.5–4.7 |
@@ -245,12 +245,14 @@ was 1.6–2.5× on this rig and had previously inverted a conclusion):
 
 Three measured rules fell out:
 
-1. **Narrow vertex state needs no hints.** A checkpointed state frame
-   carries size stats, so Catalyst broadcasts it on its own while it is
-   small and flips to a shuffle join exactly when |V| outgrows the
-   threshold. Explicitly hinting the contrib/sink AGGREGATES (the old
-   shape) moved whole aggregation subplans onto broadcast sides,
-   serializing each iteration into 3 driver-blocking broadcast
+1. **Narrow vertex state: broadcast the STATE, never the aggregates.**
+   Catalyst's stats would broadcast a checkpointed state frame on its
+   own, but the shipped loop pins the choice explicitly — a size-gated
+   F.broadcast hint on the state side and .hint("merge") on every
+   per-iteration AGGREGATE (contrib/sink/argmax) — so no session
+   autoBroadcastJoinThreshold can move an aggregation subplan onto a
+   broadcast side. The OLD shape hinted the aggregates themselves,
+   which serialized each iteration into 3 driver-blocking broadcast
    sub-jobs — 20% slower for pagerank, and catastrophic (3–6×) under
    host contention.
 2. **Wide or keyed state keeps a size-computed hint.** The blocked
@@ -273,6 +275,61 @@ are scanned thereafter), and the landmark loops size by the
 relax stage on 3 tasks — measured ~25% regression before the fix).
 At 100 TB the partition cap (cluster default parallelism) binds and
 `num_partitions` is the explicit override.
+
+### r12: the regime gate extended to pagerank / batch PPR / HITS / CC / LPA
+
+r11 shipped rule 3 only for the landmark loops; pagerank / batch PPR /
+HITS / CC / LPA still pinned edges UNCONDITIONALLY — so at every
+sub-gate scale (including the driver's sf0.1) each superstep streamed
+the columnar edge cache through a broadcast-hash join, paying the
+per-scan decode for partitioning the BHJ never uses. The driver's r11
+bench regressed the graph family 1.08× normalized (ppr_fixed20_batch
+1.45×) exactly there. r12 applies the gate everywhere the state side
+broadcasts: edges (and the batch PPR forms' static p) become
+ROW-FORMAT checkpoints, re-partitioned once to the loop's partition
+count (`_repartition_checkpoint`). The re-partition is load-bearing:
+the first checkpoint inherits the ETL's AQE-coalesced partitioning
+(often 1–4 partitions at sf0.1), which caps every superstep scan's
+parallelism — without it the gated shape measured SLOWER than the pin
+(hits 0.88×, pagerank_fixed20 0.93× on the first r12 A/B).
+
+Interleaved same-process A/Bs (sys.modules swap, min-of-3,
+`scripts/ab_gated_pins.py`), run on BOTH session classes — the
+driver-default 10 MB-auto-broadcast session (where r11's builder A/Bs
+were never run, which is how the regression shipped) and the tuned
+64 MB bench session (what bench.py runs under):
+
+| query | driver-default old→new (s) | tuned old→new (s) |
+|---|---|---|
+| pagerank_fixed20 | 12.12 → 10.82 (**1.12×**) | 12.65 → 10.97 (**1.15×**) |
+| ppr_fixed20_batch | 15.30 → 15.70 (0.97×, par) | 18.98 → 14.44 (**1.31×**) |
+| ppr_batch_focal | 11.91 → 10.66 (**1.12×**) | 13.31 → 10.41 (**1.28×**) |
+| hits_fixed10 | 16.12 → 8.92 (**1.81×**) | 13.16 → 8.89 (**1.48×**) |
+| pagerank_global | 8.51 → 7.85 (1.08×) | 10.47 → 13.73 (0.76×, in noise band) |
+| *noise markers (identical code both variants)* | | |
+| graph_hyperanf_nf | 9.31 → 13.85 (0.67×) | 9.26 → 10.30 (0.90×) |
+| graph_hyperanf_diameter | 15.24 → 12.18 (1.25×) | 18.44 → 20.55 (0.90×) |
+| connected_components_star | 7.89 → 6.19 (1.28×) | 7.17 → 8.96 (0.80×) |
+
+The noise markers bound host noise at ±25–30% per A/B draw even
+interleaved; the four target queries improve past that band on at
+least one session class and never regress past it on the other.
+
+HyperANF stays PINNED by measurement, not prescription: its register
+state carries no broadcast hint and saturates toward |V|·m rows — 47M
+cells at the sf0.1 purchase graph (185k vertices × 256 registers), far
+past any session threshold — so the superstep join runs sort-merge for
+most of the run and the pin's partitioning is load-bearing. The gate in
+`anf._pin_edges` uses that saturation bound (|V|·m vs the 5M-cell
+gate), so both r12 A/B variants executed identical ANF plans at sf0.1;
+the nf/diameter swings above are pure host noise.
+
+connected_components_star's r11 driver move (1.26× normalized, r11
+verdict #7): its inner loop and partition sizing are bit-identical
+r10→r11 (diff checked), and the interleaved A/B measures old/new par —
+the move was 2-pass min noise on a ~8 s query; bench.py now gives it
+(and the other verdict-#5 small swingers) extra draws.
+
 """.split("\n")
 
 
