@@ -531,6 +531,46 @@ def test_semantic_dedup_auto_dispatch_boundary(spark, monkeypatch):
     assert "FlatMapCoGroupsInPandas" in two_plan
 
 
+def test_auto_dispatch_warns_on_every_batch_entry_path(spark, monkeypatch):
+    """The one-time approximation warning must fire from EVERY
+    two_level=None entry path, not just the helper (r11 verdict #4):
+    semantic_dedup_auto and semantic_dedup_between each reach
+    _auto_two_level when the measured nlist crosses the boundary (the
+    streaming ingest path has its own test in test_streaming_ann). Plan
+    construction is enough — the warn happens at dispatch time."""
+    import warnings
+
+    from graph_database_spark.operators import ann
+    from graph_database_spark.operators.ann import semantic_cell_index
+    from graph_database_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nlist = ann.auto_nlist(emb.count(), target_occupancy=32)
+    cents = [list(r[0]) for r in
+             emb.orderBy("vec_id").select("embedding").limit(nlist)
+                .collect()]
+    monkeypatch.setattr(ann, "_TWO_LEVEL_MIN_NLIST", len(cents) - 1)
+
+    # path 1: semantic_dedup_auto(two_level=None)
+    monkeypatch.setattr(ann, "_warned_two_level_auto", False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ann.semantic_dedup_auto(emb, centroids=cents)
+    assert any("semantic_dedup_auto" in str(w.message)
+               and "TWO-LEVEL" in str(w.message) for w in caught)
+
+    # path 2: semantic_dedup_between(two_level=None)
+    corpus_index = semantic_cell_index(
+        emb.filter("vec_id % 2 = 0"), cents, two_level=True)
+    monkeypatch.setattr(ann, "_warned_two_level_auto", False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ann.semantic_dedup_between(
+            emb.filter("vec_id % 2 = 1"), corpus_index, cents)
+    assert any("semantic_dedup_between" in str(w.message)
+               and "TWO-LEVEL" in str(w.message) for w in caught)
+
+
 def test_rrf_fuse_blends_both_arms(spark):
     from graph_database_spark.operators.ann import rrf_fuse
     lex = spark.createDataFrame(

@@ -279,10 +279,12 @@ def test_skew_caps_bound_pair_fanout(spark):
 def test_coarse_quantizer_invariants_random_unit_vectors(data):
     """coarse_quantizer on ARBITRARY unit-norm centroid lists (the r10
     two-level SemDeDup routing table, pure driver-side numpy): routing
-    must stay in range, coarse cell j must own fine cell j (the
-    pigeonhole invariant that guarantees a preferred coarse cell is
-    never empty of fine candidates), and the mapping must equal the
-    brute-force (dot DESC, id ASC) argmax the SQL oracle replays."""
+    must stay in range; fine cell j must route to a coarse cell whose
+    dot with it ties 1.0 (itself, or an EARLIER duplicate of itself —
+    so every coarse cell is non-empty unless a duplicate owns its
+    members: the precise pigeonhole invariant, asserted below per cell);
+    and the mapping must equal the brute-force (dot DESC, id ASC)
+    argmax the SQL oracle replays."""
     import numpy as np
 
     from graph_database_spark.operators.ann import coarse_quantizer
