@@ -275,7 +275,13 @@ def main() -> None:
                     "connected_components_star": 2,
                     # r11 verdict #6: 2.22s driver row vs <=2.0s target,
                     # ~1.95s normalized — re-measure before optimizing
-                    "hybrid_rrf_topk": 2}
+                    "hybrid_rrf_topk": 2,
+                    # widest spread in the registry: 7.8-17.5s across the
+                    # r11/r12 history rows with unchanged code (6-stage
+                    # composite = 25+ jobs, so one noisy draw compounds
+                    # across every stage); slowest entry, so its noise
+                    # dominates round-over-round total comparisons
+                    "pipeline_curate_pack": 2}
     # Soft wall-clock budget: refinement passes (2+) stop once exceeded,
     # pass 1 ALWAYS completes — every query gets a number, later passes
     # only tighten them. Keeps the run bounded as the query list grows.

@@ -330,6 +330,31 @@ r10→r11 (diff checked), and the interleaved A/B measures old/new par —
 the move was 2-pass min noise on a ~8 s query; bench.py now gives it
 (and the other verdict-#5 small swingers) extra draws.
 
+### Second-decade check at sf1 (attempted r12, 2026-08-17 — inconclusive)
+
+The same harness was pointed at the gen_sfbig sf1 corpus on both
+session classes (driver-default: 8 queries, min-of-2; tuned: 6
+queries, min-of-3). Both runs FAILED their own noise gate and are
+recorded as method-faithful nulls, not as evidence. The identical-code
+markers — graph_hyperanf_nf/diameter (both variants pin: ~1.85M
+vertices × 256 registers ≫ the 5M-cell gate at sf1) and
+connected_components_star (traversal.py is not in AB_MODULES, so both
+arms run the same bytes) — read 0.49–0.96× old-over-new, with
+per-draw swings on identical plans reaching 2.8× (hyperanf_nf 42.9 s
+→ 119.3 s between adjacent tuned rounds): the host that night drew
+systematically slower states for whichever arm ran second, far past
+the ±25–30% band the sf0.1 A/Bs were bounded by. Within that span no
+conclusion separates the variants; the one safe reading is that NO
+gated loop fell below the marker floor (worst gated reading 0.646 vs
+marker floor 0.493), i.e. nothing suggests the r12 gate regresses at
+sf1. Two structural facts make the sf0.1 table the operative evidence
+anyway: (1) every gated loop is still in the BROADCAST regime at sf1 —
+the purchase graph's vertex state crosses the 5M gate only past ~sf3 —
+so sf1 exercises exactly the plan shape sf0.1 measured; (2) the big
+regime's pin-vs-checkpoint choice was measured directly by the r11
+landmark-loop A/Bs that produced rule 3. Re-attempt on a quiet host
+before citing any sf1 number for the gate.
+
 """.split("\n")
 
 
