@@ -220,6 +220,7 @@ def main() -> None:
     # calibration_sec gives a host-normalized number that IS comparable
     # across rounds. min-of-3 like the queries themselves.
     calib = None
+    spark.sparkContext.setJobDescription("bench:calibration_cpu")
     for _ in range(3):
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).selectExpr(
@@ -234,6 +235,7 @@ def main() -> None:
     # per-query deltas be attributed: compute-bound queries track
     # calibration_sec, many-small-stage queries track calibration_job_sec.
     job_walls = []
+    spark.sparkContext.setJobDescription("bench:calibration_job")
     for _ in range(7):
         t0 = time.perf_counter()
         spark.range(0, 32, 1, 32).write.format("noop").mode("overwrite").save()
@@ -300,6 +302,9 @@ def main() -> None:
                 break
             if name in errors:
                 continue
+            # label the jobs (guide §1): every Spark job in the UI/event
+            # log attributes to its query and pass
+            spark.sparkContext.setJobDescription(f"bench:{name}:pass{p}")
             t0 = time.perf_counter()
             try:
                 df = QUERIES[name](spark, SF_DIR)

@@ -116,6 +116,7 @@ def main() -> None:
         for tag, mods in (("old", old_mods), ("new", new_mods)):
             _install(mods)
             for n in names:
+                spark.sparkContext.setJobDescription(f"ab:{tag}:{n}:r{rnd}")
                 t0 = time.perf_counter()
                 QUERIES[n](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
