@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.sketches import HLL_M, hll_estimate, hll_sketch
 from .pagerank import (
-    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
-    _repartition_checkpoint,
+    _BROADCAST_STATE_ROWS, _EDGE_PIN_ROWS, _iter_partitions,
+    _pin_for_iteration, _repartition_checkpoint,
 )
 
 
@@ -72,15 +72,18 @@ def _pin_edges(edges: DataFrame, n_vertices: int) -> tuple[DataFrame, bool]:
     and the cache's reported partitioning/ordering is what keeps the
     per-superstep edge Exchange+Sort out of the plan."""
     edges = edges.localCheckpoint()
-    if n_vertices * HLL_M <= _BROADCAST_STATE_ROWS:
-        n = _iter_partitions(edges.sparkSession.sparkContext,
-                             edges.count(), edges.count())
+    m = edges.count()
+    # second gate (_EDGE_PIN_ROWS, pagerank.py): past the measured edge-
+    # row bound the checkpoint's per-row deserialization outgrows the
+    # cache's columnar decode even in the broadcast regime (the sf1-
+    # measured inversion on the pagerank-family loops) — pin there too.
+    if n_vertices * HLL_M <= _BROADCAST_STATE_ROWS and m <= _EDGE_PIN_ROWS:
+        n = _iter_partitions(edges.sparkSession.sparkContext, m, m)
         return _repartition_checkpoint(edges, n), False
     # each superstep streams register rows (≥ edge count once balls grow)
     # out of the cache's partitions — size by edge rows at the STATE
     # weight so the contrib map stage keeps real parallelism
-    n = _iter_partitions(edges.sparkSession.sparkContext,
-                         edges.count(), edges.count())
+    n = _iter_partitions(edges.sparkSession.sparkContext, m, m)
     return _pin_for_iteration(edges, n, "dst"), True
 
 

@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .pagerank import (
-    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
-    _repartition_checkpoint,
+    _BROADCAST_STATE_ROWS, _EDGE_PIN_ROWS, _iter_partitions,
+    _pin_for_iteration, _repartition_checkpoint,
 )
 
 
@@ -83,14 +83,19 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
     # generous session autoBroadcastJoinThreshold can't move a half-step
     # aggregate onto a driver-blocking broadcast side
     bcast_state = n_state <= _BROADCAST_STATE_ROWS
-    # Regime gate (measured rule 3, SCALING.md pinned-cache appendix):
-    # under the gate the score frames broadcast, both half-step joins
-    # are broadcast-hash joins, and the edge sides merely STREAM — the
-    # row-format checkpoint streams faster than a sorted columnar
-    # cache, so both directions share the one checkpoint. Pin per
-    # direction only in the big regime, where the caches' reported
-    # partitioning/ordering saves the per-iteration edge Exchange+Sort.
-    if bcast_state:
+    # Regime gate (measured rule 3 + the _EDGE_PIN_ROWS row bound,
+    # SCALING.md pinned-cache appendix): under the gate the score frames
+    # broadcast, both half-step joins are broadcast-hash joins, and the
+    # edge sides merely STREAM — the row-format checkpoint streams
+    # faster than a sorted columnar cache THERE, but only up to the
+    # measured edge-row bound (per-scan row deserialization is linear in
+    # rows; the sf1 A/B measured the pin 1.21× faster at 7.7M edges), so
+    # both directions share the one checkpoint only while small. Pin per
+    # direction past either gate — in the big regime the caches'
+    # reported partitioning/ordering saves the per-iteration edge
+    # Exchange+Sort.
+    edges_pinned = not (bcast_state and m <= _EDGE_PIN_ROWS)
+    if not edges_pinned:
         e_src = e_dst = _repartition_checkpoint(e, n_parts)
     else:
         e_src = _pin_for_iteration(e, n_parts, "src")
@@ -155,7 +160,7 @@ def bipartite_hits(edges: DataFrame, max_iter: int = 10,
         a = _authorities(h).localCheckpoint()
     finally:
         # finally-scoped: an aborted iteration must not leak the 2 pins
-        if not bcast_state:
+        if edges_pinned:
             e_src.unpersist(False)
             e_dst.unpersist(False)
     out = (

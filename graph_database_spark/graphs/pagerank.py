@@ -107,6 +107,44 @@ def _pin_for_iteration(df: DataFrame, n_parts: int, *keys: str) -> DataFrame:
               .persist())
 
 
+# Upper bound (rows) for the broadcast-regime ROW-FORMAT checkpoint on a
+# frame that streams through every superstep's broadcast-hash join. Rule 3
+# ("checkpoint beats the sorted columnar cache under a BHJ, ~15%") held at
+# every scale it was measured — all sf0.1 loop frames, i.e. up to the
+# 2.39M-row co-occurrence adjacency, on both session classes — but
+# INVERTED at sf1: pagerank_fixed20 (23.9M-row adjacency) and hits_fixed10
+# (7.7M-row purchase bipartite) ran 1.10–1.33× faster with the pinned
+# cache on BOTH session classes (driver-default 0.75/0.83 old-over-new
+# with markers at 0.92–0.97; tuned 0.87/0.91 with markers at 0.93–0.95;
+# interleaved min-of-3 — bench_results/ab/, 2026-08-18). Mechanism: the
+# BHJ streams the big side either way, but a checkpoint pays a per-row
+# deserialization that grows linearly with row count, while the cache's
+# columnar decode amortizes over vectorized batches — a fixed per-scan
+# cost that dominates only on SMALL frames. Boundary = the geometric
+# midpoint of the measured bracket (checkpoint wins ≤ 2.39M, pin wins
+# ≥ 7.7M). Above it, pin even in the broadcast regime; at 100 TB
+# everything pins regardless (the state gate is false). The blocked/long
+# batch-PPR forms deliberately do NOT use this bound — the sf1 A/B
+# contradicted across session classes there (see _pagerank_batch_blocked).
+_EDGE_PIN_ROWS = 4_000_000
+
+
+def _prep_iter_edges(edges: DataFrame, n_parts: int, bcast_state: bool,
+                     n_rows: int, *keys: str) -> tuple[DataFrame, bool]:
+    """(frame, pinned): regime-gated prep of a static frame (edges; the
+    batch forms' personalization) that is re-joined every superstep.
+
+    Row-format checkpoint while BOTH gates hold — the state side
+    broadcasts (so this side merely streams through a BHJ) AND the frame
+    is small enough that per-scan row deserialization stays under the
+    cache's columnar-decode cost (`_EDGE_PIN_ROWS`, measured). Otherwise
+    the hash-partitioned sorted cache (`_pin_for_iteration`), whose
+    reported partitioning/ordering the merge joins reuse."""
+    if bcast_state and n_rows <= _EDGE_PIN_ROWS:
+        return _repartition_checkpoint(edges, n_parts), False
+    return _pin_for_iteration(edges, n_parts, *keys), True
+
+
 def _repartition_checkpoint(df: DataFrame, n_parts: int) -> DataFrame:
     """Broadcast-regime edge/static-frame prep: a ROW-FORMAT checkpoint
     at the loop's partition count. The first checkpoint inherits
@@ -170,8 +208,9 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     # materialize edges once at natural partitioning, then size the
     # iteration partitioning from the measured counts (cheap post-checkpoint)
     edges = edges.select("src", "dst", "weight").localCheckpoint()
+    m = edges.count()  # cheap post-checkpoint; also feeds the edge gate
     n_parts = num_partitions or _iter_partitions(
-        vertices.sparkSession.sparkContext, n, edges.count())
+        vertices.sparkSession.sparkContext, n, m)
 
     # carry the sink flag INSIDE the personalization frame so each
     # iteration's sink mass comes out of the end-of-iteration aggregate
@@ -199,10 +238,8 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         .select("id", "p",
                 F.coalesce(F.col("__is_sink"), F.lit(False)).alias("__is_sink")),
         n_parts, "id")
-    if bcast_state:
-        edges = _repartition_checkpoint(edges, n_parts)
-    else:
-        edges = _pin_for_iteration(edges, n_parts, "src")
+    edges, edges_pinned = _prep_iter_edges(edges, n_parts, bcast_state,
+                                           m, "src")
 
     if init_ranks is None:
         ranks = p.select("id", "__is_sink", F.lit(1.0 / n).alias("rank")) \
@@ -297,7 +334,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
         # iteration caches can go; finally-scoped so an aborted iteration
         # (executor loss, interrupt during the delta probe) cannot leak
         # session-lifetime pins
-        if not bcast_state:
+        if edges_pinned:
             edges.unpersist(False)
         p.unpersist(False)
     out = ranks.select("id", "rank")
@@ -349,9 +386,10 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
             verts, n, edges, personalization, key_list,
             damping, tol, max_iter, num_partitions)
     edges_mat = edges.select("src", "dst", "weight").localCheckpoint()
+    m = edges_mat.count()
     state_rows = n * max(1, n_keys)
     n_parts = num_partitions or _iter_partitions(
-        vertices.sparkSession.sparkContext, state_rows, edges_mat.count())
+        vertices.sparkSession.sparkContext, state_rows, m)
 
     # keyed state: n·n_keys rows outgrow Catalyst's auto-broadcast well
     # before the graph is big — same gated hint as the blocked form
@@ -371,6 +409,11 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     # than sorted columnar caches (per-scan decode, partitioning unused
     # under a BHJ). Pin only in the big regime, where the merge-pinned
     # contrib makes the caches' partitioning/ordering load-bearing.
+    # Like the blocked form (see its note), the long batch form keeps
+    # the pure rule-3 gate: the batch-PPR family is where the sf1 A/B
+    # contradicted across session classes, so the _EDGE_PIN_ROWS bound
+    # is applied only to the loops where pin won on both classes.
+    edges_pinned = p_pinned = not bcast_state
     if bcast_state:
         p = p_frame.repartition(n_parts).localCheckpoint()
         edges = _repartition_checkpoint(edges_mat, n_parts)
@@ -456,8 +499,9 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
         out = out.localCheckpoint()
     finally:
         # finally-scoped: an aborted iteration must not leak the pins
-        if not bcast_state:
+        if edges_pinned:
             edges.unpersist(False)
+        if p_pinned:
             p.unpersist(False)
     return out
 
@@ -489,7 +533,8 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     k = len(key_list)
     spark_ctx = verts.sparkSession.sparkContext
     edges = edges.select("src", "dst", "weight").localCheckpoint()
-    n_parts = num_partitions or _iter_partitions(spark_ctx, n, edges.count())
+    m = edges.count()
+    n_parts = num_partitions or _iter_partitions(spark_ctx, n, m)
 
     # pivot personalization to one column per key (max: (key,id) unique,
     # max over the singleton; absent → 0)
@@ -522,8 +567,15 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     # row-format checkpoints, not sorted columnar caches (whose per-scan
     # decode the r11 unconditional pin paid 20 times per run: the
     # driver-bench 1.45× regression on ppr_fixed20_batch). Pin only in
-    # the big regime, where the merge-pinned contrib join makes the
-    # caches' partitioning/ordering load-bearing.
+    # the big regime. NOTE: the _EDGE_PIN_ROWS row bound is deliberately
+    # NOT applied to the blocked form — the sf1 A/B (2026-08-18)
+    # CONTRADICTS across session classes here (driver-default: pin 1.27×
+    # faster; tuned bench session: checkpoint 1.34× faster, both past
+    # their marker bands), unlike the single-vector/HITS loops where pin
+    # won on both. Per the shipping rule (improve past band on one
+    # class, no past-band regression on the other) the blocked form
+    # keeps the pure rule-3 gate until a quieter A/B separates them.
+    edges_pinned = p_pinned = not bcast_state
     if bcast_state:
         p = p_frame.repartition(n_parts).localCheckpoint()
         edges = _repartition_checkpoint(edges, n_parts)
@@ -619,7 +671,8 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
         out = out.localCheckpoint()
     finally:
         # finally-scoped: an aborted iteration must not leak the pins
-        if not bcast_state:
+        if edges_pinned:
             edges.unpersist(False)
+        if p_pinned:
             p.unpersist(False)
     return out

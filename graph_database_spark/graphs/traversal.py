@@ -28,8 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .pagerank import (
-    _BROADCAST_STATE_ROWS, _iter_partitions, _pin_for_iteration,
-    _repartition_checkpoint,
+    _BROADCAST_STATE_ROWS, _EDGE_PIN_ROWS, _iter_partitions,
+    _pin_for_iteration, _prep_iter_edges, _repartition_checkpoint,
 )
 
 
@@ -63,7 +63,12 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
           .unionByName(edges.select(F.col("dst").alias("v")))
           .distinct().count())
     bcast_state = nv * max(1, n_landmarks) <= _BROADCAST_STATE_ROWS
-    if not bcast_state:
+    # pin past the broadcast regime OR past the measured edge-row bound
+    # (the checkpoint's per-row deserialization is linear in rows — the
+    # sf1-measured inversion on the pagerank-family loops; same
+    # streamed-BHJ shape here)
+    edges_pinned = not (bcast_state and m <= _EDGE_PIN_ROWS)
+    if edges_pinned:
         # per-hop join emits up to |E|·|landmarks| expansion rows out of
         # the cache's partitions — size by that work product
         n_parts = num_partitions or _iter_partitions(
@@ -97,7 +102,7 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
             break
         dist = dist.unionByName(new_frontier).localCheckpoint()
         frontier = new_frontier
-    if not bcast_state:
+    if edges_pinned:
         edges.unpersist(False)
     return dist
 
@@ -143,14 +148,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     nv = vertices.count()
     n_parts = num_partitions or _iter_partitions(
         edges.sparkSession.sparkContext, nv, m)
-    # Regime gate (measured rule 3): while the label state broadcasts,
+    # Regime gate (measured rule 3 + the _EDGE_PIN_ROWS row bound —
+    # pagerank.py:_prep_iter_edges): while the label state broadcasts
+    # AND the symmetrized edge list stays under the measured row bound,
     # each superstep's propagation join streams the edge side through a
     # BHJ — keep the row-format checkpoint (re-partitioned once to the
-    # loop count); pin only in the big regime, where the merge-pinned
-    # neighbor_min aggregate makes the cache's partitioning load-bearing.
+    # loop count); pin past either gate (the merge-pinned neighbor_min
+    # aggregate makes the cache's partitioning load-bearing in the big
+    # regime; past the row bound the checkpoint's per-row
+    # deserialization outgrows the cache decode — the sf1-measured
+    # inversion on the pagerank-family loops, same streamed-join shape).
     bcast_state = nv <= _BROADCAST_STATE_ROWS
-    sym = _repartition_checkpoint(sym, n_parts) if bcast_state \
-        else _pin_for_iteration(sym, n_parts, "src")
+    sym, sym_pinned = _prep_iter_edges(sym, n_parts, bcast_state, m, "src")
 
     if init_labels is None:
         labels = vertices.select("id", F.col("id").alias("component")) \
@@ -208,7 +217,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             if unchanged:
                 break
     finally:
-        if not bcast_state:
+        if sym_pinned:
             sym.unpersist(False)
     return labels
 
@@ -262,7 +271,10 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
           .unionByName(edges.select(F.col("dst").alias("v")))
           .distinct().count())
     bcast_state = nv * max(1, n_landmarks) <= _BROADCAST_STATE_ROWS
-    if not bcast_state:
+    # same two-condition gate as shortest_paths (rule 3 + the measured
+    # _EDGE_PIN_ROWS bound)
+    edges_pinned = not (bcast_state and m <= _EDGE_PIN_ROWS)
+    if edges_pinned:
         n_parts = num_partitions or _iter_partitions(
             edges.sparkSession.sparkContext, m * max(1, n_landmarks), m)
         edges = _pin_for_iteration(edges, n_parts, "src")
@@ -314,7 +326,7 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
                 break
         else:
             dist = new_dist
-    if not bcast_state:
+    if edges_pinned:
         edges.unpersist(False)
     if with_rounds:
         return dist, done

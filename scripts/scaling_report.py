@@ -285,7 +285,9 @@ the columnar edge cache through a broadcast-hash join, paying the
 per-scan decode for partitioning the BHJ never uses. The driver's r11
 bench regressed the graph family 1.08× normalized (ppr_fixed20_batch
 1.45×) exactly there. r12 applies the gate everywhere the state side
-broadcasts: edges (and the batch PPR forms' static p) become
+broadcasts (later refined by the valid sf1 re-run below: the checkpoint
+branch additionally requires the streamed frame under the measured
+_EDGE_PIN_ROWS row bound — no sf0.1 plan changes): edges (and the batch PPR forms' static p) become
 ROW-FORMAT checkpoints, re-partitioned once to the loop's partition
 count (`_repartition_checkpoint`). The re-partition is load-bearing:
 the first checkpoint inherits the ETL's AQE-coalesced partitioning
@@ -330,7 +332,59 @@ r10→r11 (diff checked), and the interleaved A/B measures old/new par —
 the move was 2-pass min noise on a ~8 s query; bench.py now gives it
 (and the other verdict-#5 small swingers) extra draws.
 
-### Second-decade check at sf1 (attempted r12, 2026-08-17 — inconclusive)
+### Second-decade check at sf1 — re-attempted 2026-08-17/18, VALID, and it refined the gate
+
+The first r12 sf1 attempt failed its own noise gate (markers 0.49–0.96×
+with 2.8× per-draw swings — recorded as a method-faithful null, kept in
+bench_results/ab/ab_gated_pins_sf1_*_r12.json). The RE-ATTEMPT on a
+quieter host PASSED the gate on both session classes
+(bench_results/ab/ab_gated_pins_sf1_*_r12_rerun.json; min-of-3,
+markers = traversal-module queries, same bytes in both arms):
+
+| query (sf1) | driver-default old/new | tuned old/new |
+|---|---|---|
+| pagerank_fixed20 (23.9M-row adjacency) | **0.75** | **0.87** |
+| hits_fixed10 (7.7M-row bipartite) | **0.83** | **0.91** |
+| ppr_batch_focal (blocked form) | **0.78** | **1.34** |
+| *marker:* connected_components_star | 0.92 | 0.93 |
+| *marker:* graph_lpa_communities | 0.97 | 0.95 |
+
+old = the r11 unconditional PIN; new = the r12 checkpoint gate;
+old/new < 1 means the pin is faster. Reading: **rule 3 INVERTS with
+edge volume.** The checkpoint won everywhere it was measured at sf0.1
+(frames up to the 2.39M-row co-occurrence adjacency) but loses
+1.10–1.33× at sf1 edge volumes on BOTH session classes for the
+single-vector pagerank and HITS loops — past the markers' band in all
+four cells. Mechanism: the BHJ streams the edge side either way, but
+the checkpoint pays a per-row deserialization that is linear in rows,
+while the pinned cache's columnar decode amortizes over vectorized
+batches — a fixed per-scan cost that dominates only on small frames.
+
+The gate therefore gained a second condition (`_EDGE_PIN_ROWS = 4M`,
+pagerank.py): checkpoint only while the state broadcasts AND the
+streamed frame stays under the measured row bound — the geometric
+midpoint of the bracket (checkpoint wins <= 2.39M rows, pin wins >=
+7.7M). Every sf0.1 loop frame measures below the bound (cooc adjacency
+2.392M, CC symmetrized list 2.392M, purchase bipartite 0.77M), so the
+driver-bench plans are bit-identical to the pre-refinement r12 shape
+(branch-probe verified); at sf1 pagerank/HITS/CC flip to the pin that
+won the A/B. Applied to the single-vector pagerank, HITS, CC, and the
+landmark/SSSP loops (same narrow-state streamed-BHJ shape; the
+landmark pair is extrapolated, not separately measured at sf1 — noted
+here so a future A/B knows it's unconfirmed). HyperANF keeps its
+|V|*m saturation gate plus the same row bound.
+
+**Deliberately NOT applied to the batch-PPR forms** (blocked + long):
+ppr_batch_focal is the one target where the two session classes
+CONTRADICT past both marker bands (driver-default: pin 1.28× faster;
+tuned: checkpoint 1.34× faster — the blocked form's wide 65-column
+state interacts with the session broadcast threshold differently).
+Per the shipping rule (improve past band on one class, no past-band
+regression on the other) the blocked/long forms keep the pure rule-3
+gate until a quieter A/B separates them; the contradiction is
+annotated at _pagerank_batch_blocked.
+
+#### The earlier null attempt (kept for method history)
 
 The same harness was pointed at the gen_sfbig sf1 corpus on both
 session classes (driver-default: 8 queries, min-of-2; tuned: 6

@@ -351,3 +351,58 @@ def test_pagerank_submodule_not_shadowed():
     assert importlib.import_module(
         "graph_database_spark.graphs.pagerank") is pr_mod
     assert g.pagerank_scores is pr_fn and callable(pr_fn)
+
+
+def test_edge_pin_row_bound_gates_even_in_broadcast_regime(spark):
+    """_EDGE_PIN_ROWS (the r12 sf1 A/B refinement of rule 3): while the
+    state side broadcasts, the superstep's streamed edge side is a
+    row-format checkpoint ONLY under the measured row bound — past it
+    (7.7M-edge sf1: pin 1.2-1.33x faster) the loop pins the sorted
+    columnar cache even though the state still broadcasts; and the
+    big-state regime pins regardless."""
+    from graph_database_spark.graphs import pagerank as pr
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i + 1) % 7, 1.0) for i in range(30)],
+        "src long, dst long, weight double").localCheckpoint()
+
+    small, pinned = pr._prep_iter_edges(edges, 2, True, 30, "src")
+    assert not pinned
+    assert not small.storageLevel.useMemory  # checkpoint, not a cache
+
+    big, pinned2 = pr._prep_iter_edges(
+        edges, 2, True, pr._EDGE_PIN_ROWS + 1, "src")
+    assert pinned2
+    assert big.storageLevel.useMemory  # the sorted persisted cache
+    big.unpersist()
+
+    huge_state, pinned3 = pr._prep_iter_edges(edges, 2, False, 30, "src")
+    assert pinned3
+    huge_state.unpersist()
+
+
+def test_edge_pin_row_bound_does_not_change_pagerank_results(
+        spark, monkeypatch):
+    """Forcing the row bound to 0 flips the tiny test graph onto the
+    pinned-edge branch while the state still broadcasts — the mixed
+    shape must produce bit-identical ranks (the prep is semantics-free:
+    same arithmetic, different physical plan)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from graph_database_spark.graphs import pagerank as pr
+
+    verts = spark.range(6).select("id")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6, 0.5) for i in range(6)]
+        + [(i, (i + 2) % 6, 0.5) for i in range(6)],
+        "src long, dst long, weight double")
+    base = {r["id"]: r["rank"]
+            for r in pr.pagerank(verts, edges, tol=-1.0,
+                                 max_iter=5).collect()}
+    monkeypatch.setattr(pr, "_EDGE_PIN_ROWS", 0)
+    forced = {r["id"]: r["rank"]
+              for r in pr.pagerank(verts, edges, tol=-1.0,
+                                   max_iter=5).collect()}
+    assert forced == _pytest.approx(base, abs=0.0)  # bit-identical
