@@ -290,6 +290,7 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
     run_start = time.perf_counter()
     times: dict[str, float] = {}
+    draws: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     truncated = False
     max_passes = passes + (max(extra_passes.values()) if passes > 1 else 0)
@@ -314,10 +315,19 @@ def main() -> None:
                 times.pop(name, None)
                 continue
             dt = round(time.perf_counter() - t0, 3)
+            draws.setdefault(name, []).append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
         if truncated:
             break
+
+    # per-query MEDIAN alongside the min (r12 verdict #6: min-over-passes
+    # with per-query extra draws makes the headline min sensitive to
+    # draw-count policy; the median is draw-count-robust). The headline
+    # metric and `queries` stay the min — unchanged methodology — the
+    # median is an ADDITIONAL series.
+    import statistics
+    medians = {n: round(statistics.median(d), 3) for n, d in draws.items()}
 
     total = round(sum(times.values()), 3)
     # Host-normalized series (r9 verdict item #4): raw totals divided by
@@ -333,6 +343,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": sf,
         "session_mode": session_mode,
         "passes": passes,
@@ -369,6 +380,17 @@ def main() -> None:
         pass  # bench numbers still print even on a read-only checkout
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:25])
     print(json.dumps({"metric": "slowest_queries", "q": slowest},
+                     separators=(",", ":")))
+    # Full per-query map as its own machine-readable line (r12 verdict
+    # #2: the driver's PERF comparison found n_common=0 because the final
+    # compact line carries only slowest10 — emit the complete min+median
+    # maps so round-over-round per-query pairing needs no hand
+    # reconstruction from history.jsonl). Printed BEFORE the compact
+    # line: a bounded tail capture then still ends with the small
+    # always-parseable contract line.
+    print(json.dumps({"metric": "per_query", "unit": "sec", "sf": sf,
+                      "session_mode": session_mode,
+                      "queries": times, "queries_median": medians},
                      separators=(",", ":")))
     # the final compact line is what a minimal tail capture parses —
     # carry the slowest-10 inline so it is useful standalone even if the

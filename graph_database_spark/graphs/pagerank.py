@@ -569,8 +569,9 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     # driver-bench 1.45× regression on ppr_fixed20_batch). Pin only in
     # the big regime. NOTE: the _EDGE_PIN_ROWS row bound is deliberately
     # NOT applied to the blocked form — the sf1 A/B (2026-08-18)
-    # CONTRADICTS across session classes here (driver-default: pin 1.27×
-    # faster; tuned bench session: checkpoint 1.34× faster, both past
+    # CONTRADICTS across session classes here (driver-default: pin 1.28×
+    # faster, i.e. old/new 0.78; tuned bench session: checkpoint 1.34×
+    # faster, both past
     # their marker bands), unlike the single-vector/HITS loops where pin
     # won on both. Per the shipping rule (improve past band on one
     # class, no past-band regression on the other) the blocked form

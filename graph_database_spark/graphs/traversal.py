@@ -87,23 +87,29 @@ def shortest_paths(edges: DataFrame, landmarks: DataFrame,
         F.lit(0).alias("dist")).localCheckpoint()
     frontier = dist
 
-    for hop in range(1, max_hops + 1):
-        # expand: neighbors of the frontier not yet seen for that landmark
-        expanded = (
-            edges.join(_b(frontier), frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), "landmark",
-                    F.lit(hop).alias("dist"))
-            .distinct()
-        )
-        new_frontier = expanded.join(
-            dist.select("id", "landmark"), ["id", "landmark"], "left_anti"
-        ).localCheckpoint()
-        if new_frontier.isEmpty():
-            break
-        dist = dist.unionByName(new_frontier).localCheckpoint()
-        frontier = new_frontier
-    if edges_pinned:
-        edges.unpersist(False)
+    try:
+        for hop in range(1, max_hops + 1):
+            # expand: neighbors of the frontier not yet seen for that
+            # landmark
+            expanded = (
+                edges.join(_b(frontier), frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), "landmark",
+                        F.lit(hop).alias("dist"))
+                .distinct()
+            )
+            new_frontier = expanded.join(
+                dist.select("id", "landmark"), ["id", "landmark"],
+                "left_anti"
+            ).localCheckpoint()
+            if new_frontier.isEmpty():
+                break
+            dist = dist.unionByName(new_frontier).localCheckpoint()
+            frontier = new_frontier
+    finally:
+        # finally-scoped like pagerank/HITS/CC: an exception mid-loop
+        # (e.g. during the isEmpty probe) must not leak the pinned cache
+        if edges_pinned:
+            edges.unpersist(False)
     return dist
 
 
@@ -302,32 +308,36 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: DataFrame,
                 .localCheckpoint())
 
     done = 0
-    for done in range(1, rounds + 1):
-        relaxed = (
-            edges.join(_b(dist), dist["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), "landmark",
-                    (F.col("dist") + F.col("weight")).alias("dist"))
-        )
-        new_dist = (dist.unionByName(relaxed)
-                    .groupBy("id", "landmark")
-                    .agg(F.min("dist").alias("dist"))
-                    .localCheckpoint())
-        if until_stable:
-            # stable ⟺ no new (id, landmark) pair AND no exact-min
-            # improvement; both frames are checkpointed so the probes
-            # are count + one join, no recomputation
-            grew = new_dist.count() != dist.count()
-            improved = grew or not (
-                new_dist.withColumnRenamed("dist", "__nd")
-                .join(dist, ["id", "landmark"])
-                .filter(F.col("__nd") < F.col("dist")).isEmpty())
-            dist = new_dist
-            if not improved:
-                break
-        else:
-            dist = new_dist
-    if edges_pinned:
-        edges.unpersist(False)
+    try:
+        for done in range(1, rounds + 1):
+            relaxed = (
+                edges.join(_b(dist), dist["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), "landmark",
+                        (F.col("dist") + F.col("weight")).alias("dist"))
+            )
+            new_dist = (dist.unionByName(relaxed)
+                        .groupBy("id", "landmark")
+                        .agg(F.min("dist").alias("dist"))
+                        .localCheckpoint())
+            if until_stable:
+                # stable ⟺ no new (id, landmark) pair AND no exact-min
+                # improvement; both frames are checkpointed so the probes
+                # are count + one join, no recomputation
+                grew = new_dist.count() != dist.count()
+                improved = grew or not (
+                    new_dist.withColumnRenamed("dist", "__nd")
+                    .join(dist, ["id", "landmark"])
+                    .filter(F.col("__nd") < F.col("dist")).isEmpty())
+                dist = new_dist
+                if not improved:
+                    break
+            else:
+                dist = new_dist
+    finally:
+        # finally-scoped like pagerank/HITS/CC (ADVICE r12): a mid-loop
+        # exception must not leak the pinned cache
+        if edges_pinned:
+            edges.unpersist(False)
     if with_rounds:
         return dist, done
     return dist

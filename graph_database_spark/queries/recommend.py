@@ -19,7 +19,8 @@ from ..operators.similarity import (
     seed_expansion_scores_from_items, user_cf_scores,
 )
 from ..operators.topk import top_k_per_group
-from ..graphs.pagerank import _BROADCAST_STATE_ROWS
+from ..graphs.pagerank import _BROADCAST_STATE_ROWS, _ROWS_PER_PARTITION \
+    as _REC_ROWS_PER_PARTITION
 from ._shared import register, _items, _order_customer_pairs, _SQL_ITEMS, _SQL_INC
 
 # ---------------------------------------------------------------------------
@@ -302,12 +303,29 @@ def q_recommend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold the Pregel loop uses for its state frames. Above it — when
     # |customers|×|catalog| incidence is genuinely fact-sized — fall back to
     # the shuffle anti-join.
-    inc_small = inc.count() <= _BROADCAST_STATE_ROWS
+    n_inc = inc.count()
+    inc_small = n_inc <= _BROADCAST_STATE_ROWS
     excl = F.broadcast(inc) if inc_small else inc
+    # ONE exchange keyed customer_id on the narrow incidence frame,
+    # BEFORE the ×30 expansion (guide §2.1/§2.4 — establish the
+    # partitioning once, reuse it twice): HashPartitioning(customer_id)
+    # is a subset-key partitioning that satisfies BOTH the
+    # (customer_id, product_id) aggregate's clustering and the
+    # per-customer rank window's, so the expansion, the score aggregate
+    # and the window all run with zero further exchanges — the r12 shape
+    # exchanged the (wider, partially-aggregated) expansion twice.
+    # Explicit N, derived from the measured ×30 expansion work product
+    # and capped at the cluster parallelism: AQE must not coalesce the
+    # ~1.2M-row exchange to 1-2 partitions and serialize everything
+    # downstream of it (the _repartition_checkpoint lesson).
+    sc = spark.sparkContext
+    n_parts = min(sc.defaultParallelism,
+                  max(2, -(-30 * n_inc // _REC_ROWS_PER_PARTITION)))
     # aggregate BEFORE the exclusion anti-join: the groupBy collapses the
     # expansion to distinct (customer, candidate) rows first.
     scored = (
-        inc.join(cooc_top, inc["product_id"] == cooc_top["src"])
+        inc.repartition(n_parts, "customer_id")
+        .join(cooc_top, inc["product_id"] == cooc_top["src"])
         .groupBy("customer_id", F.col("dst").alias("product_id"))
         .agg(F.sum("count").alias("score"))
         .join(excl, ["customer_id", "product_id"], "left_anti")

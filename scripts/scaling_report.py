@@ -367,11 +367,13 @@ midpoint of the bracket (checkpoint wins <= 2.39M rows, pin wins >=
 7.7M). Every sf0.1 loop frame measures below the bound (cooc adjacency
 2.392M, CC symmetrized list 2.392M, purchase bipartite 0.77M), so the
 driver-bench plans are bit-identical to the pre-refinement r12 shape
-(branch-probe verified); at sf1 pagerank/HITS/CC flip to the pin that
+(branch-probe verified); at sf1 pagerank and HITS flip to the pin that
 won the A/B. Applied to the single-vector pagerank, HITS, CC, and the
 landmark/SSSP loops (same narrow-state streamed-BHJ shape; the
-landmark pair is extrapolated, not separately measured at sf1 — noted
-here so a future A/B knows it's unconfirmed). HyperANF keeps its
+landmark pair AND CC are extrapolated, not separately measured at sf1
+— the A/B arms were pagerank_fixed20/hits_fixed10/ppr_batch_focal and
+connected_components_star (no pin) served as a marker, so CC's sf1
+flip to the pin is unconfirmed; noted here so a future A/B knows). HyperANF keeps its
 |V|*m saturation gate plus the same row bound.
 
 **Deliberately NOT applied to the batch-PPR forms** (blocked + long):
