@@ -58,19 +58,19 @@ def hyperanf_states(vertices: DataFrame, edges: DataFrame,
 
 
 def _pin_edges(edges: DataFrame, n_vertices: int) -> tuple[DataFrame, bool]:
-    """(edge frame ready for iteration, pinned?). The one-off checkpoint
-    stops every superstep re-executing the caller's whole edge-building
-    subtree (for the purchase graph, a 4-table ETL join). Whether the
-    checkpoint is then ALSO pinned in a dst-partitioned sorted cache is
-    regime-gated on the register state's saturation bound |V|·m
-    (measured rule 3, SCALING.md pinned-cache appendix): while the
-    state side stays broadcast-small, the superstep join is a
-    broadcast-hash join whose edge side merely streams — the row-format
-    checkpoint streams faster than a columnar cache. Past the bound the
-    state outgrows any session broadcast threshold mid-run (balls
-    saturate toward |V|·m register rows), the join flips to sort-merge,
-    and the cache's reported partitioning/ordering is what keeps the
-    per-superstep edge Exchange+Sort out of the plan."""
+    """(edge frame ready for iteration, pinned?). The
+    one-off checkpoint stops every superstep re-executing the caller's
+    whole edge-building subtree (for the purchase graph, a 4-table ETL
+    join). Whether the checkpoint is then ALSO pinned in a
+    dst-partitioned sorted cache is regime-gated on the register state's
+    saturation bound |V|·m (measured rule 3, SCALING.md pinned-cache
+    appendix): while the state side stays broadcast-small, the superstep
+    join is a broadcast-hash join whose edge side merely streams — the
+    row-format checkpoint streams faster than a columnar cache. Past the
+    bound the state outgrows any session broadcast threshold mid-run
+    (balls saturate toward |V|·m register rows), the join flips to
+    sort-merge, and the cache's reported partitioning/ordering is what
+    keeps the per-superstep edge Exchange+Sort out of the plan."""
     edges = edges.localCheckpoint()
     m = edges.count()
     # second gate (_EDGE_PIN_ROWS, pagerank.py): past the measured edge-
@@ -80,9 +80,15 @@ def _pin_edges(edges: DataFrame, n_vertices: int) -> tuple[DataFrame, bool]:
     if n_vertices * HLL_M <= _BROADCAST_STATE_ROWS and m <= _EDGE_PIN_ROWS:
         n = _iter_partitions(edges.sparkSession.sparkContext, m, m)
         return _repartition_checkpoint(edges, n), False
-    # each superstep streams register rows (≥ edge count once balls grow)
+    # NOTE (r13, measured): hinting the ~1M-row edge checkpoint broadcast
+    # here (build side of every superstep join, saving the register
+    # state's per-superstep Exchange+Sort) was A/B'd and REJECTED — the
+    # per-superstep BroadcastExchange cost more than the exchange it
+    # saved on both session classes (driver-default diameter 0.79×,
+    # tuned marker-adjusted ≈0.82-0.91×; OPTIMIZATION_r13.md item 4).
+    # Each superstep streams register rows (≥ edge count once balls grow)
     # out of the cache's partitions — size by edge rows at the STATE
-    # weight so the contrib map stage keeps real parallelism
+    # weight so the contrib map stage keeps real parallelism.
     n = _iter_partitions(edges.sparkSession.sparkContext, m, m)
     return _pin_for_iteration(edges, n, "dst"), True
 
@@ -98,7 +104,14 @@ def _superstep(state: DataFrame, edges: DataFrame) -> DataFrame:
     """B(v, k) = B(v, k−1) ∪ ⋃ B(w, k−1) over out-edges (v, w): one edge
     join + one (id, register) max-aggregate, checkpointed — the single
     superstep body shared by the curve and the tol-stopped diameter (the
-    two paths must never drift)."""
+    two paths must never drift).
+
+    The checkpoint is LAZY (eager=False): the caller's next action — the
+    nf estimate for this radius, or the final curve aggregate —
+    materializes it, folding what used to be a separate sequential
+    checkpoint job per radius into the job that needed the state anyway
+    (r12 verdict #4: one driver-sync job per radius removed; the
+    LogicalRDD still truncates lineage, so plan depth stays constant)."""
     contrib = (edges.alias("e")
                .join(state.alias("s"),
                      F.col("e.dst") == F.col("s.id"))
@@ -108,7 +121,7 @@ def _superstep(state: DataFrame, edges: DataFrame) -> DataFrame:
     return (state.unionByName(contrib)
             .groupBy("id", "register")
             .agg(F.max("max_rank").alias("max_rank"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 def hyperanf_curve(vertices: DataFrame, edges: DataFrame,
@@ -162,6 +175,9 @@ def effective_diameter(vertices: DataFrame, edges: DataFrame,
     try:
         curve.append(_nf(state))
         for _ in range(max_iters):
+            # lazy superstep checkpoint: the _nf estimate below is the
+            # action that materializes it — ONE job per radius instead
+            # of checkpoint-job + estimate-job (r12 verdict #4)
             state = _superstep(state, edges)
             curve.append(_nf(state))
             if curve[-1] <= curve[-2] * (1.0 + growth_tol):

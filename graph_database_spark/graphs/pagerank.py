@@ -123,9 +123,10 @@ def _pin_for_iteration(df: DataFrame, n_parts: int, *keys: str) -> DataFrame:
 # cost that dominates only on SMALL frames. Boundary = the geometric
 # midpoint of the measured bracket (checkpoint wins ≤ 2.39M, pin wins
 # ≥ 7.7M). Above it, pin even in the broadcast regime; at 100 TB
-# everything pins regardless (the state gate is false). The blocked/long
-# batch-PPR forms deliberately do NOT use this bound — the sf1 A/B
-# contradicted across session classes there (see _pagerank_batch_blocked).
+# everything pins regardless (the state gate is false). Since r13 the
+# bound applies to EVERY loop including the blocked/long batch-PPR forms
+# (the r12 contradiction there was resolved in the pin's favor by a
+# quieter-host sf1 re-run — see _pagerank_batch_blocked).
 _EDGE_PIN_ROWS = 4_000_000
 
 
@@ -407,14 +408,13 @@ def pagerank_batch(vertices: DataFrame, edges: DataFrame,
     # per-iteration join against p/edges is a broadcast-hash join whose
     # big side merely STREAMS — row-format checkpoints stream faster
     # than sorted columnar caches (per-scan decode, partitioning unused
-    # under a BHJ). Pin only in the big regime, where the merge-pinned
-    # contrib makes the caches' partitioning/ordering load-bearing.
-    # Like the blocked form (see its note), the long batch form keeps
-    # the pure rule-3 gate: the batch-PPR family is where the sf1 A/B
-    # contradicted across session classes, so the _EDGE_PIN_ROWS bound
-    # is applied only to the loops where pin won on both classes.
-    edges_pinned = p_pinned = not bcast_state
-    if bcast_state:
+    # under a BHJ). Pin in the big regime, where the merge-pinned
+    # contrib makes the caches' partitioning/ordering load-bearing —
+    # AND past the _EDGE_PIN_ROWS row bound, like every other loop: the
+    # r13 sf1 re-run on a quiet host (markers 0.93-1.01) resolved the
+    # r12 contradiction in the pin's favor (see _pagerank_batch_blocked).
+    edges_pinned = p_pinned = not (bcast_state and m <= _EDGE_PIN_ROWS)
+    if not edges_pinned:
         p = p_frame.repartition(n_parts).localCheckpoint()
         edges = _repartition_checkpoint(edges_mat, n_parts)
     else:
@@ -566,18 +566,21 @@ def _pagerank_batch_blocked(verts: DataFrame, n: int, edges: DataFrame,
     # joins are broadcast-hash joins whose p/edge sides STREAM — use
     # row-format checkpoints, not sorted columnar caches (whose per-scan
     # decode the r11 unconditional pin paid 20 times per run: the
-    # driver-bench 1.45× regression on ppr_fixed20_batch). Pin only in
-    # the big regime. NOTE: the _EDGE_PIN_ROWS row bound is deliberately
-    # NOT applied to the blocked form — the sf1 A/B (2026-08-18)
-    # CONTRADICTS across session classes here (driver-default: pin 1.28×
-    # faster, i.e. old/new 0.78; tuned bench session: checkpoint 1.34×
-    # faster, both past
-    # their marker bands), unlike the single-vector/HITS loops where pin
-    # won on both. Per the shipping rule (improve past band on one
-    # class, no past-band regression on the other) the blocked form
-    # keeps the pure rule-3 gate until a quieter A/B separates them.
-    edges_pinned = p_pinned = not bcast_state
-    if bcast_state:
+    # driver-bench 1.45× regression on ppr_fixed20_batch). Pin in the
+    # big regime AND past the _EDGE_PIN_ROWS row bound (r13): the r12
+    # sf1 A/B CONTRADICTED across session classes here (driver-default:
+    # pin 1.28× faster, i.e. old/new 0.78; tuned: checkpoint 1.34×
+    # faster, both past their marker bands), so r12 shipped the pure
+    # rule-3 gate. The r13 re-run on a QUIETER host (markers 0.925-1.008
+    # on both classes — tighter than r12's) read: tuned pin 1.21× faster
+    # (old/new 0.825, past the band), driver-default par (0.96, inside).
+    # Two-round tally: pin past-band-wins twice (dd-r12, tuned-r13),
+    # checkpoint once (tuned-r12), par once (dd-r13) — and the pin bound
+    # unifies the gate with every other loop (same measured 4M bracket),
+    # so the bound now applies to the batch forms too
+    # (bench_results/ab/ab_batchppr_sf1_r13.json).
+    edges_pinned = p_pinned = not (bcast_state and m <= _EDGE_PIN_ROWS)
+    if not edges_pinned:
         p = p_frame.repartition(n_parts).localCheckpoint()
         edges = _repartition_checkpoint(edges, n_parts)
     else:

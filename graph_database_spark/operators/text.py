@@ -505,7 +505,12 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
     engine replays with the identical list fold; the per-round argmax
     is a bounded 1-row collect (the merge table IS driver-sized by
     definition). State localCheckpoints per round — the repo-wide
-    iterative discipline."""
+    iterative discipline — but LAZILY (eager=False): the next round's
+    argmax collect is the action that materializes it, so a round costs
+    ONE driver sync instead of two, and the final round's rewrite (whose
+    state nothing ever reads — bpe_train returns only the merge table)
+    is never computed at all (r13, the anf.py superstep fold applied
+    here; lineage is still truncated per round)."""
     spark = documents.sparkSession
     words = (spread(documents)
              .select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
@@ -514,7 +519,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
              .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
     chars = F.transform(F.sequence(F.lit(1), F.length("word")),
                         lambda i: F.col("word").substr(i, F.lit(1)))
-    state = words.select(chars.alias("toks"), "freq").localCheckpoint()
+    state = words.select(chars.alias("toks"), "freq") \
+        .localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = state.select(
@@ -544,7 +550,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.lit(merged))))
             .otherwise(F.concat(acc, F.array(t))))
-        state = state.select(fold.alias("toks"), "freq").localCheckpoint()
+        state = state.select(fold.alias("toks"), "freq") \
+            .localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long")

@@ -190,7 +190,14 @@ def q_pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_iter=20, dedupe=False)
     canon = (comp.filter(F.col("id") == F.col("component"))
              .select(F.col("id").alias("doc_id")))
-    s3 = s2.join(canon, "doc_id", "left_semi").localCheckpoint()
+    # stages 2→4 fused (r12 verdict #7): s3 is a row-local semi-join
+    # filter over the checkpointed s2 against the (small, checkpointed)
+    # CC canon — NOT worth its own materialization job, which re-copied
+    # every surviving text byte. Each consumer (the embedding semi-join
+    # needs only doc_id; the s4 anti-join) re-derives it as one cheap
+    # broadcast semi-join; the expensive SemDeDup stage still runs once
+    # because s4 below stays checkpointed.
+    s3 = s2.join(canon, "doc_id", "left_semi")
     emb = load_table(spark, sf_dir, "embeddings")
     # bounded 16-row centroid fetch from the FULL corpus (cells must not
     # shift with upstream filtering) — same pattern as embedding_topk_ivf

@@ -581,3 +581,48 @@ def test_bm25_duplicate_query_terms_do_not_double_count(spark):
     post = bm25_postings(docs).localCheckpoint()
     assert {tuple(r) for r in
             bm25_topk(docs, qdf2, postings=post).collect()} == want
+
+
+def test_recommend_batch_single_customer_exchange(spark):
+    """r13 exchange collapse: the explicit repartition(N, customer_id) on
+    the incidence frame is the ONLY exchange downstream of the incidence
+    checkpoint — the (customer_id, product_id) score aggregate and the
+    per-customer rank window both reuse its subset-key partitioning, and
+    the old plan's two exchanges of the x30-expanded frame are gone."""
+    import re
+    plan = _formatted_plan(spark, "recommend_batch")
+    exch_keys = [m.group(1) for m in re.finditer(
+        r"\(\d+\) Exchange\nInput.*\nArguments: hashpartitioning\(([^)]*)\)",
+        plan)]
+    cust_keyed = [k for k in exch_keys if "customer_id" in k]
+    # no exchange keyed on the full (customer_id, product_id) pair — that
+    # was the collapsed aggregate exchange
+    assert not any("product_id" in k for k in cust_keyed), exch_keys
+    # exactly one customer_id-keyed exchange (the explicit repartition);
+    # the remaining exchanges all belong to the broadcast-side
+    # co-occurrence pair build
+    assert len(cust_keyed) == 1, exch_keys
+
+
+def test_pipeline_checkpoints_text_payload_exactly_twice(spark):
+    """r13 stage fusion: only the curation scan and the exact-dedup
+    survivors (s2) materialize the text payload; the old s3 checkpoint
+    (CC-canonical survivors) re-copied every surviving text byte and is
+    now a fused broadcast semi-join re-derived by its consumers."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from graph_database_spark.registry import QUERIES
+
+    text_ckpts = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        if "text" in self.columns:
+            text_ckpts.append(tuple(self.columns))
+        return orig(self, eager)
+
+    DataFrame.localCheckpoint = spy
+    try:
+        QUERIES["pipeline_curate_pack"](spark, SF_DIR)
+    finally:
+        DataFrame.localCheckpoint = orig
+    assert len(text_ckpts) == 2, text_ckpts

@@ -418,3 +418,30 @@ def test_effective_diameter_plateaus_and_interpolates(spark):
     assert 0.0 < d <= 3.0, (d, curve)
     # same near-monotone allowance as the nf test (HLL branch crossover)
     assert all(b >= a * (1 - 1e-6) for a, b in zip(curve, curve[1:]))
+
+
+def test_hyperanf_superstep_truncates_lineage_lazily(spark):
+    """r13: the superstep checkpoint is lazy (eager=False) so the caller's
+    estimate/aggregate job materializes it — but it must STILL truncate
+    lineage (plan = LogicalRDD scan), or plan depth would grow with the
+    radius and reintroduce the pathology localCheckpoint exists to stop."""
+    from graph_database_spark.graphs.anf import (_init_state, _pin_edges,
+                                                 _superstep)
+
+    vertices = spark.range(0, 50).withColumnRenamed("id", "id")
+    edges = spark.range(0, 49).selectExpr("id as src", "id + 1 as dst")
+    state = _init_state(vertices)
+    prepped, pinned, = _pin_edges(edges, state.count())
+    try:
+        stepped = _superstep(state, prepped)
+        # lineage is truncated at construction time: the logical plan is
+        # the checkpointed RDD, not the join+aggregate that produced it
+        logical = stepped._jdf.queryExecution().logical().toString()
+        assert "LogicalRDD" in logical, logical
+        # and the lazy checkpoint computes the same registers as the
+        # arithmetic it truncated (materialized by this collect)
+        n_rows = stepped.count()
+        assert n_rows >= vertices.count()
+    finally:
+        if pinned:
+            prepped.unpersist(False)
